@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dispatch determinism + accept/reject URL corpora per pattern —
+  * qetch can_handle analog (SURVEY.md §5.2-2, FIXTURES.md §4). */
+class DispatchSpec extends AnyFunSuite {
+  private val reg = CompiledRegistry.default
+
+  private val gfyAccept = Seq(
+    "https://media.gfyclip.test/AbcDef.mp4",
+    "http://media.gfyclip.test/X.webm",
+    "https://media.gfyclip.test/Clip123.gif")
+  private val gfyReject = Seq(
+    "https://media.gfyclip.test/AbcDef.avi",      // unknown ext
+    "https://media.gfyclip.test/123abc.mp4",      // id must start with letter
+    "https://gfyclip.test/AbcDef.mp4",            // wrong host (canonical, not media)
+    "ftp://media.gfyclip.test/AbcDef.mp4",        // wrong scheme
+    "https://media.gfyclip.test/a/b.mp4",         // extra path segment
+    "https://media.gfyclip.test/AbcDef.mp4?x=1")  // trailing query (full-match)
+  private val chanAccept = Seq(
+    "https://img.chanboard.test/g/1400000001.jpg",
+    "http://img.chanboard.test/diy/99.webm")
+  private val chanReject = Seq(
+    "https://img.chanboard.test/G/1400000001.jpg",   // uppercase board
+    "https://img.chanboard.test/g/notnum.jpg",
+    "https://chanboard.test/g/1400000001.jpg")
+
+  test("gfyclip corpus") {
+    gfyAccept.foreach(u => assert(reg.dispatch(u).exists(_._1.name == "gfyclip"), u))
+    gfyReject.foreach(u => assert(!reg.dispatch(u).exists(_._1.name == "gfyclip"), u))
+  }
+
+  test("chanboard corpus") {
+    chanAccept.foreach(u => assert(reg.dispatch(u).exists(_._1.name == "chanboard"), u))
+    chanReject.foreach(u => assert(reg.dispatch(u).isEmpty, u))
+  }
+
+  test("canonicalization substitutes named groups") {
+    val Some((r1, m1)) = reg.dispatch("https://media.gfyclip.test/AbcDef.webm")
+    assert(reg.canonicalize(r1, m1) == "https://gfyclip.test/AbcDef")
+    val Some((r2, m2)) = reg.dispatch("https://img.chanboard.test/tv/42.png")
+    assert(reg.canonicalize(r2, m2) == "https://chanboard.test/tv/42.png")
+  }
+
+  test("first-match is stable under repeated calls") {
+    val urls = (gfyAccept ++ chanAccept ++ gfyReject).toVector
+    val first = urls.map(u => reg.dispatch(u).map(_._1.name))
+    (1 to 5).foreach { _ =>
+      assert(urls.map(u => reg.dispatch(u).map(_._1.name)) == first)
+    }
+  }
+}

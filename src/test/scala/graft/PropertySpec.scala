@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5.2-3): extraction is deterministic,
+  * order-preserving (kept text spans form a subsequence of input), offsets
+  * monotone, and partition-invariant — the distributed-correctness property
+  * the single-machine reference never needed. */
+class PropertySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic forAll: 300 samples from fixed seeds (scalatestplus
+    * bridge is not in the offline cache, so we drive Gen directly). */
+  private def checkAll[A](gen: Gen[A])(p: A => Boolean): Unit = {
+    (0 until 300).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i)).foreach { a =>
+        assert(p(a), s"property failed for sample #$i: $a")
+      }
+    }
+  }
+
+  private val kinds = Gen.oneOf("title", "text", "nav", "ad", "footer", "link", "media")
+  private val word = Gen.oneOf(DocGen.Vocab)
+  private val textGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val refGen = Gen.oneOf(
+    Gen.const(""),
+    Gen.oneOf("mp4", "webm", "gif").map(e => s"https://media.gfyclip.test/GenX.$e"),
+    Gen.chooseNum(1L, 9L).map(t => s"https://img.chanboard.test/g/140000000$t.jpg"),
+    Gen.const("https://cdn.other.test/f.bin"))
+
+  private val spanGen: Gen[(String, String, String)] = for {
+    k <- kinds; t <- textGen; r <- refGen
+  } yield (k, t, if (k == "media") r else "")
+
+  private val docGen: Gen[RawDoc] = for {
+    n <- Gen.chooseNum(0, 24)
+    ss <- Gen.listOfN(n, spanGen)
+    idn <- Gen.chooseNum(0L, 999999L)
+  } yield RawDoc(f"p$idn%010d",
+    ss.zipWithIndex.map { case ((k, t, r), i) => RawSpan(k, t, r, i) }.toVector,
+    "src0", DocGen.bucketOf(f"p$idn%010d"))
+
+  test("deterministic: extracting twice gives identical results") {
+    checkAll(docGen) { d =>
+      val reg = CompiledRegistry.default
+      Classify.extractDoc(d, reg) == Classify.extractDoc(d, reg)
+    }
+  }
+
+  test("kept text spans are a subsequence of input texts") {
+    checkAll(docGen) { d =>
+      val out = Classify.extractDoc(d, CompiledRegistry.default)
+      val inTexts = d.spans.sortBy(_.offset).map(_.text)
+      val outTexts = out.spans.filter(s => s.kind == "text" || s.kind == "title").map(_.text)
+      // subsequence check
+      var i = 0
+      outTexts.forall { t =>
+        val j = inTexts.indexOf(t, i)
+        if (j >= 0) { i = j + 1; true } else false
+      }
+    }
+  }
+
+  test("offsets dense and monotone") {
+    checkAll(docGen) { d =>
+      val out = Classify.extractDoc(d, CompiledRegistry.default)
+      out.spans.map(_.offset) == out.spans.indices
+    }
+  }
+
+  test("partition invariance: same output set under 1, 3, 8 partitions") {
+    val docs = (0L until 300L).map(DocGen.docFor)
+    def run(parts: Int): Set[(String, Seq[(String, String, String)])] = {
+      val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetrics]
+      spark.sparkContext.register(acc)
+      ExtractJob.transform(spark.createDataset(docs).repartition(parts), acc, "pi", parts)
+        .collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref)).toSeq)
+        .toSet
+    }
+    val r1 = run(1)
+    assert(run(3) == r1)
+    assert(run(8) == r1)
+  }
+
+  test("generator determinism: docFor is a pure function of the index") {
+    val a = (0L until 200L).map(DocGen.docFor)
+    val b = (0L until 200L).reverse.map(DocGen.docFor).reverse
+    assert(a == b)
+    // distributed generation matches driver-side generation
+    val dist = DocGen.generate(spark, 200, 7).collect().sortBy(_.doc_id).toSeq
+    assert(dist == a)
+  }
+}
