@@ -1,0 +1,642 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SQL-expressible operator surface (SURVEY.md §2B, §7.3 M2) plus the
+  * training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal plumbing), each paired with an ANSI-SQL DuckDB oracle run by
+  * the driver over the same parquet tables.
+  *
+  * Parity rules (hard-won; violating any of these breaks the driver's
+  * hash compare):
+  *  - alias every computed column identically in Spark and oracle SQL;
+  *  - CAST aggregates explicitly in the oracle — DuckDB sum() returns
+  *    HUGEINT/int128, Spark returns bigint;
+  *  - no raw double aggregation: money → integer cents via
+  *    round(x*100,0)::bigint (identical IEEE double ops both sides),
+  *    embeddings → integer quantization floor(cast(x as double)*1000);
+  *  - portable hashing via md5() (identical hex in both engines); 60-bit
+  *    ints via Spark conv(hex,16,10) ↔ DuckDB ('0x'||hex)::bigint;
+  *  - timestamps → formatted strings (date_format ↔ strftime);
+  *  - explicit ORDER BY on emitted key columns in both.
+  */
+object Queries {
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Integer cents from a money double — identical in both engines. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("bigint")
+
+  // ------------------------------------------------------------------
+  // Relational operator surface (SURVEY.md §2A/O1-O3, §2B)
+  // ------------------------------------------------------------------
+
+  /** O1–O3: ordered first-match dispatch as a CASE/rlike cascade (qetch
+    * get_extractor semantics — CASE preserves registration order). */
+  private val qDispatch = QueryDef(
+    "q_dispatch_case",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          when($"source".rlike("^src0$"), "hot")
+            .when($"source".rlike("^src1[0-9]$"), "teen")
+            .otherwise("generic").as("route"))
+        .groupBy($"route").agg(count("*").as("n"))
+        .orderBy($"route")
+    },
+    Some("""SELECT CASE WHEN regexp_matches(source, '^src0$') THEN 'hot'
+           |  WHEN regexp_matches(source, '^src1[0-9]$') THEN 'teen'
+           |  ELSE 'generic' END AS route, CAST(count(*) AS BIGINT) AS n
+           |FROM documents GROUP BY 1 ORDER BY route""".stripMargin))
+
+  /** Projection + filter with parquet pushdown; money as integer cents. */
+  private val qFilter = QueryDef(
+    "q_filter_pushdown",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1995-01-01").cast("timestamp") && $"l_quantity" < 25)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count("*").as("n"),
+          sum($"l_quantity".cast("bigint")).as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("revenue_cents"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 25
+           |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Grouping-sets surface: rollup(lang, source). */
+  private val qRollup = QueryDef(
+    "q_agg_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .rollup($"lang", $"source")
+        .agg(count("*").as("n"), sum($"n_chars").as("chars"))
+        .select(coalesce($"lang", lit("ALL")).as("lang"),
+          coalesce($"source", lit("ALL")).as("source"), $"n", $"chars")
+        .orderBy($"lang", $"source")
+    },
+    Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source""".stripMargin))
+
+  /** Window ranking — qetch quality-variant pick (O5/O6): top-3 per group. */
+  private val qWindow = QueryDef(
+    "q_window_rank",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id".asc)
+      t(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars", row_number().over(w).as("rn"))
+        .where($"rn" <= 3)
+        .orderBy($"source", $"rn")
+    },
+    Some("""SELECT source, doc_id, n_chars, rn FROM (
+           |  SELECT source, doc_id, n_chars,
+           |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM documents) WHERE rn <= 3 ORDER BY source, rn""".stripMargin))
+
+  /** Broadcast dimension joins (customer ⋈ nation ⋈ region). */
+  private val qJoin = QueryDef(
+    "q_join_dims",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count("*").as("n"), sum(cents($"c_acctbal")).as("acctbal_cents"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(round(c_acctbal*100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin))
+
+  /** Top-k: global sort + limit. */
+  private val qTopK = QueryDef(
+    "q_sort_topk",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+        .limit(10)
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+           |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** Left-anti join — the resume/pending-partition pattern (O15). */
+  private val qAnti = QueryDef(
+    "q_anti_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Left-semi join. */
+  private val qSemi = QueryDef(
+    "q_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem").where($"l_quantity" >= 50),
+          $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** JSON plucking — qetch's API-JSON field extraction analog (O4). */
+  private val qJson = QueryDef(
+    "q_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", get_json_object($"props", "$.k").cast("bigint").as("k"))
+        .groupBy($"event_type")
+        .agg(count("*").as("n"), sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k,
+           |  CAST(max(k) AS BIGINT) AS max_k
+           |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+           |GROUP BY 1 ORDER BY event_type""".stripMargin))
+
+  /** Time bucketing (batch analog of a tumbling window aggregation). */
+  private val qTime = QueryDef(
+    "q_time_bucket",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(count("*").as("n"), sum(cents($"value")).as("value_cents"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           |  event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+
+  /** UDTF surface: 1 row → N rows explode (qetch handle_* generators, O4). */
+  private val qExplode = QueryDef(
+    "q_explode_tokens",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count("*").as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(20)
+    },
+    Some("""SELECT word, CAST(count(*) AS BIGINT) AS n
+           |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin))
+
+  /** Ordered reassembly — in-row array sort + concat (O13: order-preserving
+    * fragment merge; sorting inside the row costs no shuffle). */
+  private val qReassembly = QueryDef(
+    "q_array_reassembly",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 20)
+        .select($"doc_id",
+          array_join(array_sort(slice(split($"text", " "), 1, 8)), " ").as("head_sorted"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  array_to_string(list_sort(string_split(text, ' ')[1:8]), ' ') AS head_sorted
+           |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin))
+
+  /** Distinct counting. */
+  private val qDistinct = QueryDef(
+    "q_distinct_count",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .agg(countDistinct($"source").as("srcs"),
+          countDistinct($"lang").as("langs"),
+          count("*").as("n"))
+    },
+    Some("""SELECT CAST(count(DISTINCT source) AS BIGINT) AS srcs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+           |  CAST(count(*) AS BIGINT) AS n FROM documents""".stripMargin))
+
+  /** Set ops: distinct EXCEPT (sources minus low-volume sources). */
+  private val qExcept = QueryDef(
+    "q_set_except",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      d.select($"source").distinct()
+        .except(d.groupBy($"source").agg(count("*").as("n"))
+          .where($"n" < 20).select($"source"))
+        .orderBy($"source")
+    },
+    Some("""SELECT DISTINCT source FROM documents
+           |EXCEPT
+           |SELECT source FROM documents GROUP BY source HAVING count(*) < 20
+           |ORDER BY source""".stripMargin))
+
+  /** Scalar function surface: string/cast/concat over events. */
+  private val qScalar = QueryDef(
+    "q_scalar_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .where($"event_id" < 100)
+        .select($"event_id",
+          upper($"event_type").as("etype"),
+          length($"props").as("props_len"),
+          concat_ws("-", $"event_type", $"user_id".cast("string")).as("tag"),
+          substring($"props", 1, 5).as("props_head"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, upper(event_type) AS etype,
+           |  CAST(length(props) AS INT) AS props_len,
+           |  concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS tag,
+           |  substr(props, 1, 5) AS props_head
+           |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin))
+
+  /** Skew-safe aggregation: explicit two-phase salted groupBy in Spark
+    * (SURVEY.md §2C salting); the oracle is the plain GROUP BY it must
+    * equal. Salting changes the plan, never the result. */
+  private val qSalted = QueryDef(
+    "q_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("salt", pmod(hash($"doc_id"), lit(8)))
+        .groupBy($"source", $"salt")
+        .agg(count("*").as("pn"), sum($"n_chars").as("pchars"))
+        .groupBy($"source")
+        .agg(sum($"pn").as("n"), sum($"pchars").as("chars"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: deduplication
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: content-hash grouping with keep-first semantics. */
+  private val qDedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("keep_id"), count("*").as("c"))
+        .orderBy($"h")
+    },
+    Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           |  CAST(count(*) AS BIGINT) AS c
+           |FROM documents GROUP BY 1 ORDER BY h""".stripMargin))
+
+  /** MinHash signatures over word 3-gram shingles (K=4 salted min-md5) —
+    * the signature stage of MinHash-LSH near-dup detection; entirely
+    * higher-order array functions, no UDF, fully codegen'd. */
+  private val qMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 100)
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .where(size($"ws") >= 3)
+        .select($"doc_id", expr(
+          """transform(sequence(0, size(ws)-3),
+            |  i -> concat_ws(' ', element_at(ws, i+1), element_at(ws, i+2), element_at(ws, i+3)))
+            |""".stripMargin).as("shingles"))
+        .select($"doc_id",
+          expr("array_min(transform(shingles, s -> md5(concat('0:', s))))").as("sig0"),
+          expr("array_min(transform(shingles, s -> md5(concat('1:', s))))").as("sig1"),
+          expr("array_min(transform(shingles, s -> md5(concat('2:', s))))").as("sig2"),
+          expr("array_min(transform(shingles, s -> md5(concat('3:', s))))").as("sig3"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |           FROM documents WHERE doc_id < 100),
+           |sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |             FROM w WHERE len(ws) >= 3))
+           |SELECT doc_id, min(md5('0:' || shingle)) AS sig0,
+           |  min(md5('1:' || shingle)) AS sig1, min(md5('2:' || shingle)) AS sig2,
+           |  min(md5('3:' || shingle)) AS sig3
+           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** SimHash (16-bit demo) from per-word 60-bit md5-derived integers —
+    * portable across engines via the hex→bigint bridge. */
+  private val qSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val hv = conv(substring(md5($"word"), 1, 15), 16, 10).cast("bigint")
+      val bits = (0 until 16).map { i =>
+        when(sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      t(s, dir, "documents")
+        .where($"doc_id" < 100)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .withColumn("hv", hv)
+        .groupBy($"doc_id")
+        .agg(bits.cast("bigint").as("simhash16"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val bits = (0 until 16).map(i =>
+        s"(CASE WHEN sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents WHERE doc_id < 100),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM t)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash16
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** N-gram (word-set) Jaccard similarity over candidate pairs. */
+  private val qJaccard = QueryDef(
+    "q_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val dw = t(s, dir, "documents").where($"doc_id" < 15)
+        .select($"doc_id", explode(split($"text", " ")).as("word")).distinct()
+      val sz = dw.groupBy($"doc_id").agg(count("*").as("n"))
+      val ix = dw.as("a").join(dw.as("b"),
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count("*").as("inter"))
+      ix.join(sz.as("sa"), $"ida" === col("sa.doc_id"))
+        .join(sz.as("sb"), $"idb" === col("sb.doc_id"))
+        .withColumn("jac", $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
+        .where($"jac" >= 0.5)
+        .select($"ida", $"idb", round($"jac", 4).as("jaccard"))
+        .orderBy($"ida", $"idb")
+    },
+    Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+           |            FROM documents WHERE doc_id < 15),
+           |sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+           |ix AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+           |       FROM dw a JOIN dw b ON a.word = b.word AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2)
+           |SELECT ida, idb, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+           |FROM ix JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+           |ORDER BY ida, idb""".stripMargin))
+
+  /** Document fingerprint: order-insensitive bag-of-words hash. */
+  private val qFingerprint = QueryDef(
+    "q_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .select($"doc_id", md5(array_join(array_sort(split($"text", " ")), " ")).as("fp"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: similarity search
+  // ------------------------------------------------------------------
+
+  /** Brute-force cosine top-k over embeddings — integer-quantized dot
+    * products (floor(x*1000)) so both engines do identical integer math;
+    * only integer columns are emitted (ranks), never raw floats. */
+  private val qEmbedTopK = QueryDef(
+    "q_embed_topk",
+    (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "embeddings").select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+        .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x*x)"))
+      val p = q.where($"vec_id" < 3)
+        .select($"vec_id".as("probe"), $"qv".as("pqv"), $"nrm".as("pn"))
+      val cand = q.where($"vec_id" < 300)
+        .select($"vec_id".as("cand"), $"qv".as("cqv"), $"nrm".as("cn"))
+      val w = Window.partitionBy($"probe").orderBy($"sim".desc, $"cand".asc)
+      broadcast(p).join(cand, $"probe" =!= $"cand")
+        .withColumn("dot", expr("aggregate(zip_with(pqv, cqv, (x, y) -> x*y), 0L, (a, x) -> a + x)"))
+        .withColumn("sim", $"dot".cast("double") / sqrt($"pn".cast("double") * $"cn".cast("double")))
+        .select($"probe", $"cand", row_number().over(w).as("rn"))
+        .where($"rn" <= 5)
+        .orderBy($"probe", $"rn")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, qv,
+           |    list_sum(list_transform(qv, x -> x*x)) AS nrm FROM q),
+           |pairs AS (
+           |  SELECT p.vec_id AS probe, c.vec_id AS cand,
+           |    list_sum(list_transform(range(len(p.qv)), i -> p.qv[i+1] * c.qv[i+1])) AS dot,
+           |    p.nrm AS pn, c.nrm AS cn
+           |  FROM qn p, qn c
+           |  WHERE p.vec_id < 3 AND c.vec_id < 300 AND p.vec_id <> c.vec_id)
+           |SELECT probe, cand, rn FROM (
+           |  SELECT probe, cand, row_number() OVER (PARTITION BY probe
+           |    ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(pn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, cand) AS rn
+           |  FROM pairs) WHERE rn <= 5 ORDER BY probe, rn""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: text analysis
+  // ------------------------------------------------------------------
+
+  /** Language-ID heuristic: marker-word profile scores, ordered argmax. */
+  private val qLangId = QueryDef(
+    "q_langid",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .select($"doc_id",
+          expr("size(filter(split(text, ' '), w -> w in ('the','a','and','of','to')))").as("s_en"),
+          expr("size(filter(split(text, ' '), w -> w in ('table','scan','join','merge','hash')))").as("s_db"),
+          expr("size(filter(split(text, ' '), w -> w in ('stream','batch','window','row','group')))").as("s_st"))
+        .withColumn("pred",
+          when($"s_en" >= $"s_db" && $"s_en" >= $"s_st", "en")
+            .when($"s_db" >= $"s_st", "db").otherwise("st"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, s_en, s_db, s_st,
+           |  CASE WHEN s_en >= s_db AND s_en >= s_st THEN 'en'
+           |       WHEN s_db >= s_st THEN 'db' ELSE 'st' END AS pred
+           |FROM (SELECT doc_id,
+           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['the','a','and','of','to'], w))) AS INT) AS s_en,
+           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['table','scan','join','merge','hash'], w))) AS INT) AS s_db,
+           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['stream','batch','window','row','group'], w))) AS INT) AS s_st
+           |  FROM documents WHERE doc_id < 200)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring — the classifier's integer text-density formula
+    * (4·words + 3·stopwords − 2·punct) exposed on the SQL surface. */
+  private val qQuality = QueryDef(
+    "q_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .select($"doc_id",
+          size(split($"text", " ")).as("words"),
+          expr(s"size(filter(split(text, ' '), w -> w in ($stops)))").as("stops"))
+        .withColumn("score", (lit(4) * $"words" + lit(3) * $"stops").cast("int"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+      s"""SELECT doc_id, words, stops, CAST(4*words + 3*stops AS INT) AS score
+         |FROM (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS words,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> list_contains([$stops], w))) AS INT) AS stops
+         |  FROM documents WHERE doc_id < 200)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Token counting: whitespace tokens + long-token subset. */
+  private val qTokens = QueryDef(
+    "q_token_count",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .select($"doc_id",
+          size(split($"text", " ")).as("tokens"),
+          expr("size(filter(split(text, ' '), w -> length(w) > 4))").as("long_tokens"),
+          $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS tokens,
+           |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INT) AS long_tokens,
+           |  n_chars
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: multimodal plumbing (binary columns)
+  // ------------------------------------------------------------------
+
+  /** Opaque-binary plumbing: text bytes stand in for image payloads (no
+    * image libs in the container — SURVEY.md §0.3); metadata extraction
+    * (byte length, deterministic fake decode dims) is real Spark column
+    * algebra over a binary column. */
+  private val qMediaMeta = QueryDef(
+    "q_media_meta",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .withColumn("payload", encode(substring($"text", 1, 64), "utf-8"))
+        .select($"doc_id",
+          octet_length($"payload").cast("bigint").as("n_bytes"),
+          (lit(32) + octet_length($"payload").cast("bigint") % 64).as("width"),
+          (lit(32) + ascii(substring($"text", 1, 1)).cast("bigint") % 48).as("height"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes,
+           |  32 + CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) % 64 AS width,
+           |  32 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 48 AS height
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------
+  // Extraction pipeline (non-SQL-expressible → rows-only driver check;
+  // span-for-span correctness lives in sbt test vs ReferenceOracle)
+  // ------------------------------------------------------------------
+
+  private def extractDocs(s: SparkSession, n: Long) = {
+    val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetrics]
+    s.sparkContext.register(acc, "queries.metrics")
+    (ExtractJob.transform(DocGen.generate(s, n), acc, "verify"), acc)
+  }
+
+  /** Full extraction over generated docs: per-extractor summary. */
+  private val qExtract = QueryDef(
+    "q_extract_pipeline",
+    (s, _) => {
+      import s.implicits._
+      val (ex, _) = extractDocs(s, 5000)
+      ex.toDF()
+        .select($"extractor", size($"spans").as("n_spans"))
+        .groupBy($"extractor")
+        .agg(count("*").as("docs"), sum($"n_spans").as("spans"))
+        .orderBy($"extractor")
+    },
+    None)
+
+  /** Per-doc extraction sample — spans surfaced via posexplode (order
+    * carried by the out-span offset, not row order). */
+  private val qExtractSpans = QueryDef(
+    "q_extract_spans",
+    (s, _) => {
+      import s.implicits._
+      val (ex, _) = extractDocs(s, 200)
+      ex.toDF()
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    None)
+
+  /** Metrics side table rolled up per bucket. */
+  private val qExtractMetrics = QueryDef(
+    "q_extract_metrics",
+    (s, _) => {
+      import s.implicits._
+      val (ex, acc) = extractDocs(s, 5000)
+      ex.toDF().count() // force the job so the accumulator fills
+      import scala.jdk.CollectionConverters._
+      s.createDataset(acc.value.asScala.toSeq).toDF()
+        .groupBy($"bucket")
+        .agg(sum($"docs").as("docs"), sum($"spans_in").as("spans_in"),
+          sum($"spans_out").as("spans_out"))
+        .orderBy($"bucket")
+    },
+    None)
+
+  // ------------------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(
+    qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
+    qJson, qTime, qExplode, qReassembly, qDistinct, qExcept, qScalar,
+    qSalted, qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
+    qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
+    qExtract, qExtractSpans, qExtractMetrics)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+}
