@@ -72,10 +72,20 @@ object DocGen {
     Domains(i)
   }
 
+  /** splitmix64 finalizer — java.util.Random's first draws are nearly
+    * constant across sequential seeds (LCG seed correlation), so the raw
+    * `Seed + idx` must be bit-mixed before seeding. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Pure function: doc index → document. Everything below depends only on
     * `idx`, never on task/partition identity. */
   def docFor(idx: Long): RawDoc = {
-    val rnd = new Random(Seed + idx)
+    val rnd = new Random(mix64(Seed + idx))
     val id = docId(idx)
     val domain = pickDomain(rnd)
     val nSpans = 5 + rnd.nextInt(28) // 5..32

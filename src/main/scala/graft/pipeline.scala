@@ -73,6 +73,13 @@ object ExtractJob {
       }
   }
 
+  /** [[transform]] without a metrics accumulator (tests/ad-hoc use). */
+  def transformNoMetrics(docs: Dataset[RawDoc], numPartitions: Int): Dataset[ExtractedDoc] = {
+    val acc = new CollectionAccumulator[PartitionMetrics]
+    docs.sparkSession.sparkContext.register(acc)
+    transform(docs, acc, "nometrics", numPartitions)
+  }
+
   /** Full job: extract `docs` restricted to `pendingBuckets`, write each
     * bucket idempotently (dynamic partition overwrite), write metrics, and
     * commit a new snapshot to the manifest. Returns the snapshot id.

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Resume suite (SURVEY.md §5.2-4): run, simulate a crash after K of B
+  * buckets by committing a partial manifest, rerun → final table identical;
+  * completed buckets are NOT recomputed (asserted via metrics run_ids). */
+class ResumeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_resume_")
+    d.toString
+  }
+
+  private def tableDocs(dir: String): Set[(String, Seq[(String, String, String, Int)])] =
+    spark.read.parquet(s"$dir/data")
+      .as[ExtractedDoc].collect()
+      .map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
+      .toSet
+
+  test("full run then partial-manifest rerun converges to the identical table") {
+    val docs = DocGen.generate(spark, 800, 8)
+
+    // golden: uninterrupted run
+    val goldenDir = freshDir()
+    ExtractJob.run(spark, docs, goldenDir, "golden", resume = false)
+    val golden = tableDocs(goldenDir)
+    assert(golden.size == 800)
+
+    // crashed run: same job, then manifest truncated to buckets 0..5
+    val dir = freshDir()
+    ExtractJob.run(spark, docs, dir, "first", resume = false)
+    val m = new Manifest(dir)
+    val snap0 = m.head().get
+    val partial = snap0.buckets.filter(_.bucket <= 5)
+    assert(partial.nonEmpty && partial.size < DocGen.NumBuckets)
+    // rewrite snap-0 in place as the "crashed" state
+    val meta = Path.of(dir, "meta")
+    val body = Files.readString(meta.resolve("snap-0.json"))
+    val truncated = {
+      val keep = partial.map(b =>
+        s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":"${b.watermarkDocId}"}""")
+        .mkString("[", ",", "]")
+      body.replaceAll("\"buckets\":\\[.*\\]", s""""buckets":$keep""")
+    }
+    Files.writeString(meta.resolve("snap-0.json"), truncated)
+
+    // resume
+    val snap1 = ExtractJob.run(spark, docs, dir, "second", resume = true)
+    assert(snap1.id == 1)
+    assert(snap1.buckets.map(_.bucket).toSet == (0 until DocGen.NumBuckets).toSet)
+
+    // identical final table
+    assert(tableDocs(dir) == golden)
+
+    // completed buckets 0..5 were NOT recomputed: the second run's metrics
+    // rows cover only buckets 6..15
+    val secondRunBuckets = spark.read.parquet(s"$dir/metrics")
+      .where($"run_id" === "second")
+      .select("bucket").distinct().as[Int].collect().toSet
+    assert(secondRunBuckets == (6 until DocGen.NumBuckets).toSet)
+
+    // watermarks survive the merge and match the golden run
+    val goldenWm = new Manifest(goldenDir).head().get.buckets.map(b => b.bucket -> b.watermarkDocId).toMap
+    assert(snap1.buckets.map(b => b.bucket -> b.watermarkDocId).toMap == goldenWm)
+  }
+
+  test("rerun of a complete table is a no-op (same snapshot returned)") {
+    val dir = freshDir()
+    val docs = DocGen.generate(spark, 300, 4)
+    val s0 = ExtractJob.run(spark, docs, dir, "r0")
+    val s1 = ExtractJob.run(spark, docs, dir, "r1")
+    assert(s1.id == s0.id && s1.runId == s0.runId)
+  }
+
+  test("manifest commit is atomic and merges bucket state across snapshots") {
+    val dir = freshDir()
+    val m = new Manifest(dir)
+    assert(m.head().isEmpty && m.completedBuckets().isEmpty)
+    m.commit("a", Seq(Manifest.BucketState(0, 10, "d1"), Manifest.BucketState(1, 20, "d2")))
+    m.commit("b", Seq(Manifest.BucketState(1, 25, "d9"), Manifest.BucketState(2, 5, "d3")))
+    val h = m.head().get
+    assert(h.id == 1 && h.parent == 0)
+    assert(h.buckets.map(b => (b.bucket, b.rows, b.watermarkDocId)) ==
+      Seq((0, 10L, "d1"), (1, 25L, "d9"), (2, 5L, "d3"))) // newer state wins
+    assert(Files.list(Path.of(dir, "meta")).iterator().asScala.map(_.getFileName.toString).toSet
+      == Set("HEAD", "snap-0.json", "snap-1.json"))
+  }
+}

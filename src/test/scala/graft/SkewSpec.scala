@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew suite (SURVEY.md §5.2-5): domains are zipf-skewed (src0 hot by
+  * construction); explicit salting must (a) not change results and (b)
+  * bound per-reducer key cardinality. */
+class SkewSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = DocGen.generate(spark, 4000, 8).cache()
+
+  test("generator produces the intended zipf skew (src0 is hot)") {
+    val counts = docs.groupBy($"domain").count().as[(String, Long)].collect().toMap
+    assert(counts("src0") > counts.values.sum / 8,
+      s"src0 should dominate, got $counts")
+    assert(counts.size >= 15) // long tail present
+  }
+
+  test("salted two-phase aggregation equals plain aggregation") {
+    val plain = docs.groupBy($"domain")
+      .agg(count("*").as("n"), sum(expr("size(spans)")).as("spans"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = docs
+      .withColumn("salt", pmod(hash($"doc_id"), lit(16)))
+      .groupBy($"domain", $"salt")
+      .agg(count("*").as("pn"), sum(expr("size(spans)")).as("ps"))
+      .groupBy($"domain")
+      .agg(sum($"pn").as("n"), sum($"ps").as("spans"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("salting bounds the max partial-group size") {
+    val saltK = 16
+    val maxPlain = docs.groupBy($"domain").count()
+      .agg(max($"count")).as[Long].head()
+    val maxSalted = docs
+      .withColumn("salt", pmod(hash($"doc_id"), lit(saltK)))
+      .groupBy($"domain", $"salt").count()
+      .agg(max($"count")).as[Long].head()
+    // hot key split ~saltK ways; allow 2x slack for hash imbalance
+    assert(maxSalted <= maxPlain / saltK * 2 + 16,
+      s"maxSalted=$maxSalted maxPlain=$maxPlain")
+  }
+
+  test("extraction output is identical with and without domain skew in the input order") {
+    // shuffle input rows (skewed domains clumped vs spread) — output set invariant
+    val base = ExtractJob.transformNoMetrics(docs.as[RawDoc], 8)
+      .collect().map(d => (d.doc_id, d.spans)).toSet
+    val reshuffled = ExtractJob.transformNoMetrics(
+      docs.orderBy($"domain").as[RawDoc], 8)
+      .collect().map(d => (d.doc_id, d.spans)).toSet
+    assert(base == reshuffled)
+  }
+}
