@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k, broadcast probes × all
+  *    candidates. The baseline; O(probes × corpus) but embarrassingly
+  *    parallel and shuffle-free apart from the final top-k window.
+  *  - [[lshTopK]]: sign-random-projection (hyperplane) LSH — deterministic
+  *    pseudo-random hyperplanes derived from md5 of (plane, dim), bucket =
+  *    sign-bit string, candidates searched only within each probe's bucket
+  *    (plus optional 1-bit multiprobe). The 100TB path: corpus is hashed
+  *    once (narrow), the join is an equi-join on bucket, never a cross
+  *    join.
+  *
+  * All dot products run on the raw floats cast to double via zip_with +
+  * aggregate — no UDF, stays in Catalyst.
+  */
+object Similarity {
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  private def norm(a: String) =
+    expr(s"sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+
+  /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
+    * Probes must be small (broadcast). Returns (probe_id, cand_id, cosine,
+    * rn). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm("__cv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", norm("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    broadcast(p).join(c, col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))
+      .select(col("probe_id"), col("cand_id"), col("cosine"), row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived value in [-0.5, 0.5). Pure SQL, no RNG state. */
+  private def planesExpr(nPlanes: Int, dims: Int): String =
+    s"""transform(sequence(0, ${nPlanes - 1}), p ->
+       |  transform(sequence(0, ${dims - 1}), d ->
+       |    (cast(conv(substring(md5(concat('plane', p, ':', d)), 1, 6), 16, 10) as double)
+       |     / 16777216.0) - 0.5))""".stripMargin
+
+  /** Sign-random-projection bucket (bit string of length nPlanes) for a
+    * vector column. */
+  def srpBucket(df: DataFrame, vecCol: String, nPlanes: Int, dims: Int): DataFrame =
+    df.withColumn("__planes", expr(planesExpr(nPlanes, dims)))
+      .withColumn("bucket", expr(
+        s"""concat_ws('', transform(__planes, pl ->
+           |  CASE WHEN aggregate(zip_with(pl, $vecCol, (w, x) -> w * cast(x as double)),
+           |                      0D, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))"""
+          .stripMargin))
+      .drop("__planes")
+
+  /** LSH cosine top-k: equi-join probes and corpus on the SRP bucket, rank
+    * within bucket. Recall < 1 by construction (trades recall for a
+    * shuffle-free equi-join); raise nPlanes for precision, lower for
+    * recall. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dims: Int): DataFrame = {
+    val c = srpBucket(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv")), "__cv", nPlanes, dims)
+      .withColumn("__cn", norm("__cv"))
+    val p = srpBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", nPlanes, dims)
+      .withColumn("__pn", norm("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    p.join(c, p("bucket") === c("bucket") && col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))
+      .select(col("probe_id"), col("cand_id"), col("cosine"), row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+}

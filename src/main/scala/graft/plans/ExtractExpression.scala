@@ -1,0 +1,235 @@
+package graft.plans
+
+import graft.Registry
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `extract_spans(spans)` — the extraction classifier as a native Catalyst
+  * expression (SURVEY.md §7.6, promoted from "optional" for scale reasons).
+  *
+  * Why this exists: the typed `mapPartitions` path deserializes every doc
+  * into case classes (RawDoc/RawSpan/OutSpan…), ~12 heap objects per span.
+  * At 32 threads that allocation rate causes constant young-GC safepoints;
+  * on this sandbox's preemptible vCPUs each safepoint can convoy, and at
+  * 100 TB it is pure overhead. This expression evaluates directly over
+  * Tungsten rows: input UTF8String/ArrayData are READ IN PLACE, kept span
+  * text is re-emitted as the same UTF8String reference (zero copy), word/
+  * stopword counting scans UTF-8 bytes without materializing Strings, and
+  * only matched media refs ever allocate (regex needs a String).
+  *
+  * Semantics are EXACTLY graft.Classify.extractDoc (asserted span-for-span
+  * against ReferenceOracle in SpanEqualitySpec); keep the three in sync.
+  *
+  * Returns struct(spans: array<struct<kind,text,media_ref,offset:int>>,
+  * extractor: string, confidence: double).
+  */
+case class ExtractExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ExtractExpression.outType
+  override def nullable: Boolean = false
+  override def prettyName: String = "extract_spans"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(spansRaw: Any): Any = {
+    val arr = spansRaw.asInstanceOf[ArrayData]
+    ExtractExpression.extract(arr)
+  }
+}
+
+object ExtractExpression {
+  import graft.Classify.{BoilerplateKinds, Stopwords}
+
+  val spanType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("media_ref", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)))
+
+  val outType: StructType = StructType(Seq(
+    StructField("spans", ArrayType(spanType, containsNull = false), nullable = false),
+    StructField("extractor", StringType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false)))
+
+  // cached UTF8String constants (never re-encoded per row)
+  private val K_TITLE = UTF8String.fromString("title")
+  private val K_TEXT = UTF8String.fromString("text")
+  private val K_NAV = UTF8String.fromString("nav")
+  private val K_AD = UTF8String.fromString("ad")
+  private val K_FOOTER = UTF8String.fromString("footer")
+  private val K_LINK = UTF8String.fromString("link")
+  private val K_MEDIA = UTF8String.fromString("media")
+  private val EMPTY = UTF8String.fromString("")
+  private val X_GENERIC = UTF8String.fromString(Registry.GenericExtractor)
+  private val X_TEXTONLY = UTF8String.fromString(Registry.TextOnlyExtractor)
+  private val ruleNamesU8 = Registry.rules.map(r => UTF8String.fromString(r.name)).toArray
+
+  /** Stopword lookup without String allocation: stopwords are short ASCII —
+    * pack up to 8 bytes into a Long key. (All Classify.Stopwords are ≤ 4
+    * chars; guard on length ≤ 8 anyway.) */
+  private val stopKeys: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long]()
+    Stopwords.foreach { w =>
+      require(w.length <= 8)
+      s.add(packAscii(w.getBytes("US-ASCII"), 0, w.length))
+    }
+    s
+  }
+
+  private def packAscii(bytes: Array[Byte], from: Int, len: Int): Long = {
+    var k = 0L; var i = 0
+    while (i < len) { k = (k << 8) | (bytes(from + i) & 0xffL); i += 1 }
+    k | (len.toLong << 56)
+  }
+
+  /** Scan UTF-8 bytes of a text span once: (wordCount, stopwordCount).
+    * Words are runs of non-space bytes (multi-byte UTF-8 is never 0x20, so
+    * the byte scan is correct for any input). */
+  private def wordStats(t: UTF8String): (Int, Int) = {
+    val bytes = t.getBytes // may copy if off-heap; single pass after
+    val n = bytes.length
+    var words = 0; var stops = 0
+    var i = 0; var start = -1
+    var ascii = true
+    while (i <= n) {
+      val isSpace = i == n || bytes(i) == ' '.toByte
+      if (isSpace) {
+        if (start >= 0) {
+          words += 1
+          val len = i - start
+          if (ascii && len <= 8 && stopKeys.contains(packAscii(bytes, start, len))) stops += 1
+          start = -1; ascii = true
+        }
+      } else {
+        if (start < 0) start = i
+        if (bytes(i) < 0) ascii = false
+      }
+      i += 1
+    }
+    (words, stops)
+  }
+
+  private val compiled = Registry.rules.map(r => java.util.regex.Pattern.compile(r.pattern)).toArray
+
+  /** First matching rule index for a media ref, or -1. */
+  private def dispatch(ref: String): Int = {
+    var i = 0
+    while (i < compiled.length) {
+      if (compiled(i).matcher(ref).matches()) return i
+      i += 1
+    }
+    -1
+  }
+
+  def extract(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+
+    // ---- gather (kind-code, row) sorted by offset. kind codes:
+    // 0 title, 1 text, 2 link, 3 media, 4 boilerplate, 5 unknown
+    val offs = new Array[Int](n)
+    val order = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      offs(i) = arr.getStruct(i, 4).getInt(3); order(i) = i; i += 1
+    }
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
+      java.lang.Integer.compare(offs(a), offs(b)))
+
+    def kindCode(k: UTF8String): Int =
+      if (k.equals(K_TEXT)) 1
+      else if (k.equals(K_MEDIA)) 3
+      else if (k.equals(K_TITLE)) 0
+      else if (k.equals(K_LINK)) 2
+      else if (k.equals(K_NAV) || k.equals(K_AD) || k.equals(K_FOOTER)) 4
+      else 5
+
+    val kinds = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      kinds(i) = kindCode(arr.getStruct(order(i), 4).getUTF8String(0))
+      i += 1
+    }
+    @inline def span(pos: Int): InternalRow = arr.getStruct(order(pos), 4)
+
+    // ---- dispatch: smallest registry index matching any media ref
+    var bestRule = Int.MaxValue
+    var hasMedia = false
+    i = 0
+    while (i < n && bestRule != 0) {
+      if (kinds(i) == 3) {
+        val ref = span(i).getUTF8String(2)
+        if (ref.numBytes() > 0) {
+          hasMedia = true
+          val d = dispatch(ref.toString)
+          if (d >= 0 && d < bestRule) bestRule = d
+        }
+      }
+      i += 1
+    }
+    val extractor =
+      if (bestRule != Int.MaxValue) ruleNamesU8(bestRule)
+      else if (hasMedia) X_GENERIC
+      else X_TEXTONLY
+
+    // ---- classify
+    val out = new java.util.ArrayList[InternalRow](n)
+    def emit(kind: UTF8String, text: UTF8String, ref: UTF8String): Unit =
+      out.add(new GenericInternalRow(Array[Any](kind, text, ref, out.size())))
+
+    val reg = graft.CompiledRegistry.default
+    i = 0
+    while (i < n) {
+      val s = span(i)
+      kinds(i) match {
+        case 4 | 5 => // boilerplate / unknown: drop
+        case 0 => emit(K_TITLE, s.getUTF8String(1), EMPTY)
+        case 1 =>
+          val t = s.getUTF8String(1)
+          val (words, stops) = wordStats(t)
+          val adj = (i > 0 && kinds(i - 1) == 0) || (i + 1 < n && kinds(i + 1) == 0)
+          if (words >= 5 || (words >= 3 && stops >= 1) || (adj && words >= 2))
+            emit(K_TEXT, t, EMPTY)
+        case 2 =>
+          val t = s.getUTF8String(1)
+          if (wordStats(t)._1 >= 8) emit(K_TEXT, t, EMPTY)
+        case 3 =>
+          val ref = s.getUTF8String(2)
+          val refStr = ref.toString
+          reg.dispatch(refStr) match {
+            case Some((rule, m)) =>
+              // variant run: consecutive media spans with the same group key
+              val key = reg.groupKey(rule, m)
+              var bestQ = Registry.quality(reg.extOf(rule, m))
+              var bestRuleR = rule; var bestM = m
+              var j = i + 1; var run = true
+              while (run && j < n && kinds(j) == 3) {
+                reg.dispatch(span(j).getUTF8String(2).toString) match {
+                  case Some((r2, m2)) if reg.groupKey(r2, m2) == key =>
+                    val q2 = Registry.quality(reg.extOf(r2, m2))
+                    if (q2 > bestQ) { bestQ = q2; bestM = m2; bestRuleR = r2 }
+                    j += 1
+                  case _ => run = false
+                }
+              }
+              emit(K_MEDIA, s.getUTF8String(1),
+                UTF8String.fromString(reg.canonicalize(bestRuleR, bestM)))
+              i = j - 1
+            case None =>
+              if (ref.numBytes() > 0) emit(K_MEDIA, s.getUTF8String(1), ref)
+          }
+      }
+      i += 1
+    }
+
+    val conf = if (n == 0) 0.0 else out.size().toDouble / n
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out.toArray(new Array[InternalRow](out.size()))),
+      extractor, conf))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md §2B "Streaming").
+  *
+  * The reference is one-shot per URL (qetch has no streaming; its only
+  * continuous behavior is the download progress loop,
+  * qetch/downloaders/_common.py::BaseDownloader.download). The north rule
+  * demands resumable *batch*, which the manifest layer provides; this module
+  * additionally exposes the same transforms as an incremental pipeline for
+  * continuously-arriving documents/events:
+  *
+  *  - [[extractStream]]: file-source stream of raw docs → the SAME
+  *    extraction columns → parquet sink with checkpointing. Incremental
+  *    at-least-once with idempotent file commits; `Trigger.AvailableNow`
+  *    drains the backlog and stops (the streaming analog of our
+  *    batch-resume).
+  *  - [[eventCounts]]: watermarked tumbling-window aggregation over an
+  *    event stream (late data dropped past the watermark).
+  *
+  * Both are pure plan builders — callers pick sink/trigger — so tests and
+  * production share one definition.
+  */
+object EventStream {
+
+  /** Streaming extraction: raw-doc parquet files appearing under `inDir` →
+    * extracted spans. Uses the identical classifier as the batch path (same
+    * registry, same semantics) via a DataFrame-level map on the typed rows. */
+  def extractStream(spark: SparkSession, inDir: String, schemaFrom: DataFrame): DataFrame = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(inDir)
+      .as[graft.RawDoc]
+    raw.mapPartitions { it =>
+      val reg = graft.CompiledRegistry.default
+      it.map(d => graft.Classify.extractDoc(d, reg))
+    }.toDF()
+  }
+
+  /** Run the extraction stream to a parquet sink, draining what is
+    * currently available, then stop (resumable via `checkpointDir`). */
+  def runExtractAvailableNow(
+      spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
+    extractStream(spark, inDir, schemaFrom).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window counts per event_type over a timestamped
+    * event stream (schema: ts timestamp, event_type string, value double). */
+  def eventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count("*").as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+}

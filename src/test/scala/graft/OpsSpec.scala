@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data ops suites: dedup (exact / MinHash-LSH / SimHash),
+  * similarity search (brute force vs LSH), media plumbing, text stats. */
+class OpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def documents = spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- dedup ----
+
+  test("exactDedup keeps exactly one row per distinct text, earliest id") {
+    // duplicate the corpus with shifted ids: every text now appears twice
+    val dup = documents.select($"doc_id", $"text")
+      .union(documents.select($"doc_id" + 10000, $"text"))
+    val out = ops.Dedup.exactDedup(dup, "doc_id", "text")
+    assert(out.count() == documents.select("text").distinct().count())
+    // earliest id wins → all kept ids are original ones
+    assert(out.where($"doc_id" >= 10000).count() == 0)
+  }
+
+  test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = documents.select($"doc_id", $"text").where($"doc_id" < 50)
+    // plant near-dups: copy with one word appended (high jaccard)
+    val nearDups = base.select(($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" extra")).as("text"))
+    val corpus = base.union(nearDups)
+    val verified = ops.Dedup.nearDupPairs(corpus, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.6).collect()
+    val pairs = verified.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair must be found
+    val missing = (0L until 50L).filterNot(i => pairs.contains((i, i + 1000)))
+    assert(missing.isEmpty, s"planted near-dups not found: $missing")
+    // jaccard values are sane
+    assert(verified.forall(r => r.getDouble(2) >= 0.6 && r.getDouble(2) <= 1.0))
+  }
+
+  test("simhash: near-identical texts have small hamming distance, unrelated texts large") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (3L, "completely different words about spark shuffle partitions and catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val sh = ops.Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < 12, s"near dup hamming ${ham(sh(1L), sh(2L))}")
+    assert(ham(sh(1L), sh(3L)) > 15, s"unrelated hamming ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("simhash is deterministic across partitionings") {
+    val docs = documents.select($"doc_id", $"text").where($"doc_id" < 100)
+    val a = ops.Dedup.simhash(docs.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = ops.Dedup.simhash(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  // ---- similarity ----
+
+  test("brute-force cosine top-k: self-similar planted vector ranks first") {
+    val probes = embeddings.where($"vec_id" < 5)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val topk = ops.Similarity.bruteForceTopK(
+      embeddings, probes, "vec_id", "embedding", k = 3).collect()
+    // each probe is a copy of corpus vec (id-100000) → that vec must be rank 1 with cosine ~1
+    (0L until 5L).foreach { i =>
+      val r1 = topk.find(r => r.getLong(0) == i + 100000 && r.getInt(3) == 1).get
+      assert(r1.getLong(1) == i, s"probe ${i + 100000} rank1 = ${r1.getLong(1)}")
+      assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH top-k returns a subset of brute-force candidates with matching cosines") {
+    val probes = embeddings.where($"vec_id" < 10)
+    val brute = ops.Similarity.bruteForceTopK(embeddings, probes, "vec_id", "embedding", 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = ops.Similarity.lshTopK(embeddings, probes, "vec_id", "embedding",
+      k = 5, nPlanes = 4, dims = 64).collect()
+    assert(lsh.nonEmpty, "LSH buckets should not be empty with 4 planes over 500 vecs")
+    // cosines agree with brute force where pairs overlap
+    lsh.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { bc =>
+        assert(math.abs(bc - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
+  test("srp bucketing is deterministic and balanced-ish") {
+    val b1 = ops.Similarity.srpBucket(embeddings.select($"vec_id", $"embedding".as("v")), "v", 4, 64)
+      .select($"vec_id", $"bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b2 = ops.Similarity.srpBucket(embeddings.repartition(5).select($"vec_id", $"embedding".as("v")), "v", 4, 64)
+      .select($"vec_id", $"bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(b1 == b2)
+    val sizes = b1.values.groupBy(identity).map(_._2.size)
+    assert(sizes.max < b1.size, "all vectors in one bucket = useless hash")
+  }
+
+  // ---- media ----
+
+  test("media decode plumbing: schema, determinism, frame sampling") {
+    val withPayload = ops.Media.withPayload(
+      documents.where($"doc_id" < 50).select($"doc_id", $"text"), "text")
+    val meta = ops.Media.decodeMeta(spark, withPayload)
+    val rows = meta.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(m => m.n_bytes > 0 && m.width >= 32 && m.checksum.length == 32))
+    // deterministic
+    val again = ops.Media.decodeMeta(spark, withPayload).collect()
+    assert(rows.sortBy(_.doc_id).toSeq == again.sortBy(_.doc_id).toSeq)
+    // frame sampling explodes video rows
+    val frames = ops.Media.sampleFrames(meta.toDF(), stride = 2)
+    assert(frames.count() >= rows.length)
+  }
+
+  // ---- text stats ----
+
+  test("text stats columns: langId deterministic argmax, quality formula, fingerprint order-insensitive") {
+    val df = documents.select($"doc_id", $"text")
+      .withColumn("lang", ops.TextStats.langId($"text"))
+      .withColumn("q", ops.TextStats.qualityScore($"text"))
+      .withColumn("fp", ops.TextStats.fingerprint($"text"))
+    val rows = df.collect()
+    assert(rows.forall(r => Set("en", "db", "st").contains(r.getAs[String]("lang"))))
+    assert(rows.forall(_.getAs[Int]("q") >= 0))
+    // fingerprint ignores word order
+    val shuffled = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text")
+      .withColumn("fp", ops.TextStats.fingerprint($"text"))
+      .select("fp").collect().map(_.getString(0))
+    assert(shuffled.distinct.length == 1)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2): the declarative queries must
+  * actually get the Catalyst treatment we designed for — filter/column
+  * pushdown into the parquet scan, broadcast joins for small dims, and
+  * whole-stage codegen on the hot SQL paths. A plan regression here is a
+  * 100TB-scale performance bug even when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE only materializes WholeStageCodegen spans
+    * in the final plan (isFinalPlan=true). */
+  private def finalPlan(name: String): String = {
+    val df = Queries.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pushdown pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(500))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter must reach the scan")
+  }
+
+  test("scans prune to the referenced columns only") {
+    val p = plan("q_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"projection must prune unused columns: $readSchema")
+  }
+
+  test("q_join_dims broadcasts the small dimension tables") {
+    val p = plan("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dims must not sort-merge")
+  }
+
+  test("q_embed_topk broadcasts the probe side") {
+    val p = plan("q_embed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("hot SQL paths are whole-stage codegen'd") {
+    // note: higher-order lambda functions (q_dedup_minhash's transform/
+    // array_min) are interpreted in Spark — excluded by design
+    Seq("q_filter_pushdown", "q_quality_score", "q_dispatch_case").foreach { q =>
+      val p = finalPlan(q)
+      // Spark prints codegen spans as "*(n) Operator" in plan strings
+      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), s"$q lost codegen:\n${p.take(400)}")
+    }
+  }
+
+  test("extraction has exactly one exchange (the bucket range partitioning)") {
+    import spark.implicits._
+    val docs = spark.createDataset((0L until 100L).map(DocGen.docFor))
+    val p = ExtractJob.transformNoMetrics(docs, 4).queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("salted aggregation keeps partial aggregates before the shuffle") {
+    val p = plan("q_salted_agg")
+    // two-phase: HashAggregate (partial) below the exchange
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+}

@@ -45,6 +45,31 @@ class SpanEqualitySpec extends AnyFunSuite {
     }
   }
 
+  private def runColumnar(docs: Seq[RawDoc]): Map[String, ExtractedDoc] =
+    plans.GraftFunctions.extractColumnar(spark.createDataset(docs).toDF())
+      .as[ExtractedDoc].collect().map(d => d.doc_id -> d).toMap
+
+  test("columnar extract_spans expression == oracle on fixtures + 2000 generated docs") {
+    val docs = DocGen.fixtures ++ (0L until 2000L).map(DocGen.docFor)
+    val actual = runColumnar(docs)
+    docs.foreach { d =>
+      val exp = ReferenceOracle.extract(d)
+      val act = actual(d.doc_id)
+      assert(seq(act) == seq(exp), s"span mismatch for ${d.doc_id}")
+      assert(act.extractor == exp.extractor, s"extractor mismatch for ${d.doc_id}")
+      assert(act.confidence == exp.confidence, s"confidence mismatch for ${d.doc_id}")
+      assert(act.spans.map(_.offset) == act.spans.indices.map(identity))
+    }
+  }
+
+  test("extract_spans is callable from SQL after extension registration") {
+    plans.GraftFunctions.register(spark)
+    spark.createDataset(DocGen.fixtures).toDF().createOrReplaceTempView("__fx")
+    val n = spark.sql(
+      "SELECT doc_id, extract_spans(spans).extractor AS e FROM __fx").count()
+    assert(n == DocGen.fixtures.size)
+  }
+
   test("offsets are dense 0..n-1 and strictly increasing") {
     val docs = (0L until 500L).map(DocGen.docFor)
     runPipeline(docs).values.foreach { d =>
