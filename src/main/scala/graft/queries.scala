@@ -429,6 +429,149 @@ object Queries {
     Some("""SELECT doc_id, md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
+  /** MinHash-LSH banding end-to-end (ops.Dedup): exact-dup corpus planted
+    * by unioning a shifted copy; banded candidate pairs must surface every
+    * planted pair. The oracle replays signature + banding in SQL. */
+  private val qLshPairs = QueryDef(
+    "q_dedup_lsh_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 50).select($"doc_id", $"text")
+      val corpus = base.union(base.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      val sigs = ops.Dedup.minhashSignatures(corpus, "text", 8).select($"doc_id", $"sig")
+      ops.Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+           |sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |             FROM w WHERE len(ws) >= 3)),
+           |sig AS (SELECT doc_id,
+           |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+           |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+           |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+           |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
+           |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig)
+           |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |FROM banded x JOIN banded y
+           |  ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** SimHash hamming-distance pairs (near-dup detection by bit distance). */
+  private val qSimhashPairs = QueryDef(
+    "q_simhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val hv = conv(substring(md5($"word"), 1, 15), 16, 10).cast("bigint")
+      val bits = (0 until 16).map { i =>
+        when(sum(when(shiftright(col("hv"), i).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val sh = t(s, dir, "documents")
+        .where($"doc_id" < 100)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .withColumn("hv", hv)
+        .groupBy($"doc_id")
+        .agg(bits.cast("bigint").as("sh"))
+      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", expr("cast(bit_count(a.sh ^ b.sh) as int)"))
+        .where($"dist" <= 4)
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"), $"dist")
+        .orderBy($"ida", $"idb")
+    },
+    Some {
+      val bits = (0 until 16).map(i =>
+        s"(CASE WHEN sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents WHERE doc_id < 100),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM t),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+         |ORDER BY ida, idb""".stripMargin
+    })
+
+  /** Sign-random-projection LSH bucketing over embeddings — the ANN scale
+    * path's hash stage, integer-quantized (md5-derived integer weights ×
+    * floor(x*1000)) so the sign is exact in both engines. */
+  private val qSrpBuckets = QueryDef(
+    "q_embed_srp_buckets",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .where($"vec_id" < 100)
+        .select($"vec_id", expr(
+          """concat_ws('', transform(sequence(0, 3), p ->
+            |  CASE WHEN aggregate(
+            |    zip_with(
+            |      transform(sequence(0, 63), d ->
+            |        cast(conv(substring(md5(concat('plane', p, ':', d)), 1, 6), 16, 10) as bigint) - 8388608),
+            |      embedding,
+            |      (w, x) -> w * cast(floor(cast(x as double) * 1000) as bigint)),
+            |    0L, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin)
+          .as("bucket"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH planes AS (SELECT p, d,
+           |    ('0x' || substr(md5('plane' || p || ':' || d), 1, 6))::BIGINT - 8388608 AS w
+           |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
+           |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+           |dots AS (SELECT vec_id, p,
+           |    sum(w * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT)) AS dp
+           |  FROM v, planes GROUP BY 1, 2)
+           |SELECT vec_id,
+           |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+           |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
+  /** BPE-ish subword count estimate (ops.TextStats.subwordEstimate). */
+  private val qSubword = QueryDef(
+    "q_token_subword",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 200)
+        .select($"doc_id",
+          expr("aggregate(split(text, ' '), 0, (acc, w) -> acc + 1 + int(length(w) / 6))")
+            .as("subwords"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(list_sum(list_transform(string_split(text, ' '), w -> 1 + length(w) // 6)) AS INT) AS subwords
+           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal frame sampling through the typed decode path (ops.Media):
+    * the deterministic stub decode is replayed in SQL by the oracle. */
+  private val qMediaFrames = QueryDef(
+    "q_media_frames",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"doc_id" < 100).select($"doc_id", $"text")
+      val meta = ops.Media.decodeMeta(s, ops.Media.withPayload(docs, "text"))
+      ops.Media.sampleFrames(meta.toDF(), stride = 2)
+        .select($"doc_id", $"frame_idx".cast("int").as("frame_idx"), $"format")
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""WITH meta AS (
+           |  SELECT doc_id,
+           |    CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS format,
+           |    CASE WHEN ascii(substr(text, 1, 1)) % 3 = 2
+           |         THEN 1 + octet_length(encode(substr(text, 1, 64))) % 16 ELSE 1 END AS frames
+           |  FROM documents WHERE doc_id < 100)
+           |SELECT doc_id, CAST(unnest(range(0, frames, 2)) AS INT) AS frame_idx, format
+           |FROM meta ORDER BY doc_id, frame_idx""".stripMargin))
+
   // ------------------------------------------------------------------
   // Training-data pipeline: similarity search
   // ------------------------------------------------------------------
@@ -627,12 +770,29 @@ object Queries {
 
   // ------------------------------------------------------------------
 
+  /** Full extraction through the NATIVE expression (plans.ExtractExpression)
+    * — rows-only (generated input, not SQL-oracle-expressible); span
+    * correctness is covered by SpanEqualitySpec vs ReferenceOracle. */
+  private val qExtractNative = QueryDef(
+    "q_extract_native",
+    (s, _) => {
+      import s.implicits._
+      val docs = DocGen.generate(s, 5000).toDF()
+      plans.GraftFunctions.extractColumnar(docs)
+        .groupBy($"extractor")
+        .agg(count("*").as("docs"), sum(size($"spans")).as("spans"),
+          round(avg($"confidence"), 4).as("avg_conf"))
+        .orderBy($"extractor")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qExcept, qScalar,
     qSalted, qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
+    qLshPairs, qSimhashPairs, qSrpBuckets, qSubword, qMediaFrames,
     qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
-    qExtract, qExtractSpans, qExtractMetrics)
+    qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
