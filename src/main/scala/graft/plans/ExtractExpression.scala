@@ -136,7 +136,9 @@ object ExtractExpression {
     val order = new Array[Integer](n)
     var i = 0
     while (i < n) {
-      offs(i) = arr.getStruct(i, 4).getInt(3); order(i) = i; i += 1
+      val st = arr.getStruct(i, 4)
+      offs(i) = if (st == null || st.isNullAt(3)) Int.MaxValue else st.getInt(3)
+      order(i) = i; i += 1
     }
     java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
       java.lang.Integer.compare(offs(a), offs(b)))
@@ -152,10 +154,18 @@ object ExtractExpression {
     val kinds = new Array[Int](n)
     i = 0
     while (i < n) {
-      kinds(i) = kindCode(arr.getStruct(order(i), 4).getUTF8String(0))
+      val st = arr.getStruct(order(i), 4)
+      // null struct / null kind → unknown (dropped), matching the typed path
+      // never seeing such spans in valid data
+      kinds(i) =
+        if (st == null || st.isNullAt(0)) 5 else kindCode(st.getUTF8String(0))
       i += 1
     }
     @inline def span(pos: Int): InternalRow = arr.getStruct(order(pos), 4)
+    @inline def u8(st: InternalRow, ord: Int): UTF8String = {
+      val v = if (st.isNullAt(ord)) null else st.getUTF8String(ord)
+      if (v == null) EMPTY else v
+    }
 
     // ---- dispatch: smallest registry index matching any media ref
     var bestRule = Int.MaxValue
@@ -163,7 +173,7 @@ object ExtractExpression {
     i = 0
     while (i < n && bestRule != 0) {
       if (kinds(i) == 3) {
-        val ref = span(i).getUTF8String(2)
+        val ref = u8(span(i), 2)
         if (ref.numBytes() > 0) {
           hasMedia = true
           val d = dispatch(ref.toString)
@@ -188,18 +198,18 @@ object ExtractExpression {
       val s = span(i)
       kinds(i) match {
         case 4 | 5 => // boilerplate / unknown: drop
-        case 0 => emit(K_TITLE, s.getUTF8String(1), EMPTY)
+        case 0 => emit(K_TITLE, u8(s, 1), EMPTY)
         case 1 =>
-          val t = s.getUTF8String(1)
+          val t = u8(s, 1)
           val (words, stops) = wordStats(t)
           val adj = (i > 0 && kinds(i - 1) == 0) || (i + 1 < n && kinds(i + 1) == 0)
           if (words >= 5 || (words >= 3 && stops >= 1) || (adj && words >= 2))
             emit(K_TEXT, t, EMPTY)
         case 2 =>
-          val t = s.getUTF8String(1)
+          val t = u8(s, 1)
           if (wordStats(t)._1 >= 8) emit(K_TEXT, t, EMPTY)
         case 3 =>
-          val ref = s.getUTF8String(2)
+          val ref = u8(s, 2)
           val refStr = ref.toString
           reg.dispatch(refStr) match {
             case Some((rule, m)) =>
@@ -209,7 +219,7 @@ object ExtractExpression {
               var bestRuleR = rule; var bestM = m
               var j = i + 1; var run = true
               while (run && j < n && kinds(j) == 3) {
-                reg.dispatch(span(j).getUTF8String(2).toString) match {
+                reg.dispatch(u8(span(j), 2).toString) match {
                   case Some((r2, m2)) if reg.groupKey(r2, m2) == key =>
                     val q2 = Registry.quality(reg.extOf(r2, m2))
                     if (q2 > bestQ) { bestQ = q2; bestM = m2; bestRuleR = r2 }
@@ -217,11 +227,11 @@ object ExtractExpression {
                   case _ => run = false
                 }
               }
-              emit(K_MEDIA, s.getUTF8String(1),
+              emit(K_MEDIA, u8(s, 1),
                 UTF8String.fromString(reg.canonicalize(bestRuleR, bestM)))
               i = j - 1
             case None =>
-              if (ref.numBytes() > 0) emit(K_MEDIA, s.getUTF8String(1), ref)
+              if (ref.numBytes() > 0) emit(K_MEDIA, u8(s, 1), ref)
           }
       }
       i += 1

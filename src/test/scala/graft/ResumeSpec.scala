@@ -69,6 +69,22 @@ class ResumeSpec extends AnyFunSuite {
     assert(snap1.buckets.map(b => b.bucket -> b.watermarkDocId).toMap == goldenWm)
   }
 
+  test("native (extract_spans) job produces a byte-identical table to the typed job") {
+    val docs = DocGen.generate(spark, 500, 8)
+    val typedDir = freshDir(); val nativeDir = freshDir()
+    ExtractJob.run(spark, docs, typedDir, "t", resume = false)
+    ExtractJob.run(spark, docs, nativeDir, "n", resume = false, native = true)
+    assert(tableDocs(nativeDir) == tableDocs(typedDir))
+    // native metrics come from data at rest: docs/spans_out must agree
+    val mT = spark.read.parquet(s"$typedDir/metrics")
+      .groupBy($"bucket").sum("docs", "spans_out")
+      .as[(Int, Long, Long)].collect().toSet
+    val mN = spark.read.parquet(s"$nativeDir/metrics")
+      .groupBy($"bucket").sum("docs", "spans_out")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(mN == mT)
+  }
+
   test("rerun of a complete table is a no-op (same snapshot returned)") {
     val dir = freshDir()
     val docs = DocGen.generate(spark, 300, 4)
