@@ -306,6 +306,85 @@ object Queries {
            |  CAST(sum(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** O13 as a distributed group-by: exploded (pos, word) rows re-assembled
+    * into the original document — order carried by data (pos), restored by
+    * in-row array_sort after collect_list; exactly the fragment-merge
+    * invariant (qetch downloaders/http.py ordered concat). */
+  private val qReassembleGroupBy = QueryDef(
+    "q_reassemble_groupby",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 50)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        .groupBy($"doc_id")
+        .agg(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("rebuilt"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           |                   generate_subscripts(string_split(text, ' '), 1) AS pos
+           |            FROM documents WHERE doc_id < 50)
+           |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS rebuilt
+           |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Session windows via gap detection (30-min inactivity): lag + running
+    * sum — the sessionization idiom over the events stream table. */
+  private val qSessionize = QueryDef(
+    "q_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      t(s, dir, "events")
+        .where($"user_id" < 50)
+        .withColumn("lag_ts", lag($"ts", 1).over(byUser))
+        .withColumn("new_s",
+          when($"lag_ts".isNull || expr("ts > lag_ts + INTERVAL 30 MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("sess", sum($"new_s").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id")
+        .agg(max($"sess").cast("bigint").as("sessions"), count("*").as("events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           |  FROM events WHERE user_id < 50
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id
+           |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM e)
+           |SELECT user_id, CAST(max(sess) AS BIGINT) AS sessions,
+           |  CAST(count(*) AS BIGINT) AS events
+           |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** O9 auth-registry analog: broadcast per-source policy config applied as
+    * a gating column (qetch auth.py::AuthRegistry — Borg global → literal
+    * map / broadcast). */
+  private val qAuthGate = QueryDef(
+    "q_auth_gate",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("policy", coalesce(
+          element_at(
+            typedLit(Registry.sourcePolicy), $"source"),
+          lit("none")))
+        .groupBy($"policy")
+        .agg(count("*").as("n"), countDistinct($"source").as("sources"))
+        .orderBy($"policy")
+    },
+    Some {
+      val cases = Registry.sourcePolicy
+        .map { case (src, pol) => s"WHEN source = '$src' THEN '$pol'" }
+        .toSeq.sorted.mkString(" ")
+      s"""SELECT policy, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS sources
+         |FROM (SELECT source, CASE $cases ELSE 'none' END AS policy FROM documents)
+         |GROUP BY 1 ORDER BY policy""".stripMargin
+    })
+
   // ------------------------------------------------------------------
   // Training-data pipeline: deduplication
   // ------------------------------------------------------------------
@@ -789,7 +868,8 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qExcept, qScalar,
-    qSalted, qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
+    qSalted, qReassembleGroupBy, qSessionize, qAuthGate,
+    qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qSubword, qMediaFrames,
     qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
     qExtract, qExtractSpans, qExtractMetrics, qExtractNative)

@@ -44,6 +44,13 @@ object Registry {
   val GenericExtractor = "generic"   // doc has media but no rule matched
   val TextOnlyExtractor = "textonly" // doc has no media at all
 
+  /** Per-source auth policy — the qetch AuthRegistry analog
+    * (qetch/auth.py::AuthRegistry, ::AuthTypes BASIC|OAUTH|NONE; Borg-pattern
+    * global → immutable broadcast config, SURVEY.md §1.2 D5). Sources absent
+    * from the map require no auth. */
+  val sourcePolicy: Map[String, String] = Map(
+    "src13" -> "basic", "src17" -> "oauth")
+
   /** Quality ranking of media variants, qetch gfycat url-key→quality map
     * analog (mp4Url→1.0, webmUrl→0.5, gif lower). Integer scores keep
     * classification deterministic (SURVEY.md §7.5-1). Unknown ext → 10. */
