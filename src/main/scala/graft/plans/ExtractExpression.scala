@@ -117,6 +117,10 @@ object ExtractExpression {
 
   private val compiled = Registry.rules.map(r => java.util.regex.Pattern.compile(r.pattern)).toArray
 
+  /** Shared compiled registry — one instance per JVM (was per-row: regex
+    * recompilation per document, a silent 2× tax found via bench). */
+  private val sharedReg = graft.CompiledRegistry.default
+
   /** First matching rule index for a media ref, or -1. */
   private def dispatch(ref: String): Int = {
     var i = 0
@@ -132,16 +136,21 @@ object ExtractExpression {
 
     // ---- gather (kind-code, row) sorted by offset. kind codes:
     // 0 title, 1 text, 2 link, 3 media, 4 boilerplate, 5 unknown
-    val offs = new Array[Int](n)
-    val order = new Array[Integer](n)
+    // pack (offset, idx) into a long so the sort is primitive (no boxing);
+    // offset occupies the high 32 bits (shifted to unsigned order), so
+    // Arrays.sort(long[]) sorts by offset with idx as the stable tiebreak
+    val packed = new Array[Long](n)
     var i = 0
     while (i < n) {
       val st = arr.getStruct(i, 4)
-      offs(i) = if (st == null || st.isNullAt(3)) Int.MaxValue else st.getInt(3)
-      order(i) = i; i += 1
+      val off = if (st == null || st.isNullAt(3)) Int.MaxValue else st.getInt(3)
+      packed(i) = ((off.toLong - Int.MinValue) << 32) | i.toLong
+      i += 1
     }
-    java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
-      java.lang.Integer.compare(offs(a), offs(b)))
+    java.util.Arrays.sort(packed)
+    val order = new Array[Int](n)
+    i = 0
+    while (i < n) { order(i) = (packed(i) & 0xffffffffL).toInt; i += 1 }
 
     def kindCode(k: UTF8String): Int =
       if (k.equals(K_TEXT)) 1
@@ -192,7 +201,7 @@ object ExtractExpression {
     def emit(kind: UTF8String, text: UTF8String, ref: UTF8String): Unit =
       out.add(new GenericInternalRow(Array[Any](kind, text, ref, out.size())))
 
-    val reg = graft.CompiledRegistry.default
+    val reg = sharedReg
     i = 0
     while (i < n) {
       val s = span(i)
