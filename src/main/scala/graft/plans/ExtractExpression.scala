@@ -31,7 +31,8 @@ case class ExtractExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ExtractExpression.outType
-  override def nullable: Boolean = false
+  // a null spans array yields a null result (default nullSafeEval contract)
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "extract_spans"
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -44,7 +45,7 @@ case class ExtractExpression(child: Expression)
 }
 
 object ExtractExpression {
-  import graft.Classify.{BoilerplateKinds, Stopwords}
+  import graft.Classify.Stopwords
 
   val spanType: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),
