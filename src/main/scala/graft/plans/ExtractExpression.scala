@@ -89,31 +89,34 @@ object ExtractExpression {
     k | (len.toLong << 56)
   }
 
-  /** Scan UTF-8 bytes of a text span once: (wordCount, stopwordCount).
-    * Words are runs of non-space bytes (multi-byte UTF-8 is never 0x20, so
-    * the byte scan is correct for any input). */
-  private def wordStats(t: UTF8String): (Int, Int) = {
-    val bytes = t.getBytes // may copy if off-heap; single pass after
-    val n = bytes.length
+  /** Scan UTF-8 bytes of a text span once: packs (wordCount, stopwordCount)
+    * into a long (no tuple allocation). Reads bytes in place via
+    * UTF8String.getByte — no copy. Words are runs of non-space bytes
+    * (multi-byte UTF-8 is never 0x20, so the byte scan is correct for any
+    * input). */
+  private def wordStats(t: UTF8String): Long = {
+    val n = t.numBytes()
     var words = 0; var stops = 0
     var i = 0; var start = -1
-    var ascii = true
+    var key = 0L; var ascii = true
     while (i <= n) {
-      val isSpace = i == n || bytes(i) == ' '.toByte
-      if (isSpace) {
+      val b: Byte = if (i == n) ' '.toByte else t.getByte(i)
+      if (b == ' '.toByte) {
         if (start >= 0) {
           words += 1
           val len = i - start
-          if (ascii && len <= 8 && stopKeys.contains(packAscii(bytes, start, len))) stops += 1
-          start = -1; ascii = true
+          if (ascii && len <= 8 &&
+            stopKeys.contains(key | (len.toLong << 56))) stops += 1
+          start = -1; key = 0L; ascii = true
         }
       } else {
         if (start < 0) start = i
-        if (bytes(i) < 0) ascii = false
+        if (b < 0) ascii = false
+        else if (i - start < 8) key = (key << 8) | (b & 0xffL)
       }
       i += 1
     }
-    (words, stops)
+    (words.toLong << 32) | (stops.toLong & 0xffffffffL)
   }
 
   private val compiled = Registry.rules.map(r => java.util.regex.Pattern.compile(r.pattern)).toArray
@@ -211,13 +214,14 @@ object ExtractExpression {
         case 0 => emit(K_TITLE, u8(s, 1), EMPTY)
         case 1 =>
           val t = u8(s, 1)
-          val (words, stops) = wordStats(t)
+          val ws = wordStats(t)
+          val words = (ws >>> 32).toInt; val stops = ws.toInt
           val adj = (i > 0 && kinds(i - 1) == 0) || (i + 1 < n && kinds(i + 1) == 0)
           if (words >= 5 || (words >= 3 && stops >= 1) || (adj && words >= 2))
             emit(K_TEXT, t, EMPTY)
         case 2 =>
           val t = u8(s, 1)
-          if (wordStats(t)._1 >= 8) emit(K_TEXT, t, EMPTY)
+          if ((wordStats(t) >>> 32) >= 8) emit(K_TEXT, t, EMPTY)
         case 3 =>
           val ref = u8(s, 2)
           val refStr = ref.toString

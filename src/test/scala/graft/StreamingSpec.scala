@@ -43,6 +43,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark drops late events in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val counts = streaming.EventStream.eventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = counts.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def ts(m: String) = Timestamp.valueOf(s"2026-01-01 $m:00")
+    // batch 1: events at 10:00..10:10; watermark advances to max-1h
+    mem.addData((ts("10:00"), "click", 1.0), (ts("10:10"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: advance event time far ahead → watermark passes 10:xx windows
+    mem.addData((ts("13:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a LATE event at 10:01 — behind the watermark → dropped
+    mem.addData((ts("10:01"), "click", 99.0))
+    q.processAllAvailable()
+    // batch 4: advance again so all closable windows emit
+    mem.addData((ts("16:00"), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from wm_test").collect()
+    q.stop()
+    // the 10:00 window emitted with the ORIGINAL 2 events; the late 99.0
+    // never entered (total for that window stays 2.0)
+    val w10 = rows.filter(_.getTimestamp(0) == ts("10:00"))
+    assert(w10.length == 1 && w10.head.getLong(2) == 2L && w10.head.getDouble(3) == 2.0,
+      rows.mkString("; "))
+  }
+
   test("watermarked tumbling-window aggregation plan builds and runs on a batch frame") {
     // eventCounts is a pure plan builder; exercise it on a static frame
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
