@@ -23,8 +23,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap 24g (machine has 125g): the 8g default caused GC-bound
+// negative scaling at local[32] (allocation-heavy object stages). ParallelGC
+// keeps young collections cheap for throughput jobs; both overridable.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
