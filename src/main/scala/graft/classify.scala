@@ -163,7 +163,7 @@ object Classify {
       if (n == 0) 0.0
       else renumbered.length.toDouble / n.toDouble
 
-    ExtractedDoc(doc.doc_id, renumbered, extractor, conf, doc.domain, doc.bucket)
+    ExtractedDoc(doc.doc_id, renumbered, extractor, conf, doc.domain, doc.bucket, n)
   }
 
   /** Confidence histogram bucket: floor(conf*10) clamped to [0,9]. */

@@ -1,7 +1,10 @@
 package graft
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
 /** Snapshot manifest — the Iceberg-emulation layer (SURVEY.md §7.4).
@@ -13,46 +16,93 @@ import scala.jdk.CollectionConverters._
   * {{{
   * <tableDir>/data/bucket=K/part-*.parquet   // dynamic-overwrite per bucket
   * <tableDir>/metrics/...parquet             // metrics side table
-  * <tableDir>/meta/snap-<n>.json             // snapshot: parent + completed buckets
-  * <tableDir>/meta/HEAD                      // atomic pointer to current snap
+  * <tableDir>/meta/snap-<n>.json             // snapshot: parent + completed buckets + data files
+  * <tableDir>/meta/HEAD                      // pointer to current snap
   * }}}
   *
-  * Commit protocol: write `snap-<n+1>.json`, then atomically move a temp
-  * HEAD over HEAD (`ATOMIC_MOVE`). A crash before the move leaves the old
-  * snapshot current; bucket data writes are idempotent overwrites, so
-  * re-running pending buckets after any crash converges to the same table.
-  * Swapping in real Iceberg is a sink change only.
+  * All manifest I/O goes through `org.apache.hadoop.fs.FileSystem` resolved
+  * from `tableDir`, so the same code works on file://, hdfs:// and s3a://
+  * (the spark-submit multi-executor deployment this targets) — never
+  * java.nio against the driver's local disk.
+  *
+  * Commit protocol: write `snap-<n+1>.json`, write `.HEAD.tmp.<n+1>`, then
+  * swap it over HEAD via rename. HDFS rename is atomic but refuses an
+  * existing destination, so the swap is delete(HEAD) + rename(tmp, HEAD);
+  * the crash window between the two is covered by [[Manifest.head]]'s
+  * recovery path: with no HEAD, the highest-numbered snap file is current
+  * (snapshot ids are monotone and a snap file is fully written before the
+  * swap starts). Bucket data writes are idempotent per-bucket overwrites,
+  * so re-running pending buckets after any crash converges.
+  *
+  * Each snapshot additionally records the DATA FILES of every completed
+  * bucket, so consumers plan their scan from the manifest
+  * ([[Manifest.readData]]) instead of a directory listing — at 100 TB a
+  * recursive listing of the data directory is itself a scale bottleneck
+  * (and on object stores, not even consistent).
   *
   * Reference analog: qetch has NO resume (it re-downloads from scratch,
   * SURVEY.md §2A O15) — this is a north-rule addition.
   */
 object Manifest {
-  /** Lineage record for one completed bucket. */
-  final case class BucketState(bucket: Int, rows: Long, watermarkDocId: String)
+  /** Lineage record for one completed bucket: row count, doc_id watermark,
+    * and the parquet data files that materialize it. */
+  final case class BucketState(
+      bucket: Int, rows: Long, watermarkDocId: String, files: Seq[String] = Nil)
   /** One committed snapshot. */
   final case class Snapshot(id: Int, parent: Int, runId: String, buckets: Seq[BucketState])
 }
 
-final class Manifest(tableDir: String) {
+final class Manifest(tableDir: String, conf: Configuration = new Configuration()) {
   import Manifest._
-  private val meta: Path = Paths.get(tableDir, "meta")
+
+  private val meta = new Path(tableDir, "meta")
+  // raw FS: manifest JSON needs no CRC sidecar files (the parser validates
+  // content; HDFS/S3 carry their own integrity), and sidecars would break
+  // external edits + pollute listings on local runs.
+  private val fs: FileSystem = meta.getFileSystem(conf) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
   private val mapper = new ObjectMapper()
+  private def headPath = new Path(meta, "HEAD")
+  private def dataDir = new Path(tableDir, "data")
 
-  private def headPath = meta.resolve("HEAD")
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
-  /** Current snapshot, if any. */
-  def head(): Option[Snapshot] =
-    if (!Files.exists(headPath)) None
-    else {
-      val snapName = Files.readString(headPath).trim
-      if (snapName.isEmpty) None else Some(readSnap(meta.resolve(snapName)))
-    }
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Current snapshot, if any. HEAD wins; with no readable HEAD (crash
+    * between delete and rename in [[commit]]) the highest snap file is
+    * current — it was fully written before the swap began. */
+  def head(): Option[Snapshot] = {
+    val fromHead =
+      if (!fs.exists(headPath)) None
+      else Option(readString(headPath).trim).filter(_.nonEmpty)
+    fromHead.orElse(latestSnapName()).map(n => readSnap(new Path(meta, n)))
+  }
+
+  private def latestSnapName(): Option[String] =
+    if (!fs.exists(meta)) None
+    else fs.listStatus(meta).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .sortBy(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      .lastOption
 
   private def readSnap(p: Path): Snapshot = {
-    val node = mapper.readTree(Files.readString(p))
+    val node = mapper.readTree(readString(p))
     val buckets = node.get("buckets").elements().asScala.map { b =>
+      val files = Option(b.get("files"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       BucketState(b.get("bucket").asInt(), b.get("rows").asLong(),
-        b.get("watermark_doc_id").asText())
+        b.get("watermark_doc_id").asText(), files)
     }.toSeq
     Snapshot(node.get("id").asInt(), node.get("parent").asInt(),
       node.get("run_id").asText(), buckets)
@@ -61,6 +111,36 @@ final class Manifest(tableDir: String) {
   /** Buckets already completed per the current snapshot (resume set). */
   def completedBuckets(): Set[Int] = head().map(_.buckets.map(_.bucket).toSet).getOrElse(Set.empty)
 
+  /** Manifest-planned read of the committed table: the scan's file list
+    * comes from the snapshot (optionally pruned to `buckets`), never from a
+    * directory listing. `basePath` re-attaches the `bucket` partition
+    * column. Zero-row buckets contribute no files; a selection with no
+    * files at all yields an empty frame with the table schema when any data
+    * exists, else fails fast. */
+  def readData(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val snap = head().getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
+    val files = sel.flatMap(_.files)
+    val reader = spark.read.option("basePath", dataDir.toString)
+    if (files.nonEmpty) reader.parquet(files: _*)
+    else {
+      val all = snap.buckets.flatMap(_.files)
+      require(all.nonEmpty, s"snapshot ${snap.id} has no data files")
+      reader.parquet(all.head).where(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
+  /** List the current parquet files of one bucket directory (used by the
+    * writer right after a bucket overwrite to record lineage). */
+  def listBucketFiles(bucket: Int): Seq[String] = {
+    val d = new Path(dataDir, s"bucket=$bucket")
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -68,9 +148,9 @@ final class Manifest(tableDir: String) {
     } + "\""
 
   /** Commit: union the parent's completed buckets with `newBuckets` (new
-    * state wins on conflict), write snap-(n+1), atomically advance HEAD. */
+    * state wins on conflict), write snap-(n+1), advance HEAD. */
   def commit(runId: String, newBuckets: Seq[BucketState]): Snapshot = {
-    Files.createDirectories(meta)
+    fs.mkdirs(meta)
     val parent = head()
     val parentId = parent.map(_.id).getOrElse(-1)
     val merged = (parent.map(_.buckets).getOrElse(Seq.empty)
@@ -79,19 +159,18 @@ final class Manifest(tableDir: String) {
     val id = parentId + 1
     val snap = Snapshot(id, parentId, runId, merged)
     val body = {
-      val bs = merged.map(b =>
-        s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":${jstr(b.watermarkDocId)}}""")
-        .mkString("[", ",", "]")
+      val bs = merged.map { b =>
+        val fl = b.files.map(jstr).mkString("[", ",", "]")
+        s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":${jstr(b.watermarkDocId)},"files":$fl}"""
+      }.mkString("[", ",", "]")
       s"""{"id":$id,"parent":$parentId,"run_id":${jstr(runId)},"buckets":$bs}"""
     }
-    val snapFile = meta.resolve(s"snap-$id.json")
-    Files.writeString(snapFile, body,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val tmp = meta.resolve(s".HEAD.tmp.$id")
-    Files.writeString(tmp, s"snap-$id.json",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, headPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeString(new Path(meta, s"snap-$id.json"), body)
+    val tmp = new Path(meta, s".HEAD.tmp.$id")
+    writeString(tmp, s"snap-$id.json")
+    if (fs.exists(headPath)) fs.delete(headPath, false)
+    if (!fs.rename(tmp, headPath))
+      throw new java.io.IOException(s"HEAD swap failed for snap-$id at $meta")
     snap
   }
 }

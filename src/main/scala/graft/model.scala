@@ -23,14 +23,17 @@ case class OutSpan(kind: String, text: String, media_ref: String, offset: Int)
 
 /** Extraction result for one document.
   * `extractor` = which registry rule matched (qetch get_extractor analog);
-  * `confidence` = classifier confidence (qetch Content.quality analog). */
+  * `confidence` = classifier confidence (qetch Content.quality analog);
+  * `spans_in` = raw input span count — carried so input-side metrics are
+  * derivable from data at rest (accumulator-free, retry-safe). */
 case class ExtractedDoc(
     doc_id: String,
     spans: Seq[OutSpan],
     extractor: String,
     confidence: Double,
     domain: String,
-    bucket: Int)
+    bucket: Int,
+    spans_in: Int)
 
 /** Per-partition extraction metrics row (north rule: metrics side table).
   * conf_histogram has 10 buckets: floor(confidence*10) clamped to [0,9]. */

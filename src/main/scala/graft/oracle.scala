@@ -82,6 +82,6 @@ object ReferenceOracle {
     val kept = classify(spans.zipWithIndex)
     val renumbered = kept.zipWithIndex.map { case (s, i) => s.copy(offset = i) }.toVector
     val conf = if (n == 0) 0.0 else renumbered.length.toDouble / n
-    ExtractedDoc(doc.doc_id, renumbered, extractor, conf, doc.domain, doc.bucket)
+    ExtractedDoc(doc.doc_id, renumbered, extractor, conf, doc.domain, doc.bucket, n)
   }
 }

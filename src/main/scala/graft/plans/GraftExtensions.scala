@@ -42,12 +42,13 @@ object GraftFunctions {
     * ExtractedDoc. */
   def extractColumnar(docs: DataFrame): DataFrame = {
     register(docs.sparkSession)
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, expr, size}
     docs.select(col("doc_id"), expr("extract_spans(spans)").as("__ex"),
-        col("domain"), col("bucket"))
+        size(col("spans")).as("__n_in"), col("domain"), col("bucket"))
       .select(col("doc_id"), col("__ex.spans").as("spans"),
         col("__ex.extractor").as("extractor"),
         col("__ex.confidence").as("confidence"),
-        col("domain"), col("bucket"))
+        col("domain"), col("bucket"),
+        col("__n_in").as("spans_in"))
   }
 }

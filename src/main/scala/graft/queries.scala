@@ -793,77 +793,232 @@ object Queries {
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
-  // Extraction pipeline (non-SQL-expressible → rows-only driver check;
-  // span-for-span correctness lives in sbt test vs ReferenceOracle)
+  // Extraction pipeline queries — FULL DuckDB oracles (round 2): the
+  // generated corpus is staged once per JVM to a fixed absolute path so
+  // the oracle reads the IDENTICAL parquet bytes, and the entire
+  // classifier spec (registry dispatch, keep rules, variant-run islands,
+  // canonicalization, dense renumbering, confidence) is replayed in ANSI
+  // SQL (gaps-and-islands windows + regexes). Three independent
+  // implementations now agree: Classify/ExtractExpression (Spark),
+  // ReferenceOracle (sbt test), and this SQL (driver gate).
   // ------------------------------------------------------------------
 
-  private def extractDocs(s: SparkSession, n: Long) = {
-    val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetrics]
-    s.sparkContext.register(acc, "queries.metrics")
-    (ExtractJob.transform(DocGen.generate(s, n), acc, "verify"), acc)
+  private val CorpusDocs = 5000L
+  /** Fixed absolute staging root — baked into the oracle SQL strings, so it
+    * must not depend on the driver's outDir. */
+  private[graft] val corpusDir: String =
+    sys.env.getOrElse("GRAFT_CORPUS_DIR",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") + "/graft_corpus_v2")
+  private val corpusPath = s"$corpusDir/docs"
+
+  /** Stage the deterministic corpus (seed=42, 5000 docs) once per JVM. */
+  private def stagedCorpus(s: SparkSession): DataFrame = Queries.synchronized {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusPath/_SUCCESS")))
+      DocGen.generate(s, CorpusDocs).toDF().repartition(4)
+        .write.mode("overwrite").parquet(corpusPath)
+    s.read.parquet(corpusPath)
   }
 
-  /** Full extraction over generated docs: per-extractor summary. */
+  /** First 200 staged docs (doc_id is fixed-width, so string < is numeric <). */
+  private val SmallDocMax = "d0000000200"
+  private val SmallDocFilter = s"doc_id < '$SmallDocMax'"
+
+  /** The classifier replayed as DuckDB CTEs over the staged corpus.
+    * Mirrors graft.Classify.extractDoc / plans.ExtractExpression /
+    * graft.ReferenceOracle — keep the four in sync. Produces CTEs:
+    *  - `corpus`  (doc_id, bucket, spans)
+    *  - `ndoc`    per-doc raw span count
+    *  - `drule`   per-doc extractor (ordered first-match dispatch)
+    *  - `outp`    kept spans with dense pos (the extraction output)
+    *  - `docstat` per-doc (bucket, n_raw, kept)
+    */
+  private def classifierCtes(docWhere: String): String = {
+    val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+    // Registry.rules patterns with numbered instead of named groups
+    // (gfyclip: 1=id 2=ext; chanboard: 1=board 2=tim 3=ext)
+    val gfy = """https?://media\.gfyclip\.test/([A-Za-z][A-Za-z0-9]*)\.(mp4|webm|gif)"""
+    val chan = """https?://img\.chanboard\.test/([a-z]+)/([0-9]+)\.([a-z0-9]+)"""
+    val qCase = "CASE ext " + Registry.qualityOf.toSeq.sorted
+      .map { case (e, q) => s"WHEN '$e' THEN $q" }.mkString(" ") + " ELSE 10 END"
+    s"""corpus AS (
+       |  SELECT doc_id, bucket, spans FROM read_parquet('$corpusPath/*.parquet') $docWhere),
+       |ndoc AS (SELECT doc_id, bucket, len(spans) AS n_raw FROM corpus),
+       |raw AS (SELECT doc_id, bucket, unnest(spans, recursive := true) FROM corpus),
+       |ord AS (
+       |  SELECT doc_id, bucket, kind, text, media_ref,
+       |    row_number() OVER w AS pos_in,
+       |    lag(kind) OVER w AS prev_kind,
+       |    lead(kind) OVER w AS next_kind
+       |  FROM raw WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")),
+       |feat AS (
+       |  SELECT *,
+       |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS words,
+       |    len(list_filter(string_split(text, ' '), w -> list_contains([$stops], w))) AS stops,
+       |    CASE WHEN kind = 'media' AND regexp_full_match(media_ref, '$gfy') THEN 'gfyclip'
+       |         WHEN kind = 'media' AND regexp_full_match(media_ref, '$chan') THEN 'chanboard'
+       |         END AS rule
+       |  FROM ord),
+       |med AS (
+       |  SELECT *,
+       |    CASE rule WHEN 'gfyclip' THEN 'g:' || regexp_extract(media_ref, '$gfy', 1)
+       |              WHEN 'chanboard' THEN 'c:' || regexp_extract(media_ref, '$chan', 1) ||
+       |                '/' || regexp_extract(media_ref, '$chan', 2) END AS grpkey,
+       |    CASE rule WHEN 'gfyclip' THEN regexp_extract(media_ref, '$gfy', 2)
+       |              WHEN 'chanboard' THEN regexp_extract(media_ref, '$chan', 3) END AS ext
+       |  FROM feat),
+       |flags AS (
+       |  SELECT *,
+       |    CASE WHEN kind = 'media' AND (rule IS NULL
+       |         OR lag(kind) OVER w IS DISTINCT FROM 'media'
+       |         OR lag(rule) OVER w IS NULL
+       |         OR lag(grpkey) OVER w IS DISTINCT FROM grpkey) THEN 1 ELSE 0 END AS newgrp
+       |  FROM med WINDOW w AS (PARTITION BY doc_id ORDER BY pos_in)),
+       |grp AS (
+       |  SELECT *, sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos_in
+       |    ROWS UNBOUNDED PRECEDING) AS island FROM flags),
+       |isl AS (
+       |  SELECT doc_id, bucket, island, pos_in, text, rule, media_ref,
+       |    $qCase AS q
+       |  FROM grp WHERE kind = 'media' AND rule IS NOT NULL),
+       |best AS (
+       |  SELECT doc_id, bucket, island,
+       |    min(pos_in) AS head_pos,
+       |    first(text ORDER BY pos_in) AS head_text,
+       |    first(rule ORDER BY q DESC, pos_in) AS best_rule,
+       |    first(media_ref ORDER BY q DESC, pos_in) AS best_ref
+       |  FROM isl GROUP BY doc_id, bucket, island),
+       |kept AS (
+       |  SELECT doc_id, bucket, pos_in AS at, 'title' AS kind, text, '' AS media_ref
+       |  FROM grp WHERE kind = 'title'
+       |  UNION ALL
+       |  SELECT doc_id, bucket, pos_in, 'text', text, '' FROM grp
+       |  WHERE kind = 'text' AND (words >= 5 OR (words >= 3 AND stops >= 1)
+       |    OR ((prev_kind = 'title' OR next_kind = 'title') AND words >= 2))
+       |  UNION ALL
+       |  SELECT doc_id, bucket, pos_in, 'text', text, '' FROM grp
+       |  WHERE kind = 'link' AND words >= 8
+       |  UNION ALL
+       |  SELECT doc_id, bucket, pos_in, 'media', text, media_ref FROM grp
+       |  WHERE kind = 'media' AND rule IS NULL AND media_ref <> ''
+       |  UNION ALL
+       |  SELECT doc_id, bucket, head_pos, 'media', head_text,
+       |    CASE best_rule
+       |      WHEN 'gfyclip' THEN 'https://gfyclip.test/' || regexp_extract(best_ref, '$gfy', 1)
+       |      ELSE 'https://chanboard.test/' || regexp_extract(best_ref, '$chan', 1) ||
+       |        '/' || regexp_extract(best_ref, '$chan', 2) ||
+       |        '.' || regexp_extract(best_ref, '$chan', 3) END
+       |  FROM best),
+       |outp AS (
+       |  SELECT doc_id, bucket, kind, text, media_ref,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY at) - 1 AS INT) AS pos
+       |  FROM kept),
+       |kcount AS (SELECT doc_id, count(*) AS kept FROM outp GROUP BY doc_id),
+       |docstat AS (
+       |  SELECT d.doc_id, d.bucket, d.n_raw, coalesce(k.kept, 0) AS kept
+       |  FROM ndoc d LEFT JOIN kcount k USING (doc_id)),
+       |drule AS (
+       |  SELECT n.doc_id, coalesce(r.extractor, 'textonly') AS extractor
+       |  FROM ndoc n LEFT JOIN (
+       |    SELECT doc_id,
+       |      CASE WHEN count(*) FILTER (WHERE rule = 'gfyclip') > 0 THEN 'gfyclip'
+       |           WHEN count(*) FILTER (WHERE rule = 'chanboard') > 0 THEN 'chanboard'
+       |           WHEN count(*) FILTER (WHERE kind = 'media' AND media_ref <> '') > 0 THEN 'generic'
+       |           ELSE 'textonly' END AS extractor
+       |    FROM feat GROUP BY doc_id) r USING (doc_id))""".stripMargin
+  }
+
+  /** Full extraction over the staged corpus (typed mapPartitions path):
+    * per-extractor rollup, now oracle-checked end to end. */
   private val qExtract = QueryDef(
     "q_extract_pipeline",
     (s, _) => {
       import s.implicits._
-      val (ex, _) = extractDocs(s, 5000)
-      ex.toDF()
+      val docs = stagedCorpus(s).as[RawDoc]
+      ExtractJob.transform(docs).toDF()
         .select($"extractor", size($"spans").as("n_spans"))
         .groupBy($"extractor")
         .agg(count("*").as("docs"), sum($"n_spans").as("spans"))
         .orderBy($"extractor")
     },
-    None)
+    Some(s"""WITH ${classifierCtes("")}
+            |SELECT extractor, CAST(count(*) AS BIGINT) AS docs,
+            |  CAST(sum(kept) AS BIGINT) AS spans
+            |FROM docstat JOIN drule USING (doc_id)
+            |GROUP BY 1 ORDER BY extractor""".stripMargin))
 
-  /** Per-doc extraction sample — spans surfaced via posexplode (order
-    * carried by the out-span offset, not row order). */
+  /** Per-doc extraction sample — every kept span of the first 200 staged
+    * docs, span-for-span against the SQL classifier replay (order carried
+    * by the dense out-span pos, not row order). */
   private val qExtractSpans = QueryDef(
     "q_extract_spans",
     (s, _) => {
       import s.implicits._
-      val (ex, _) = extractDocs(s, 200)
-      ex.toDF()
+      val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+      ExtractJob.transform(docs).toDF()
         .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
         .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
         .orderBy($"doc_id", $"pos")
     },
-    None)
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |ORDER BY doc_id, pos""".stripMargin))
 
-  /** Metrics side table rolled up per bucket. */
+  /** Metrics side table of a real ExtractJob.run (write → manifest commit →
+    * manifest-planned at-rest scan), oracled per bucket from the corpus. */
   private val qExtractMetrics = QueryDef(
     "q_extract_metrics",
     (s, _) => {
       import s.implicits._
-      val (ex, acc) = extractDocs(s, 5000)
-      ex.toDF().count() // force the job so the accumulator fills
-      import scala.jdk.CollectionConverters._
-      s.createDataset(acc.value.asScala.toSeq).toDF()
-        .groupBy($"bucket")
-        .agg(sum($"docs").as("docs"), sum($"spans_in").as("spans_in"),
-          sum($"spans_out").as("spans_out"))
+      val out = s"$corpusDir/metrics_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        ExtractJob.run(s, docs, out, "verify", resume = false)
+      }
+      s.read.parquet(s"$out/metrics")
+        .select($"bucket", $"docs", $"spans_in", $"spans_out")
         .orderBy($"bucket")
     },
-    None)
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")},
+            |agg AS (
+            |  SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+            |    CAST(sum(n_raw) AS BIGINT) AS spans_in,
+            |    CAST(sum(kept) AS BIGINT) AS spans_out
+            |  FROM docstat GROUP BY bucket)
+            |SELECT CAST(b.bucket AS INT) AS bucket, coalesce(docs, 0) AS docs,
+            |  coalesce(spans_in, 0) AS spans_in, coalesce(spans_out, 0) AS spans_out
+            |FROM (SELECT unnest(range(${DocGen.NumBuckets})) AS bucket) b
+            |LEFT JOIN agg USING (bucket) ORDER BY bucket""".stripMargin))
 
-  // ------------------------------------------------------------------
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
 
   /** Full extraction through the NATIVE expression (plans.ExtractExpression)
-    * — rows-only (generated input, not SQL-oracle-expressible); span
-    * correctness is covered by SpanEqualitySpec vs ReferenceOracle. */
+    * over the staged corpus — same oracle family; confidence surfaces as a
+    * per-doc integer quantization (floor(conf·10⁴)) summed per extractor so
+    * the compare stays exact (no cross-engine float aggregation). */
   private val qExtractNative = QueryDef(
     "q_extract_native",
     (s, _) => {
       import s.implicits._
-      val docs = DocGen.generate(s, 5000).toDF()
+      val docs = stagedCorpus(s)
       plans.GraftFunctions.extractColumnar(docs)
         .groupBy($"extractor")
         .agg(count("*").as("docs"), sum(size($"spans")).as("spans"),
-          round(avg($"confidence"), 4).as("avg_conf"))
+          sum(floor($"confidence" * 10000).cast("long")).as("conf_q4"))
         .orderBy($"extractor")
     },
-    None)
+    Some(s"""WITH ${classifierCtes("")}
+            |SELECT extractor, CAST(count(*) AS BIGINT) AS docs,
+            |  CAST(sum(kept) AS BIGINT) AS spans,
+            |  CAST(sum(CAST(floor((CAST(kept AS DOUBLE) / CAST(n_raw AS DOUBLE)) * 10000) AS BIGINT)) AS BIGINT) AS conf_q4
+            |FROM docstat JOIN drule USING (doc_id)
+            |GROUP BY 1 ORDER BY extractor""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,

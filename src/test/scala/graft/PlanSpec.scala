@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
   test("extraction has exactly one exchange (the bucket range partitioning)") {
     import spark.implicits._
     val docs = spark.createDataset((0L until 100L).map(DocGen.docFor))
-    val p = ExtractJob.transformNoMetrics(docs, 4).queryExecution.executedPlan.toString
+    val p = ExtractJob.transform(docs, 4).queryExecution.executedPlan.toString
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
   }

@@ -73,13 +73,10 @@ class PropertySpec extends AnyFunSuite {
 
   test("partition invariance: same output set under 1, 3, 8 partitions") {
     val docs = (0L until 300L).map(DocGen.docFor)
-    def run(parts: Int): Set[(String, Seq[(String, String, String)])] = {
-      val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetrics]
-      spark.sparkContext.register(acc)
-      ExtractJob.transform(spark.createDataset(docs).repartition(parts), acc, "pi", parts)
+    def run(parts: Int): Set[(String, Seq[(String, String, String)])] =
+      ExtractJob.transform(spark.createDataset(docs).repartition(parts), parts)
         .collect().map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref)).toSeq)
         .toSet
-    }
     val r1 = run(1)
     assert(run(3) == r1)
     assert(run(8) == r1)

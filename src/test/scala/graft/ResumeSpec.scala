@@ -93,6 +93,53 @@ class ResumeSpec extends AnyFunSuite {
     assert(s1.id == s0.id && s1.runId == s0.runId)
   }
 
+  test("sparse input: zero-doc pending buckets are committed; rerun is a no-op") {
+    val dir = freshDir()
+    // 3 docs → most of the 16 buckets receive zero documents; they must
+    // still be committed (rows=0) or the table never converges (ADVICE r1)
+    val docs = DocGen.generate(spark, 3, 2)
+    val s0 = ExtractJob.run(spark, docs, dir, "sparse0", resume = false)
+    assert(s0.buckets.map(_.bucket).toSet == (0 until DocGen.NumBuckets).toSet)
+    assert(s0.buckets.map(_.rows).sum == 3)
+    assert(s0.buckets.count(_.rows == 0) > 0)
+    s0.buckets.filter(_.rows == 0).foreach { b =>
+      assert(b.watermarkDocId == "" && b.files.isEmpty)
+    }
+    val s1 = ExtractJob.run(spark, docs, dir, "sparse1")
+    assert(s1.id == s0.id, "complete sparse table must be a no-op on rerun")
+  }
+
+  test("manifest-planned read scans exactly the snapshot's files, pruned by bucket") {
+    val dir = freshDir()
+    val docs = DocGen.generate(spark, 400, 4)
+    ExtractJob.run(spark, docs, dir, "files0", resume = false)
+    val m = new Manifest(dir)
+    val snap = m.head().get
+    assert(snap.buckets.forall(b => b.rows == 0 || b.files.nonEmpty),
+      "every non-empty bucket must carry file lineage")
+    val some = snap.buckets.filter(_.rows > 0).map(_.bucket).take(5).toSet
+    val expectFiles = snap.buckets.filter(b => some.contains(b.bucket)).flatMap(_.files)
+    val df = m.readData(spark, Some(some))
+    // the scan is planned from the manifest file list: pruned to exactly
+    // the selected buckets' files, with the bucket partition column intact
+    assert(df.inputFiles.length == expectFiles.length)
+    assert(df.columns.contains("bucket"))
+    val viaDirectory = spark.read.parquet(s"$dir/data")
+      .where($"bucket".isin(some.toSeq: _*)).count()
+    assert(df.count() == viaDirectory)
+    assert(m.readData(spark).count() == 400)
+  }
+
+  test("head() recovers from a missing HEAD via the highest snap file") {
+    val dir = freshDir()
+    val m = new Manifest(dir)
+    m.commit("a", Seq(Manifest.BucketState(0, 1, "d1")))
+    m.commit("b", Seq(Manifest.BucketState(1, 2, "d2")))
+    Files.delete(Path.of(dir, "meta", "HEAD")) // crash window simulation
+    val h = m.head()
+    assert(h.exists(_.id == 1), s"expected recovery to snap-1, got $h")
+  }
+
   test("manifest commit is atomic and merges bucket state across snapshots") {
     val dir = freshDir()
     val m = new Manifest(dir)

@@ -48,9 +48,9 @@ class SkewSpec extends AnyFunSuite {
 
   test("extraction output is identical with and without domain skew in the input order") {
     // shuffle input rows (skewed domains clumped vs spread) — output set invariant
-    val base = ExtractJob.transformNoMetrics(docs.as[RawDoc], 8)
+    val base = ExtractJob.transform(docs.as[RawDoc], 8)
       .collect().map(d => (d.doc_id, d.spans)).toSet
-    val reshuffled = ExtractJob.transformNoMetrics(
+    val reshuffled = ExtractJob.transform(
       docs.orderBy($"domain").as[RawDoc], 8)
       .collect().map(d => (d.doc_id, d.spans)).toSet
     assert(base == reshuffled)

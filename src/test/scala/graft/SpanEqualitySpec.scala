@@ -13,12 +13,9 @@ class SpanEqualitySpec extends AnyFunSuite {
   private def seq(d: ExtractedDoc): Seq[(String, String, String)] =
     d.spans.map(s => (s.kind, s.text, s.media_ref))
 
-  private def runPipeline(docs: Seq[RawDoc]): Map[String, ExtractedDoc] = {
-    val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetrics]
-    spark.sparkContext.register(acc, "test.metrics")
-    ExtractJob.transform(spark.createDataset(docs), acc, "test", 4)
+  private def runPipeline(docs: Seq[RawDoc]): Map[String, ExtractedDoc] =
+    ExtractJob.transform(spark.createDataset(docs), 4)
       .collect().map(d => d.doc_id -> d).toMap
-  }
 
   test("hand-written fixtures: pipeline == oracle span-for-span") {
     val docs = DocGen.fixtures
