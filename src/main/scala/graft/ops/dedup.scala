@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * runs (no seed-dependent native hash).
   *
   * Scale design: exact dedup is one hash-shuffle; MinHash-LSH is
-  * signature (narrow map) → band explode (bands rows/doc) → bucket groupBy →
-  * within-bucket pairs — never an O(n²) cross join. SimHash is a narrow
-  * explode+agg per doc.
+  * signature (narrow map) → band explode (bands rows/doc) → bucket equi-join
+  * with a hot-bucket guard — never an O(n²) cross join. SimHash pairing uses
+  * pigeonhole bit-banding (hamming ≤ k ⇒ at least one of k+1 bands equal),
+  * so it is also a pure equi-join with exact recall.
   */
 object Dedup {
 
@@ -47,28 +48,62 @@ object Dedup {
       .drop("__ws", "__shingles")
   }
 
+  /** Band hashes for a signature column: `bands` md5 band digests. When the
+    * signature length is not divisible by `bands`, the FINAL band absorbs
+    * the remainder values — no signature value is ever silently excluded
+    * (which would cut recall with no error). */
+  private def bandHashExpr(bands: Int): String =
+    s"""transform(sequence(0, $bands - 1),
+       |  b -> md5(concat_ws('|',
+       |    slice(sig, b * (size(sig) div $bands) + 1,
+       |      IF(b = $bands - 1,
+       |         size(sig) - ($bands - 1) * (size(sig) div $bands),
+       |         size(sig) div $bands)))))""".stripMargin
+
   /** LSH candidate pairs from MinHash signatures: split the k-value
     * signature into `bands` bands, hash each band, self-join on
     * (band index, band hash) — docs sharing any band bucket become
-    * candidates. Returns distinct (id_a, id_b) with id_a < id_b. Scale
-    * path: shuffle O(docs × bands); pair blow-up only within buckets. */
-  def lshCandidatePairs(sigDf: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = sigDf
-      .where(size(col("sig")) > 0)
-      .select(col(idCol).as("__id"),
-        posexplode(expr(
-          s"""transform(sequence(0, $bands - 1),
-             |  b -> md5(concat_ws('|',
-             |    slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands))))"""
-            .stripMargin))
-          .as(Seq("band", "bandhash")))
-    banded.as("x").join(banded.as("y"),
+    * candidates. Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * Scale path: shuffle O(docs × bands); the pair blow-up is quadratic
+    * ONLY within a bucket, so buckets larger than `maxBucket` members are
+    * dropped (web-crawl corpora have million-member exact-dup clusters —
+    * b² pairs from one bucket is a task-killer). Run [[exactDedup]] first
+    * so exact duplicates never reach the banding, and inspect what was
+    * dropped via [[lshOversizeBuckets]] (same arguments) — no silent caps.
+    * `maxBucket = 0` disables the guard. */
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String, bands: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    val banded = bandedSignatures(sigDf, idCol, bands)
+    val guarded =
+      if (maxBucket <= 0) banded
+      else {
+        val w = Window.partitionBy(col("band"), col("bandhash"))
+        banded.withColumn("__n", count(lit(1)).over(w))
+          .where(col("__n") <= maxBucket)
+          .drop("__n")
+      }
+    guarded.as("x").join(guarded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bandhash") === col("y.bandhash") &&
         col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
   }
+
+  /** The buckets [[lshCandidatePairs]] would drop at `maxBucket`, with
+    * their member counts — the audit/log surface for the hot-bucket guard. */
+  def lshOversizeBuckets(sigDf: DataFrame, idCol: String, bands: Int,
+      maxBucket: Int): DataFrame =
+    bandedSignatures(sigDf, idCol, bands)
+      .groupBy(col("band"), col("bandhash"))
+      .agg(count(lit(1)).as("members"))
+      .where(col("members") > maxBucket)
+
+  private def bandedSignatures(sigDf: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigDf.where(size(col("sig")) > 0)
+      .select(col(idCol).as("__id"),
+        posexplode(expr(bandHashExpr(bands))).as(Seq("band", "bandhash")))
 
   /** Exact word-set Jaccard for candidate pairs — the verify stage after
     * LSH banding. `pairs` has (id_a, id_b); returns pairs + jaccard ≥
@@ -87,12 +122,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification. */
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates
+    * (hot buckets guarded) → exact-Jaccard verification. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      maxBucket: Int = 4096): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, k).select(col(idCol), col("sig"))
-    val cands = lshCandidatePairs(sigs, idCol, bands)
+    val cands = lshCandidatePairs(sigs, idCol, bands, maxBucket)
     jaccardVerify(docs, idCol, textCol, cands, threshold)
   }
 
@@ -110,6 +146,52 @@ object Dedup {
       .agg(bits.as("simhash"))
   }
 
-  /** Hamming distance between two simhash columns. */
-  def hamming(a: Column, b: Column): Column = expr(s"bit_count(${a.toString} ^ ${b.toString})")
+  /** Pigeonhole band layout for simhash pairing: `maxHamming + 1` bands of
+    * near-equal width over `bits` bits → (band, startBit, width). Two values
+    * within hamming ≤ maxHamming must agree exactly on at least one band. */
+  def bandLayout(bits: Int, maxHamming: Int): Seq[(Int, Int, Int)] = {
+    val nBands = maxHamming + 1
+    require(bits >= nBands, s"need at least $nBands bits for maxHamming=$maxHamming")
+    val base = bits / nBands
+    val rem = bits % nBands
+    (0 until nBands).map { b =>
+      val start = b * base + math.min(b, rem)
+      val width = base + (if (b < rem) 1 else 0)
+      (b, start, width)
+    }
+  }
+
+  /** All pairs within hamming distance `maxHamming` of each other's simhash
+    * — as a pure EQUI-join (never a cartesian product): the `bits`-bit value
+    * is split into `maxHamming + 1` bit-bands ([[bandLayout]]); by
+    * pigeonhole, any pair within the distance shares at least one band
+    * verbatim, so candidates come from an equi-join on (band, band value)
+    * and the exact `bit_count(xor)` check filters false positives. Exact
+    * recall, shuffle O(docs × (maxHamming+1)).
+    *
+    * Input: (idCol, simhashCol: bigint). Output: (id_a, id_b, dist) with
+    * id_a < id_b. */
+  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int, bits: Int = 60): DataFrame = {
+    val bandStructs = bandLayout(bits, maxHamming).map { case (b, start, width) =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sh"), start).bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val banded = df
+      .select(col(idCol).as("__id"), col(simhashCol).as("__sh"))
+      .select(col("__id"), col("__sh"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("__id"), col("__sh"),
+        col("__b.band").as("band"), col("__b.bv").as("bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        hamming(col("x.__sh"), col("y.__sh")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      .distinct()
+  }
+
+  /** Hamming distance between two simhash columns — pure Column API (never
+    * string-interpolated SQL, which breaks on names needing backticks). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

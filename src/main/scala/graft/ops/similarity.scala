@@ -64,16 +64,34 @@ object Similarity {
           .stripMargin))
       .drop("__planes")
 
+  /** The probe's bucket plus its `nPlanes` 1-bit flips — standard 1-bit
+    * multiprobe: a true neighbor on the far side of ONE hyperplane lands in
+    * a bucket at hamming distance 1, so probing the flips recovers most of
+    * the recall lost to plane quantization while the corpus side stays
+    * hashed exactly once. Pure string algebra (portable to the SQL oracle). */
+  private def multiprobeBuckets(nPlanes: Int): String =
+    s"""transform(sequence(0, $nPlanes), i ->
+       |  CASE WHEN i = 0 THEN bucket
+       |       ELSE concat(substring(bucket, 1, i - 1),
+       |                   CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
+       |                   substring(bucket, i + 1)) END)""".stripMargin
+
   /** LSH cosine top-k: equi-join probes and corpus on the SRP bucket, rank
     * within bucket. Recall < 1 by construction (trades recall for a
     * shuffle-free equi-join); raise nPlanes for precision, lower for
-    * recall. */
+    * recall — or set `multiprobe = true` to additionally search every
+    * 1-bit-flipped probe bucket (≈(nPlanes+1)× candidates, recall recovered
+    * without rehashing the corpus). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int, dims: Int): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int, dims: Int,
+      multiprobe: Boolean = false): DataFrame = {
     val c = srpBucket(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv")), "__cv", nPlanes, dims)
       .withColumn("__cn", norm("__cv"))
-    val p = srpBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", nPlanes, dims)
+    val p0 = srpBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", nPlanes, dims)
       .withColumn("__pn", norm("__pv"))
+    val p =
+      if (!multiprobe) p0
+      else p0.withColumn("bucket", explode(expr(multiprobeBuckets(nPlanes))))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     p.join(c, p("bucket") === c("bucket") && col("probe_id") =!= col("cand_id"))
       .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))

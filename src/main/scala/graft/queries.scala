@@ -465,35 +465,54 @@ object Queries {
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
-  /** N-gram (word-set) Jaccard similarity over candidate pairs. */
+  /** N-gram Jaccard near-dup detection through the SCALE path
+    * (ops.Dedup.nearDupPairs): MinHash-LSH banded candidates → exact
+    * word-set Jaccard verify — never an all-pairs-by-token self-join (hot
+    * tokens make that quadratic at corpus scale). Planted near-dups (one
+    * word appended) must surface with jaccard ≥ 0.5; the oracle replays
+    * signature, banding and verification in SQL. */
   private val qJaccard = QueryDef(
     "q_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val dw = t(s, dir, "documents").where($"doc_id" < 15)
-        .select($"doc_id", explode(split($"text", " ")).as("word")).distinct()
-      val sz = dw.groupBy($"doc_id").agg(count("*").as("n"))
-      val ix = dw.as("a").join(dw.as("b"),
-          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .agg(count("*").as("inter"))
-      ix.join(sz.as("sa"), $"ida" === col("sa.doc_id"))
-        .join(sz.as("sb"), $"idb" === col("sb.doc_id"))
-        .withColumn("jac", $"inter".cast("double") / (col("sa.n") + col("sb.n") - $"inter"))
-        .where($"jac" >= 0.5)
-        .select($"ida", $"idb", round($"jac", 4).as("jaccard"))
-        .orderBy($"ida", $"idb")
+      val base = t(s, dir, "documents").where($"doc_id" < 50).select($"doc_id", $"text")
+      val corpus = base.union(base.select(($"doc_id" + 1000).as("doc_id"),
+        concat($"text", lit(" extra")).as("text")))
+      ops.Dedup.nearDupPairs(corpus, "doc_id", "text", k = 8, bands = 4, threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
-           |            FROM documents WHERE doc_id < 15),
-           |sz AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
-           |ix AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-           |       FROM dw a JOIN dw b ON a.word = b.word AND a.doc_id < b.doc_id
-           |       GROUP BY 1, 2)
-           |SELECT ida, idb, round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-           |FROM ix JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
-           |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-           |ORDER BY ida, idb""".stripMargin))
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+           |corpus AS (SELECT doc_id, text FROM base
+           |           UNION ALL SELECT doc_id + 1000, text || ' extra' FROM base),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+           |sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |             FROM w WHERE len(ws) >= 3)),
+           |sig AS (SELECT doc_id,
+           |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+           |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+           |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+           |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
+           |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+           |words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM corpus),
+           |j AS (SELECT id_a, id_b,
+           |    len(list_intersect(wa.wset, wb.wset)) AS inter,
+           |    len(list_distinct(list_concat(wa.wset, wb.wset))) AS uni
+           |  FROM cand JOIN words wa ON wa.doc_id = id_a
+           |            JOIN words wb ON wb.doc_id = id_b)
+           |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+           |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin))
 
   /** Document fingerprint: order-insensitive bag-of-words hash. */
   private val qFingerprint = QueryDef(
@@ -545,7 +564,11 @@ object Queries {
            |  ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id
            |ORDER BY id_a, id_b""".stripMargin))
 
-  /** SimHash hamming-distance pairs (near-dup detection by bit distance). */
+  /** SimHash hamming-distance pairs through the SCALE path
+    * (ops.Dedup.simhashPairs): pigeonhole bit-band EQUI-join — hamming ≤ 4
+    * guarantees at least one of 5 bit-bands matches verbatim — then exact
+    * bit_count verify. Exact recall, never a cartesian product (PlanSpec
+    * asserts it); the oracle replays the same banding. */
   private val qSimhashPairs = QueryDef(
     "q_simhash_pairs",
     (s, dir) => {
@@ -561,58 +584,110 @@ object Queries {
         .withColumn("hv", hv)
         .groupBy($"doc_id")
         .agg(bits.cast("bigint").as("sh"))
-      sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", expr("cast(bit_count(a.sh ^ b.sh) as int)"))
-        .where($"dist" <= 4)
-        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"), $"dist")
+      ops.Dedup.simhashPairs(sh, "doc_id", "sh", maxHamming = 4, bits = 16)
+        .select($"id_a".as("ida"), $"id_b".as("idb"), $"dist".cast("int").as("dist"))
         .orderBy($"ida", $"idb")
     },
     Some {
       val bits = (0 until 16).map(i =>
         s"(CASE WHEN sum(CASE WHEN (hv >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1 << i} ELSE 0 END)")
         .mkString(" + ")
+      // same pigeonhole layout as ops.Dedup.simhashPairs(bits=16, k=4)
+      val bandCase = "CASE bb " + ops.Dedup.bandLayout(16, 4)
+        .map { case (b, start, w) => s"WHEN $b THEN (sh >> $start) & ${(1L << w) - 1}" }
+        .mkString(" ") + " END"
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |           FROM documents WHERE doc_id < 100),
          |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM t),
-         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM h GROUP BY doc_id)
-         |SELECT a.doc_id AS ida, b.doc_id AS idb,
-         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 4
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM h GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sh, bb, $bandCase AS bv
+         |  FROM sh, (SELECT unnest(range(${ops.Dedup.bandLayout(16, 4).size})) AS bb))
+         |SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
+         |  CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+         |FROM banded x JOIN banded y
+         |  ON x.bb = y.bb AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sh, y.sh)) <= 4
          |ORDER BY ida, idb""".stripMargin
     })
 
+  /** Integer-quantized 4-plane/64-dim SRP bucket (md5-derived integer
+    * weights × floor(x*1000)) — the sign is exact in both engines. */
+  private val srpQuantBucket: String =
+    """concat_ws('', transform(sequence(0, 3), p ->
+      |  CASE WHEN aggregate(
+      |    zip_with(
+      |      transform(sequence(0, 63), d ->
+      |        cast(conv(substring(md5(concat('plane', p, ':', d)), 1, 6), 16, 10) as bigint) - 8388608),
+      |      embedding,
+      |      (w, x) -> w * cast(floor(cast(x as double) * 1000) as bigint)),
+      |    0L, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin
+
+  /** DuckDB replay of [[srpQuantBucket]] as CTEs ending in bk(vec_id, bucket). */
+  private def srpOracleCtes(maxVec: Int): String =
+    s"""planes AS (SELECT p, d,
+       |    ('0x' || substr(md5('plane' || p || ':' || d), 1, 6))::BIGINT - 8388608 AS w
+       |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
+       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxVec),
+       |dots AS (SELECT vec_id, p,
+       |    sum(w * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT)) AS dp
+       |  FROM v, planes GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |    string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+
   /** Sign-random-projection LSH bucketing over embeddings — the ANN scale
-    * path's hash stage, integer-quantized (md5-derived integer weights ×
-    * floor(x*1000)) so the sign is exact in both engines. */
+    * path's hash stage. */
   private val qSrpBuckets = QueryDef(
     "q_embed_srp_buckets",
     (s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
         .where($"vec_id" < 100)
-        .select($"vec_id", expr(
-          """concat_ws('', transform(sequence(0, 3), p ->
-            |  CASE WHEN aggregate(
-            |    zip_with(
-            |      transform(sequence(0, 63), d ->
-            |        cast(conv(substring(md5(concat('plane', p, ':', d)), 1, 6), 16, 10) as bigint) - 8388608),
-            |      embedding,
-            |      (w, x) -> w * cast(floor(cast(x as double) * 1000) as bigint)),
-            |    0L, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin)
-          .as("bucket"))
+        .select($"vec_id", expr(srpQuantBucket).as("bucket"))
         .orderBy($"vec_id")
     },
-    Some("""WITH planes AS (SELECT p, d,
-           |    ('0x' || substr(md5('plane' || p || ':' || d), 1, 6))::BIGINT - 8388608 AS w
-           |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
-           |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
-           |dots AS (SELECT vec_id, p,
-           |    sum(w * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT)) AS dp
-           |  FROM v, planes GROUP BY 1, 2)
-           |SELECT vec_id,
-           |  string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-           |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+    Some(s"""WITH ${srpOracleCtes(100)}
+            |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin))
+
+  /** 1-bit multiprobe ANN (ops.Similarity.lshTopK multiprobe analog on the
+    * quantized surface): each probe searches its own SRP bucket plus every
+    * 1-bit-flipped bucket — the corpus is hashed once, the join stays a
+    * pure equi-join, and recall recovers without lowering nPlanes. Output:
+    * candidate count per probe (integer — exact in both engines). */
+  private val qEmbedMultiprobe = QueryDef(
+    "q_embed_multiprobe",
+    (s, dir) => {
+      import s.implicits._
+      val bk = t(s, dir, "embeddings")
+        .where($"vec_id" < 300)
+        .select($"vec_id", expr(srpQuantBucket).as("bucket"))
+      val probes = bk.where($"vec_id" < 3)
+        .select($"vec_id".as("probe"), $"bucket")
+        .withColumn("pb", explode(expr(
+          """transform(sequence(0, 4), i ->
+            |  CASE WHEN i = 0 THEN bucket
+            |       ELSE concat(substring(bucket, 1, i - 1),
+            |                   CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
+            |                   substring(bucket, i + 1)) END)""".stripMargin)))
+        .select($"probe", $"pb")
+      broadcast(probes).join(bk.as("c"),
+          $"pb" === col("c.bucket") && $"probe" =!= col("c.vec_id"))
+        .groupBy($"probe")
+        .agg(countDistinct(col("c.vec_id")).as("n_cand"))
+        .orderBy($"probe")
+    },
+    Some(s"""WITH ${srpOracleCtes(300)},
+            |probes AS (SELECT vec_id AS probe, bucket FROM bk WHERE vec_id < 3),
+            |mp AS (SELECT probe,
+            |    CASE WHEN i = 0 THEN bucket
+            |         ELSE substr(bucket, 1, i - 1) ||
+            |           (CASE WHEN substr(bucket, i, 1) = '1' THEN '0' ELSE '1' END) ||
+            |           substr(bucket, i + 1) END AS pb
+            |  FROM probes, (SELECT unnest(range(5)) AS i))
+            |SELECT probe, CAST(count(DISTINCT c.vec_id) AS BIGINT) AS n_cand
+            |FROM mp JOIN bk c ON c.bucket = mp.pb AND c.vec_id <> mp.probe
+            |GROUP BY probe ORDER BY probe""".stripMargin))
 
   /** BPE-ish subword count estimate (ops.TextStats.subwordEstimate). */
   private val qSubword = QueryDef(
@@ -1025,8 +1100,8 @@ object Queries {
     qJson, qTime, qExplode, qReassembly, qDistinct, qExcept, qScalar,
     qSalted, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
-    qLshPairs, qSimhashPairs, qSrpBuckets, qSubword, qMediaFrames,
-    qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
+    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qSubword,
+    qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
     qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

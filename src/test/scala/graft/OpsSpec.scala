@@ -63,7 +63,78 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("simhashPairs (pigeonhole banded equi-join) finds EXACTLY the brute-force hamming pairs") {
+    val docs = documents.select($"doc_id", $"text").where($"doc_id" < 60)
+    val sh = ops.Dedup.simhash(docs, "doc_id", "text")
+    val vals = sh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- vals; (ib, sb) <- vals
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    val banded = ops.Dedup.simhashPairs(sh, "doc_id", "simhash", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded recall/precision mismatch: ${banded.size} vs ${brute.size}")
+  }
+
+  test("simhashPairs plans an equi-join, never a cartesian product") {
+    val sh = ops.Dedup.simhash(
+      documents.select($"doc_id", $"text").where($"doc_id" < 30), "doc_id", "text")
+    val p = ops.Dedup.simhashPairs(sh, "doc_id", "simhash", 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("hamming is pure Column API (works on names needing backticks)") {
+    val df = Seq((1L, 5L, 6L)).toDF("id", "sig a", "sig b")
+    val d = df.select(ops.Dedup.hamming(col("sig a"), col("sig b")).as("d"))
+      .head().get(0).asInstanceOf[Number].intValue()
+    assert(d == 2) // 5 ^ 6 = 3 → two bits
+  }
+
+  test("lshCandidatePairs hot-bucket guard bounds exact-dup cluster blowup") {
+    // 1000 identical docs (the common web-crawl case) + 30 distinct docs:
+    // without a guard the cluster self-joins to ~500k pairs in one task
+    val dupes = spark.range(1000).select(($"id" + 100000L).as("doc_id"),
+      lit("same words the and of to in every copy here").as("text"))
+    val corpus = documents.select($"doc_id", $"text").where($"doc_id" < 30)
+      .unionByName(dupes)
+    val sigs = ops.Dedup.minhashSignatures(corpus, "text", 8).select($"doc_id", $"sig")
+    val capped = ops.Dedup.lshCandidatePairs(sigs, "doc_id", 4, maxBucket = 100)
+    assert(capped.where($"id_a" >= 100000L).count() == 0,
+      "oversize exact-dup bucket must be dropped by the guard")
+    // and the drop is observable, not silent
+    val dropped = ops.Dedup.lshOversizeBuckets(sigs, "doc_id", 4, 100).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 1000L))
+  }
+
+  test("final LSH band absorbs the signature remainder (no silently dropped values)") {
+    // bands=3 over k=8 → widths 2,2,4: the last band covers positions 5..8
+    val sigs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("x", "y", "z", "w", "e", "f", "G", "H")) // equal ONLY at 5,6
+    ).toDF("doc_id", "sig")
+    // a 2-wide final band (old behavior: values 7,8 dropped) would falsely pair them
+    assert(ops.Dedup.lshCandidatePairs(sigs, "doc_id", 3).count() == 0)
+    val sigs2 = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("x", "y", "z", "w", "e", "f", "g", "h")) // equal at 5..8
+    ).toDF("doc_id", "sig")
+    assert(ops.Dedup.lshCandidatePairs(sigs2, "doc_id", 3).count() == 1)
+  }
+
   // ---- similarity ----
+
+  test("multiprobe lshTopK candidates are a strict superset of single-bucket candidates") {
+    val probes = embeddings.where($"vec_id" < 10)
+    def cands(mp: Boolean) = ops.Similarity.lshTopK(embeddings, probes,
+        "vec_id", "embedding", k = 1000, nPlanes = 4, dims = 64, multiprobe = mp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = cands(false)
+    val multi = cands(true)
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, "multiprobe should recover extra candidates")
+  }
 
   test("brute-force cosine top-k: self-similar planted vector ranks first") {
     val probes = embeddings.where($"vec_id" < 5)

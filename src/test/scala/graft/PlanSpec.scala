@@ -57,6 +57,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup pair queries avoid cartesian/nested-loop joins") {
+    // q_simhash_pairs was a BroadcastNestedLoopJoin in round 1 — O(n²);
+    // both near-dup surfaces must stay banded equi-joins at any scale
+    Seq("q_simhash_pairs", "q_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a product join:\n${p.take(600)}")
+    }
+  }
+
   test("extraction has exactly one exchange (the bucket range partitioning)") {
     import spark.implicits._
     val docs = spark.createDataset((0L until 100L).map(DocGen.docFor))
