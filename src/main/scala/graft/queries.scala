@@ -251,6 +251,52 @@ object Queries {
            |  CAST(count(DISTINCT lang) AS BIGINT) AS langs,
            |  CAST(count(*) AS BIGINT) AS n FROM documents""".stripMargin))
 
+  /** approx_count_distinct (HLL) surface. The two engines run DIFFERENT
+    * sketches, so the estimates themselves can never hash-match; each side
+    * instead asserts ITS OWN estimate against the exact count (tight 5%
+    * band for small cardinalities where HLL sparse mode is near-exact, 15%
+    * for doc_id) and emits the booleans + exact counts — an oracle-checkable
+    * contract for an approximate operator. */
+  private val qApproxDistinct = QueryDef(
+    "q_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .agg(
+          countDistinct($"source").as("srcs_exact"),
+          countDistinct($"lang").as("langs_exact"),
+          (abs(approx_count_distinct($"source") - countDistinct($"source")).cast("double")
+            <= countDistinct($"source").cast("double") * 0.05).as("src_approx_ok"),
+          (abs(approx_count_distinct($"doc_id") - countDistinct($"doc_id")).cast("double")
+            <= countDistinct($"doc_id").cast("double") * 0.15).as("doc_approx_ok"))
+    },
+    Some("""SELECT CAST(count(DISTINCT source) AS BIGINT) AS srcs_exact,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS langs_exact,
+           |  CAST(abs(approx_count_distinct(source) - count(DISTINCT source)) AS DOUBLE)
+           |    <= CAST(count(DISTINCT source) AS DOUBLE) * 0.05 AS src_approx_ok,
+           |  CAST(abs(approx_count_distinct(doc_id) - count(DISTINCT doc_id)) AS DOUBLE)
+           |    <= CAST(count(DISTINCT doc_id) AS DOUBLE) * 0.15 AS doc_approx_ok
+           |FROM documents""".stripMargin))
+
+  /** Full grouping-sets surface: cube(lang, source) with grouping_id. */
+  private val qCube = QueryDef(
+    "q_agg_cube",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .cube($"lang", $"source")
+        .agg(count("*").as("n"), sum($"n_chars").as("chars"),
+          grouping_id().cast("bigint").as("gid"))
+        .select(coalesce($"lang", lit("ALL")).as("lang"),
+          coalesce($"source", lit("ALL")).as("source"), $"gid", $"n", $"chars")
+        .orderBy($"gid", $"lang", $"source")
+    },
+    Some("""SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+           |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY CUBE(lang, source)
+           |ORDER BY gid, lang, source""".stripMargin))
+
   /** Set ops: distinct EXCEPT (sources minus low-volume sources). */
   private val qExcept = QueryDef(
     "q_set_except",
@@ -1097,7 +1143,8 @@ object Queries {
 
   val all: Seq[QueryDef] = Seq(
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
-    qJson, qTime, qExplode, qReassembly, qDistinct, qExcept, qScalar,
+    qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
+    qExcept, qScalar,
     qSalted, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qSubword,
