@@ -98,4 +98,87 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cosine"), row_number().over(w).as("rn"))
       .where(col("rn") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path beside SRP-LSH: a
+  // coarse quantizer assigns every corpus vector to its nearest centroid
+  // once (narrow map against a broadcast centroid literal); a probe
+  // searches only its nProbe nearest centroid cells, so the search is a
+  // pure EQUI-join on centroid id — never a cross join. Centroid seeds are
+  // a deterministic md5-ordered sample (no RNG state), optionally refined
+  // with Lloyd iterations computed as Spark aggregations (explode dims →
+  // per-(cell, dim) mean); the centroid table is tiny and lives on the
+  // driver / in the closure, exactly like qetch's broadcast registry.
+  // ------------------------------------------------------------------
+
+  /** Squared-L2 rank list over the `__cents` literal column: SQL for an
+    * array of struct(d, i) sorted ascending — element [0] is the nearest
+    * centroid, ties broken by centroid index (deterministic). */
+  private def centRanksSql(nCents: Int, vecCol: String): String =
+    s"""array_sort(transform(sequence(0, ${nCents - 1}), i ->
+       |  named_struct('d',
+       |    aggregate(zip_with(element_at(__cents, i + 1), $vecCol,
+       |      (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
+       |      0D, (acc, v) -> acc + v),
+       |    'i', i)))""".stripMargin
+
+  /** Deterministic centroid seeds: the `n` corpus vectors first in
+    * md5(id) order (a seedless, reproducible pseudo-random sample). */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, n: Int): Seq[Seq[Double]] =
+    corpus.select(col(vecCol).cast("array<double>").as("__v"),
+        md5(col(idCol).cast("string")).as("__o"))
+      .orderBy(col("__o")).limit(n)
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** `iters` Lloyd refinements of `cents` over the corpus: assign → mean
+    * per (cell, dim) → rebuild. Each iteration is one narrow assign + one
+    * groupBy((cell, dim)) aggregation; the centroid table itself stays
+    * driver-side (nCentroids × dims doubles — config-sized, like the
+    * extractor registry). Empty cells keep their previous centroid. */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    var cur = cents
+    (0 until iters).foreach { _ =>
+      val assigned = corpus
+        .withColumn("__cents", typedLit(cur))
+        .withColumn("__cell", expr(s"(${centRanksSql(cur.length, vecCol)})[0].i"))
+        .select(col("__cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cur = cur.zipWithIndex.map { case (c, cell) =>
+        c.indices.map(d => assigned.getOrElse((cell, d), c(d)))
+      }
+    }
+    cur
+  }
+
+  /** IVF cosine top-k: corpus assigned to its nearest centroid cell once;
+    * each probe explodes to its `nProbe` nearest cells; candidates come
+    * from an equi-join on the cell id and are ranked by exact cosine.
+    * Recall grows with nProbe (nProbe = nCentroids ⇒ exact search). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+      lloydIters: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val cents = refineCentroids(
+      corpus, vecCol, seedCentroids(corpus, idCol, vecCol, nCentroids), lloydIters)
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("__cell", expr(s"(${centRanksSql(cents.length, "__cv")})[0].i"))
+      .withColumn("__cn", norm("__cv"))
+      .drop("__cents")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__cents", typedLit(cents))
+      .withColumn("__cell", explode(expr(
+        s"transform(slice(${centRanksSql(cents.length, "__pv")}, 1, $nProbe), s -> s.i)")))
+      .withColumn("__pn", norm("__pv"))
+      .drop("__cents")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
+    p.join(c, p("__cell") === c("__cell") && col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))
+      .select(col("probe_id"), col("cand_id"), col("cosine"), row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
 }

@@ -735,6 +735,51 @@ object Queries {
             |FROM mp JOIN bk c ON c.bucket = mp.pb AND c.vec_id <> mp.probe
             |GROUP BY probe ORDER BY probe""".stripMargin))
 
+  /** IVF (inverted-file) ANN on the quantized surface: 8 deterministic
+    * centroid seeds (stride-sampled corpus vectors), every vector assigned
+    * to its nearest cell by exact integer squared-L2 (argmin, tie → lowest
+    * centroid id), probes search their 2 nearest cells — the assignment
+    * compares each vector to the tiny broadcast centroid set (the correct
+    * IVF shape), the SEARCH is a pure equi-join on cell id. */
+  private val qEmbedIvf = QueryDef(
+    "q_embed_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "embeddings").where($"vec_id" < 300)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      val cents = q.where($"vec_id" % 20 === 0 && $"vec_id" < 160)
+        .select($"vec_id".as("cid"), $"qv".as("cv"))
+      val sq = expr("aggregate(zip_with(cv, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+      val wv = Window.partitionBy($"vec_id").orderBy($"sqd".asc, $"cid".asc)
+      val ranked = q.crossJoin(broadcast(cents))
+        .withColumn("sqd", sq)
+        .withColumn("rk", row_number().over(wv))
+      val cells = ranked.where($"rk" === 1).select($"vec_id".as("cand"), $"cid".as("cell"))
+      val probeCells = ranked.where($"vec_id" < 3 && $"rk" <= 2)
+        .select($"vec_id".as("probe"), $"cid".as("cell"))
+      probeCells.join(cells, Seq("cell"))
+        .where($"probe" =!= $"cand")
+        .groupBy($"probe").agg(countDistinct($"cand").as("n_cand"))
+        .orderBy($"probe")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 300),
+           |cents AS (SELECT vec_id AS cid, qv AS cv FROM q
+           |          WHERE vec_id % 20 = 0 AND vec_id < 160),
+           |d AS (SELECT q.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(q.qv)),
+           |      j -> (cents.cv[j+1] - q.qv[j+1]) * (cents.cv[j+1] - q.qv[j+1]))) AS sqd
+           |  FROM q, cents),
+           |r AS (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk FROM d),
+           |cells AS (SELECT vec_id AS cand, cid AS cell FROM r WHERE rk = 1),
+           |pc AS (SELECT vec_id AS probe, cid AS cell FROM r WHERE vec_id < 3 AND rk <= 2)
+           |SELECT probe, CAST(count(DISTINCT cand) AS BIGINT) AS n_cand
+           |FROM pc JOIN cells USING (cell) WHERE probe <> cand
+           |GROUP BY probe ORDER BY probe""".stripMargin))
+
   /** BPE-ish subword count estimate (ops.TextStats.subwordEstimate). */
   private val qSubword = QueryDef(
     "q_token_subword",
@@ -1147,8 +1192,8 @@ object Queries {
     qExcept, qScalar,
     qSalted, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
-    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qSubword,
-    qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
+    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
+    qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
     qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

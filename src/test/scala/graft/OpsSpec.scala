@@ -174,6 +174,24 @@ class OpsSpec extends AnyFunSuite {
     assert(sizes.max < b1.size, "all vectors in one bucket = useless hash")
   }
 
+  test("IVF top-k: planted self-probes are found through their cell; search is cell-pruned") {
+    val probes = embeddings.where($"vec_id" < 5)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val topk = ops.Similarity.ivfTopK(embeddings, probes, "vec_id", "embedding",
+      k = 3, nCentroids = 8, nProbe = 2, lloydIters = 1).collect()
+    (0L until 5L).foreach { i =>
+      val r1 = topk.find(r => r.getLong(0) == i + 100000 && r.getInt(3) == 1).get
+      assert(r1.getLong(1) == i, s"probe ${i + 100000} rank1 = ${r1.getLong(1)}")
+      assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    }
+    // pruning: with nProbe=2 of 8 cells, candidates per probe ≪ corpus
+    val cands = ops.Similarity.ivfTopK(embeddings, probes, "vec_id", "embedding",
+      k = 100000, nCentroids = 8, nProbe = 2, lloydIters = 1).count()
+    val corpusN = embeddings.count()
+    assert(cands > 0 && cands < 5 * corpusN,
+      s"expected cell-pruned candidates, got $cands of ${5 * corpusN}")
+  }
+
   // ---- media ----
 
   test("media decode plumbing: schema, determinism, frame sampling") {

@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("extract_spans participates in whole-stage codegen (no fallback boundary)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cg_").toString
+    spark.createDataset((0L until 50L).map(DocGen.docFor)).toDF()
+      .write.mode("overwrite").parquet(tmp)
+    val df = plans.GraftFunctions.extractColumnar(spark.read.parquet(tmp))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // round 1 the expression was CodegenFallback → interpreted Project;
+    // with doGenCode the Project over the scan must be a codegen span (*(n))
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(600))
+  }
+
   test("extraction has exactly one exchange (the bucket range partitioning)") {
     import spark.implicits._
     val docs = spark.createDataset((0L until 100L).map(DocGen.docFor))
