@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2B "Streaming").
   *
@@ -53,6 +53,40 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Streaming extraction through the NATIVE `extract_spans` expression —
+    * the columnar fast path works unchanged under incremental execution
+    * (Catalyst expressions are engine-agnostic between batch and
+    * micro-batch plans). */
+  def extractStreamNative(spark: SparkSession, inDir: String, schemaFrom: DataFrame): DataFrame = {
+    val raw = spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(inDir)
+    graft.plans.GraftFunctions.extractColumnar(raw)
+  }
+
+  /** Streaming keep-first exact dedup — the custom-state surface
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): state per content key
+    * is a single "seen" flag; the FIRST payload per key across all
+    * micro-batches is emitted, later duplicates are suppressed. Within one
+    * batch the minimum payload wins (deterministic under shuffle order).
+    * State is bounded: one boolean per distinct key, partitioned by key —
+    * at 100 TB pair with a TTL (GroupStateTimeout) or a pre-pass batch
+    * dedup per ingest window. */
+  def firstSeen(kv: Dataset[(String, String)]): Dataset[(String, String)] = {
+    import kv.sparkSession.implicits._
+    kv.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((key, rows.map(_._2).min))
+          }
+      }
   }
 
   /** Watermarked tumbling-window counts per event_type over a timestamped

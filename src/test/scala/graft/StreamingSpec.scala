@@ -43,6 +43,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native extract_spans runs unchanged under incremental execution (stream == oracle)") {
+    val in = Files.createTempDirectory("graft_nstream_in_").toString
+    val out = Files.createTempDirectory("graft_nstream_out_").toString
+    val ckpt = Files.createTempDirectory("graft_nstream_ckpt_").toString
+    val schemaFrom = spark.createDataset(Seq(DocGen.docFor(0L))).toDF()
+    spark.createDataset((0L until 150L).map(DocGen.docFor)).toDF()
+      .write.mode("append").parquet(in)
+    val q = streaming.EventStream.extractStreamNative(spark, in, schemaFrom)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = spark.read.parquet(out).as[ExtractedDoc].collect().map(d => d.doc_id -> d).toMap
+    assert(byId.size == 150)
+    (0L until 150L).map(DocGen.docFor).foreach { d =>
+      val exp = ReferenceOracle.extract(d)
+      assert(byId(d.doc_id).spans.map(s => (s.kind, s.text, s.media_ref)) ==
+        exp.spans.map(s => (s.kind, s.text, s.media_ref)), s"mismatch ${d.doc_id}")
+    }
+  }
+
+  test("flatMapGroupsWithState streaming dedup keeps the first payload per key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = streaming.EventStream.firstSeen(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    mem.addData(("h1", "doc_b"), ("h1", "doc_a"), ("h2", "doc_c"))
+    q.processAllAvailable()
+    mem.addData(("h1", "doc_z"), ("h3", "doc_d")) // h1 already seen → suppressed
+    q.processAllAvailable()
+    val rows = spark.sql("select * from dedup_test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("h1", "doc_a"), ("h2", "doc_c"), ("h3", "doc_d")), rows.toString)
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
