@@ -352,6 +352,27 @@ object Queries {
            |  CAST(sum(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Skew-safe JOIN (ops.Skew.saltedJoin): the zipf-hot big side is salted
+    * k ways, the dimension side replicated k× — result-identical to the
+    * plain join the oracle runs, but each hot key spreads over k reducers. */
+  private val qSaltedJoin = QueryDef(
+    "q_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+      val dims = docs.select($"source").distinct()
+        .withColumn("grp", substring($"source", 4, 10).cast("int") % 4)
+      ops.Skew.saltedJoin(docs, dims, "source", 8)
+        .groupBy($"grp").agg(count("*").as("n"), sum($"n_chars").as("chars"))
+        .orderBy($"grp")
+    },
+    Some("""WITH dims AS (SELECT DISTINCT source,
+           |    CAST(substr(source, 4) AS INT) % 4 AS grp FROM documents)
+           |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars
+           |FROM documents JOIN dims USING (source)
+           |GROUP BY grp ORDER BY grp""".stripMargin))
+
   /** O13 as a distributed group-by: exploded (pos, word) rows re-assembled
     * into the original document — order carried by data (pos), restored by
     * in-row array_sort after collect_list; exactly the fragment-merge
@@ -1190,7 +1211,7 @@ object Queries {
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar,
-    qSalted, qReassembleGroupBy, qSessionize, qAuthGate,
+    qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,

@@ -46,6 +46,24 @@ class SkewSpec extends AnyFunSuite {
       s"maxSalted=$maxSalted maxPlain=$maxPlain")
   }
 
+  test("salted join equals plain join and splits the hot key across reducers") {
+    // big side: zipf-skewed domains (src0 hot); small side: per-domain config
+    val big = docs.select($"doc_id", $"domain")
+    val dims = docs.select($"domain").distinct()
+      .withColumn("policy", concat(lit("p_"), $"domain"))
+    val plain = big.join(dims, Seq("domain"))
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    val salted = ops.Skew.saltedJoin(big, dims, "domain", k = 16)
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    assert(salted == plain)
+    // the hot key's rows now spread over k (domain, salt) groups
+    val spread = big
+      .withColumn("__salt", pmod(hash(struct(big.columns.map(col): _*)), lit(16)))
+      .where($"domain" === "src0")
+      .select($"__salt").distinct().count()
+    assert(spread >= 12, s"hot key should hit most of the 16 salt groups, got $spread")
+  }
+
   test("extraction output is identical with and without domain skew in the input order") {
     // shuffle input rows (skewed domains clumped vs spread) — output set invariant
     val base = ExtractJob.transform(docs.as[RawDoc], 8)
