@@ -21,4 +21,4 @@ exec /opt/spark/bin/spark-submit \
   --conf spark.sql.extensions=graft.plans.GraftExtensions \
   --driver-memory "${SPARK_DRIVER_MEM:-8g}" \
   target/scala-2.13/qetchspark_2.13-0.1.0.jar \
-  "$TABLE_DIR" "$N_DOCS"
+  "$TABLE_DIR" "$N_DOCS" "${@:4}"
