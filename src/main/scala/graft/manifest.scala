@@ -121,6 +121,12 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     val snap = head().getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
+    // a non-empty bucket without file lineage would silently under-read —
+    // fail loudly instead (only hand-edited / pre-lineage manifests can
+    // produce this state; zero-row buckets legitimately carry no files)
+    val missing = sel.filter(b => b.rows > 0 && b.files.isEmpty)
+    require(missing.isEmpty,
+      s"snapshot ${snap.id} lacks file lineage for buckets ${missing.map(_.bucket).mkString(",")}")
     val files = sel.flatMap(_.files)
     val reader = spark.read.option("basePath", dataDir.toString)
     if (files.nonEmpty) reader.parquet(files: _*)
