@@ -1114,6 +1114,39 @@ object Queries {
        |    FROM feat GROUP BY doc_id) r USING (doc_id))""".stripMargin
   }
 
+  /** Staged JSONL dump of the first 200 corpus docs (interchange format). */
+  private val jsonlPath = s"$corpusDir/docs_jsonl"
+  private def stagedJsonl(s: SparkSession): String = Queries.synchronized {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$jsonlPath/_SUCCESS")))
+      Sources.toJsonl(stagedCorpus(s).where(col("doc_id") < SmallDocMax), jsonlPath)
+    jsonlPath
+  }
+
+  /** JSONL document ingestion (Sources.fromJsonl — qetch's JSON-API-payload
+    * analog): declared schema, FAILFAST, portable md5-derived bucket; the
+    * oracle reads the same files via DuckDB read_json. */
+  private val qSourceJsonl = QueryDef(
+    "q_source_jsonl",
+    (s, _) => {
+      import s.implicits._
+      val path = stagedJsonl(s)
+      Sources.fromJsonl(s, path)
+        .groupBy($"bucket")
+        .agg(count("*").as("docs"), sum(size($"spans")).as("spans"),
+          countDistinct($"domain").as("domains"))
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, domain, spans,
+            |    CAST(('0x' || substr(md5(doc_id), 1, 6))::BIGINT % ${DocGen.NumBuckets} AS INT) AS bucket
+            |  FROM read_json('$jsonlPath/*.txt',
+            |    format = 'newline_delimited',
+            |    columns = {doc_id: 'VARCHAR', domain: 'VARCHAR',
+            |      spans: 'STRUCT(kind VARCHAR, "text" VARCHAR, media_ref VARCHAR, "offset" INTEGER)[]'}))
+            |SELECT bucket, CAST(count(*) AS BIGINT) AS docs,
+            |  CAST(sum(len(spans)) AS BIGINT) AS spans,
+            |  CAST(count(DISTINCT domain) AS BIGINT) AS domains
+            |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   /** Full extraction over the staged corpus (typed mapPartitions path):
     * per-extractor rollup, now oracle-checked end to end. */
   private val qExtract = QueryDef(
@@ -1215,7 +1248,7 @@ object Queries {
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
-    qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
+    qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

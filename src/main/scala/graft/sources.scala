@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document ingestion sources (SURVEY.md §2B "Scans / sources / sinks").
+  *
+  * Reference analog: qetch's extractors consume JSON API payloads
+  * (qetch/fourchan.py::handle_thread parses `a.4cdn.org/...thread.json`;
+  * gfycat.py parses `api.gfycat.com` JSON) — the engine-side equivalent is
+  * ingesting JSON-lines document dumps into the canonical
+  * `(doc_id, spans[], domain, bucket)` table. The schema is DECLARED, never
+  * inferred (schema inference is a full extra pass over 100 TB).
+  *
+  * Bucketing at ingest uses a portable md5-derived bucket (identical in
+  * any engine, incl. the DuckDB oracle) rather than an engine-native hash:
+  * bucket = int(md5(doc_id)[0:6] as hex) mod NumBuckets.
+  */
+object Sources {
+
+  val spanType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("media_ref", StringType, nullable = false),
+    StructField("offset", IntegerType, nullable = false)))
+
+  /** Declared JSONL schema: {"doc_id":…, "domain":…, "spans":[{kind,text,media_ref,offset}…]} */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("domain", StringType, nullable = false),
+    StructField("spans", ArrayType(spanType, containsNull = false), nullable = false)))
+
+  /** Portable ingest-side bucket (same value in Spark and DuckDB). */
+  def md5Bucket(c: org.apache.spark.sql.Column, buckets: Int = DocGen.NumBuckets) =
+    pmod(conv(substring(md5(c), 1, 6), 16, 10).cast("int"), lit(buckets))
+
+  /** Ingest a JSON-lines dump into the canonical document table. One
+    * narrow scan: JSON parse + bucket column, no shuffle (the write side
+    * decides layout). Corrupt lines fail fast (FAILFAST) — at ingest time
+    * silent row drops are data loss. */
+  def fromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(docSchema)
+      .option("mode", "FAILFAST")
+      .json(path)
+      .withColumn("bucket", md5Bucket(col("doc_id")))
+
+  /** Dump a document table as JSONL (the inverse, for interchange). */
+  def toJsonl(docs: DataFrame, path: String): Unit =
+    docs.select(to_json(struct(col("doc_id"), col("domain"), col("spans"))).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion sources: JSONL round-trip must preserve doc ids and exact
+  * span sequences under the declared (never inferred) schema. */
+class SourcesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("JSONL round-trip preserves doc_id and span sequences; portable bucket in range") {
+    val docs = spark.createDataset((0L until 100L).map(DocGen.docFor)).toDF()
+    val dir = Files.createTempDirectory("graft_jsonl_").toString
+    Sources.toJsonl(docs, dir)
+    val back = Sources.fromJsonl(spark, dir)
+    assert(back.count() == 100)
+    val a = docs.as[RawDoc].collect().map(d => d.doc_id -> d.spans.toList).toMap
+    val b = back.select($"doc_id", $"spans").as[(String, Seq[RawSpan])]
+      .collect().map { case (id, ss) => id -> ss.toList }.toMap
+    (0L until 100L).foreach { i =>
+      val id = DocGen.docId(i)
+      assert(a(id) == b(id), s"span mismatch after JSONL round-trip for $id")
+    }
+    assert(back.where($"bucket" < 0 || $"bucket" >= DocGen.NumBuckets).count() == 0)
+  }
+
+  test("FAILFAST ingest rejects corrupt lines instead of dropping them") {
+    val dir = Files.createTempDirectory("graft_jsonl_bad_").toString
+    Files.writeString(java.nio.file.Path.of(dir, "part-0.txt"),
+      """{"doc_id":"d1","domain":"src0","spans":[]}""" + "\n" + "{not json}\n")
+    val ex = intercept[Exception] {
+      Sources.fromJsonl(spark, dir).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.toString.toLowerCase.contains("malformed")) ||
+      ex.toString.contains("FAILFAST") || ex.getMessage.contains("Malformed"))
+  }
+}
