@@ -147,6 +147,55 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       .map(_.getPath.toString).sorted
   }
 
+  /** Snapshot by id (must exist on disk). */
+  def snapshotById(id: Int): Snapshot = readSnap(new Path(meta, s"snap-$id.json"))
+
+  /** CDC-lite: bucket states in HEAD that differ from snapshot `sinceId`
+    * (new bucket, different rows/watermark/files). Consumers incrementally
+    * reprocess exactly these. */
+  def changedBuckets(sinceId: Int): Seq[BucketState] = {
+    val old = snapshotById(sinceId).buckets.map(b => b.bucket -> b).toMap
+    head().map(_.buckets.filterNot(b => old.get(b.bucket).contains(b))).getOrElse(Nil)
+  }
+
+  /** Delete all snapshot files except the newest `keepLast` (HEAD target is
+    * always kept). Returns deleted file names. Parent pointers of kept
+    * snapshots may reference expired ids — by design (Iceberg semantics):
+    * history is pruned, current state is complete in one file. */
+  def expireSnapshots(keepLast: Int): Seq[String] = {
+    require(keepLast >= 1)
+    if (!fs.exists(meta)) return Nil
+    val snaps = fs.listStatus(meta).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .sortBy(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+    val current = head().map(s => s"snap-${s.id}.json").toSet
+    val drop = snaps.dropRight(keepLast).filterNot(current)
+    drop.foreach(n => fs.delete(new Path(meta, n), false))
+    drop
+  }
+
+  /** Parquet files under data/ NOT referenced by the current snapshot —
+    * left behind by compaction or crashed writes; safe to delete once no
+    * reader pins an expired snapshot. */
+  def orphanFiles(): Seq[String] = {
+    val referenced = head().map(_.buckets.flatMap(_.files).toSet).getOrElse(Set.empty)
+    if (!fs.exists(dataDir)) return Nil
+    val it = fs.listFiles(dataDir, true)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) all += st.getPath.toString
+    }
+    (all.toSet -- referenced).toSeq.sorted
+  }
+
+  /** Delete orphan data files (post-compaction GC). Returns what was removed. */
+  def removeOrphans(): Seq[String] = {
+    val orphans = orphanFiles()
+    orphans.foreach(f => fs.delete(new Path(f), false))
+    orphans
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -66,7 +66,8 @@ object ExtractJob {
       tableDir: String,
       runId: String,
       resume: Boolean = true,
-      native: Boolean = false): Manifest.Snapshot = {
+      native: Boolean = false,
+      numPartitions: Int = 0): Manifest.Snapshot = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
@@ -78,10 +79,13 @@ object ExtractJob {
 
     // partition-pruning filter: with a parquet source partitioned by bucket
     // this prunes directories; with a generated Dataset it's a cheap filter.
+    // at real scale a bucket spans MANY partitions (numPartitions ≫ buckets
+    // → multiple files per bucket dir; compact() merges them later)
+    val parts = if (numPartitions > 0) numPartitions else pending.length
     val pendingDocs = docs.where($"bucket".isin(pending: _*)).as[RawDoc]
     val extracted =
       if (native) plans.GraftFunctions.extractColumnar(pendingDocs.toDF())
-      else transform(pendingDocs, numPartitions = pending.length).toDF()
+      else transform(pendingDocs, numPartitions = parts).toDF()
 
     extracted
       .write.mode("overwrite")
@@ -130,5 +134,45 @@ object ExtractJob {
       Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
     }
     table.commit(runId, states)
+  }
+
+  /** Small-file compaction (Iceberg-style rewrite): buckets with more than
+    * `targetFilesPerBucket` data files are rewritten — read via the
+    * manifest, hash-repartitioned so each bucket lands in one task, written
+    * as NEW files APPENDED beside the old ones — then a new snapshot is
+    * committed pointing at the new files only, and the old files (now
+    * orphans) are garbage-collected.
+    *
+    * Crash safety comes from never deleting in place: before the commit the
+    * old snapshot still references only the old files (the appended new
+    * ones are invisible orphans); after the commit the old files are
+    * unreferenced orphans. Either way [[Manifest.removeOrphans]] converges
+    * the directory, and readData never observes a missing file. */
+  def compact(
+      spark: SparkSession,
+      tableDir: String,
+      targetFilesPerBucket: Int = 1): Manifest.Snapshot = {
+    import spark.implicits._
+    val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val snap = table.head().getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $tableDir"))
+    val fat = snap.buckets.filter(_.files.length > targetFilesPerBucket)
+    if (fat.isEmpty) return snap
+
+    val fatIds = fat.map(_.bucket)
+    val before = fatIds.map(b => b -> table.listBucketFiles(b).toSet).toMap
+    table.readData(spark, Some(fatIds.toSet))
+      .repartition(fatIds.length, $"bucket") // one task (≥1 file) per bucket
+      .write.mode("append")
+      .partitionBy("bucket")
+      .parquet(s"$tableDir/data")
+    val states = fat.map { b =>
+      val now = table.listBucketFiles(b.bucket)
+      val fresh = now.filterNot(before(b.bucket))
+      Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh)
+    }
+    val committed = table.commit(s"compact-of-${snap.id}", states)
+    table.removeOrphans()
+    committed
   }
 }
