@@ -161,8 +161,12 @@ object ExtractJob {
 
     val fatIds = fat.map(_.bucket)
     val before = fatIds.map(b => b -> table.listBucketFiles(b).toSet).toMap
+    // (bucket, doc-hash mod target) partitioning → exactly ≤ target output
+    // files per bucket; with target=1 each bucket lands in one task. At
+    // 100 TB pick target so bucket/target ≈ one task's worth of rows.
     table.readData(spark, Some(fatIds.toSet))
-      .repartition(fatIds.length, $"bucket") // one task (≥1 file) per bucket
+      .repartition(fatIds.length * targetFilesPerBucket, $"bucket",
+        pmod(hash($"doc_id"), lit(targetFilesPerBucket)))
       .write.mode("append")
       .partitionBy("bucket")
       .parquet(s"$tableDir/data")

@@ -42,6 +42,18 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(ExtractJob.compact(spark, dir).id == s1.id)
   }
 
+  test("compaction honors targetFilesPerBucket > 1") {
+    val dir = freshDir()
+    ExtractJob.run(spark, DocGen.generate(spark, 800, 8), dir, "frag2",
+      resume = false, numPartitions = 64)
+    val m = new Manifest(dir)
+    val golden = tableState(m)
+    val s1 = ExtractJob.compact(spark, dir, targetFilesPerBucket = 2)
+    assert(s1.buckets.forall(b => b.files.length <= 2 && b.files.nonEmpty))
+    assert(tableState(m) == golden)
+    assert(m.orphanFiles().isEmpty)
+  }
+
   test("changedBuckets reports exactly the bucket states that differ from a snapshot") {
     val dir = freshDir()
     val m = new Manifest(dir)
