@@ -1,6 +1,7 @@
 package graft.plans
 
 import graft.Registry
+import java.util.regex.Matcher
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -137,15 +138,15 @@ object ExtractExpression {
     * recompilation per document, a silent 2× tax found via bench). */
   private val sharedReg = graft.CompiledRegistry.default
 
-  /** First matching rule index for a media ref, or -1. */
-  private def dispatch(ref: String): Int = {
-    var i = 0
-    while (i < compiled.length) {
-      if (compiled(i).matcher(ref).matches()) return i
-      i += 1
-    }
-    -1
-  }
+  /** Per-rule guaranteed-literal needle (CompiledRegistry.literalNeedle) as
+    * UTF8String bytes: a media ref that does not CONTAIN the needle cannot
+    * match the rule, so the regex (and the UTF8String→String copy it needs)
+    * is skipped entirely. Unmatched-host refs — the common case in an open
+    * crawl — never allocate. null = no safe needle, always run the regex. */
+  private val needles: Array[UTF8String] = Registry.rules.map { r =>
+    val n = graft.CompiledRegistry.literalNeedle(r.pattern)
+    if (n.isEmpty) null else UTF8String.fromString(n)
+  }.toArray
 
   def extract(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
@@ -192,17 +193,34 @@ object ExtractExpression {
       if (v == null) EMPTY else v
     }
 
-    // ---- dispatch: smallest registry index matching any media ref
+    // ---- single dispatch pass: rule index + Matcher per media span,
+    // computed exactly ONCE (the classify loop and its variant-run scan
+    // reuse these — previously each media span was regex-matched 2-3×).
+    // ruleIdx: -1 = media with no matching rule; -2 = not media / empty ref
+    val ruleIdx = new Array[Int](n)
+    val matchers = new Array[Matcher](n)
     var bestRule = Int.MaxValue
     var hasMedia = false
     i = 0
-    while (i < n && bestRule != 0) {
+    while (i < n) {
+      ruleIdx(i) = -2
       if (kinds(i) == 3) {
         val ref = u8(span(i), 2)
         if (ref.numBytes() > 0) {
           hasMedia = true
-          val d = dispatch(ref.toString)
-          if (d >= 0 && d < bestRule) bestRule = d
+          var found = -1
+          var refStr: String = null
+          var r = 0
+          while (found < 0 && r < compiled.length) {
+            if (needles(r) == null || ref.contains(needles(r))) {
+              if (refStr == null) refStr = ref.toString
+              val m = compiled(r).matcher(refStr)
+              if (m.matches()) { found = r; matchers(i) = m }
+            }
+            r += 1
+          }
+          ruleIdx(i) = found
+          if (found >= 0 && found < bestRule) bestRule = found
         }
       }
       i += 1
@@ -235,29 +253,28 @@ object ExtractExpression {
           val t = u8(s, 1)
           if ((wordStats(t) >>> 32) >= 8) emit(K_TEXT, t, EMPTY)
         case 3 =>
-          val ref = u8(s, 2)
-          val refStr = ref.toString
-          reg.dispatch(refStr) match {
-            case Some((rule, m)) =>
-              // variant run: consecutive media spans with the same group key
-              val key = reg.groupKey(rule, m)
-              var bestQ = Registry.quality(reg.extOf(rule, m))
-              var bestRuleR = rule; var bestM = m
-              var j = i + 1; var run = true
-              while (run && j < n && kinds(j) == 3) {
-                reg.dispatch(u8(span(j), 2).toString) match {
-                  case Some((r2, m2)) if reg.groupKey(r2, m2) == key =>
-                    val q2 = Registry.quality(reg.extOf(r2, m2))
-                    if (q2 > bestQ) { bestQ = q2; bestM = m2; bestRuleR = r2 }
-                    j += 1
-                  case _ => run = false
-                }
-              }
-              emit(K_MEDIA, u8(s, 1),
-                UTF8String.fromString(reg.canonicalize(bestRuleR, bestM)))
-              i = j - 1
-            case None =>
-              if (ref.numBytes() > 0) emit(K_MEDIA, u8(s, 1), ref)
+          if (ruleIdx(i) >= 0) {
+            // variant run: consecutive media spans with the same group key
+            // (rule/matcher reused from the dispatch pass — no re-matching)
+            val rule = Registry.rules(ruleIdx(i)); val m = matchers(i)
+            val key = reg.groupKey(rule, m)
+            var bestQ = Registry.quality(reg.extOf(rule, m))
+            var bestRuleR = rule; var bestM = m
+            var j = i + 1; var run = true
+            while (run && j < n && kinds(j) == 3 && ruleIdx(j) >= 0) {
+              val r2 = Registry.rules(ruleIdx(j)); val m2 = matchers(j)
+              if (reg.groupKey(r2, m2) == key) {
+                val q2 = Registry.quality(reg.extOf(r2, m2))
+                if (q2 > bestQ) { bestQ = q2; bestM = m2; bestRuleR = r2 }
+                j += 1
+              } else run = false
+            }
+            emit(K_MEDIA, u8(s, 1),
+              UTF8String.fromString(reg.canonicalize(bestRuleR, bestM)))
+            i = j - 1
+          } else {
+            val ref = u8(s, 2)
+            if (ref.numBytes() > 0) emit(K_MEDIA, u8(s, 1), ref)
           }
       }
       i += 1

@@ -2,6 +2,33 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+/** literalNeedle: the guaranteed-substring precheck must be sound (every
+  * matching string contains the needle) and useful on the real registry. */
+class NeedleSpec extends AnyFunSuite {
+  test("needles of the registry rules are the host literals") {
+    assert(CompiledRegistry.literalNeedle(Registry.rules(0).pattern) == "://media.gfyclip.test/")
+    assert(CompiledRegistry.literalNeedle(Registry.rules(1).pattern) == "://img.chanboard.test/")
+  }
+
+  test("needle soundness: every accepted URL contains its rule's needle") {
+    val reg = CompiledRegistry.default
+    val urls = (0L until 500L).map(DocGen.docFor)
+      .flatMap(_.spans).filter(s => s.kind == "media" && s.media_ref.nonEmpty)
+    urls.foreach { s =>
+      reg.dispatch(s.media_ref).foreach { case (rule, _) =>
+        val needle = CompiledRegistry.literalNeedle(rule.pattern)
+        assert(needle.isEmpty || s.media_ref.contains(needle), s"${s.media_ref} vs $needle")
+      }
+    }
+  }
+
+  test("needle is conservative on risky constructs") {
+    assert(CompiledRegistry.literalNeedle("abc|def") == "") // top-level alternation
+    assert(CompiledRegistry.literalNeedle("""https?://x\.y/(a|b)/\d+""") == "://x.y/")
+    assert(CompiledRegistry.literalNeedle("""(optional)?[abc]+\w*""") == "")
+  }
+}
+
 /** Dispatch determinism + accept/reject URL corpora per pattern —
   * qetch can_handle analog (SURVEY.md §5.2-2, FIXTURES.md §4). */
 class DispatchSpec extends AnyFunSuite {
