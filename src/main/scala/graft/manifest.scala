@@ -40,6 +40,12 @@ import scala.jdk.CollectionConverters._
   * recursive listing of the data directory is itself a scale bottleneck
   * (and on object stores, not even consistent).
   *
+  * Concurrency: SINGLE WRITER per table (the standard lakehouse ingest
+  * topology — one job owns a table's commit path; Iceberg's
+  * optimistic-retry commit would need a CAS primitive the plain-FS HEAD
+  * swap cannot provide). Any number of concurrent readers are safe: they
+  * resolve a snapshot once via [[head]] and read immutable files.
+  *
   * Reference analog: qetch has NO resume (it re-downloads from scratch,
   * SURVEY.md §2A O15) — this is a north-rule addition.
   */
