@@ -90,8 +90,15 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * current — it was fully written before the swap began. */
   def head(): Option[Snapshot] = {
     val fromHead =
-      if (!fs.exists(headPath)) None
-      else Option(readString(headPath).trim).filter(_.nonEmpty)
+      try {
+        if (!fs.exists(headPath)) None
+        else Option(readString(headPath).trim).filter(_.nonEmpty)
+      } catch {
+        // reader raced the writer's delete+rename HEAD swap (TOCTOU between
+        // exists and open) — fall through to the latest-snap recovery, the
+        // same path a crash between delete and rename uses
+        case _: java.io.FileNotFoundException => None
+      }
     fromHead.orElse(latestSnapName()).map(n => readSnap(new Path(meta, n)))
   }
 
@@ -156,12 +163,15 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
   /** Snapshot by id (must exist on disk). */
   def snapshotById(id: Int): Snapshot = readSnap(new Path(meta, s"snap-$id.json"))
 
-  /** CDC-lite: bucket states in HEAD that differ from snapshot `sinceId`
-    * (new bucket, different rows/watermark/files). Consumers incrementally
-    * reprocess exactly these. */
+  /** CDC-lite: bucket states in HEAD whose LOGICAL content differs from
+    * snapshot `sinceId` (new bucket, or different rows/watermark).
+    * Deliberately ignores the files list: compaction rewrites files without
+    * changing content and must NOT trigger downstream reprocessing. */
   def changedBuckets(sinceId: Int): Seq[BucketState] = {
     val old = snapshotById(sinceId).buckets.map(b => b.bucket -> b).toMap
-    head().map(_.buckets.filterNot(b => old.get(b.bucket).contains(b))).getOrElse(Nil)
+    head().map(_.buckets.filterNot(b => old.get(b.bucket)
+      .exists(o => o.rows == b.rows && o.watermarkDocId == b.watermarkDocId)))
+      .getOrElse(Nil)
   }
 
   /** Delete all snapshot files except the newest `keepLast` (HEAD target is

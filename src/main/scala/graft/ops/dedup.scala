@@ -157,6 +157,10 @@ object Dedup {
     (0 until nBands).map { b =>
       val start = b * base + math.min(b, rem)
       val width = base + (if (b < rem) 1 else 0)
+      // a 64-bit band would overflow the (1L << width) - 1 mask to 0 and
+      // silently collapse every row into ONE bucket (quadratic self-join)
+      require(width < 64,
+        s"band width $width would overflow the 64-bit mask (bits=$bits, maxHamming=$maxHamming)")
       (b, start, width)
     }
   }

@@ -68,13 +68,14 @@ object Similarity {
     * multiprobe: a true neighbor on the far side of ONE hyperplane lands in
     * a bucket at hamming distance 1, so probing the flips recovers most of
     * the recall lost to plane quantization while the corpus side stays
-    * hashed exactly once. Pure string algebra (portable to the SQL oracle). */
-  private def multiprobeBuckets(nPlanes: Int): String =
+    * hashed exactly once. Pure string algebra (portable to the SQL oracle;
+    * public so the oracle-gated query surface shares THIS definition). */
+  def multiprobeBuckets(nPlanes: Int, bucketCol: String = "bucket"): String =
     s"""transform(sequence(0, $nPlanes), i ->
-       |  CASE WHEN i = 0 THEN bucket
-       |       ELSE concat(substring(bucket, 1, i - 1),
-       |                   CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
-       |                   substring(bucket, i + 1)) END)""".stripMargin
+       |  CASE WHEN i = 0 THEN $bucketCol
+       |       ELSE concat(substring($bucketCol, 1, i - 1),
+       |                   CASE WHEN substring($bucketCol, i, 1) = '1' THEN '0' ELSE '1' END,
+       |                   substring($bucketCol, i + 1)) END)""".stripMargin
 
   /** LSH cosine top-k: equi-join probes and corpus on the SRP bucket, rank
     * within bucket. Recall < 1 by construction (trades recall for a

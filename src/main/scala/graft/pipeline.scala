@@ -87,6 +87,15 @@ object ExtractJob {
       if (native) plans.GraftFunctions.extractColumnar(pendingDocs.toDF())
       else transform(pendingDocs, numPartitions = parts).toDF()
 
+    // pre-write listing: dynamic overwrite only replaces directories of
+    // partitions PRESENT in the output, so a pending bucket that receives
+    // zero rows keeps whatever stale files an earlier (crashed/abandoned)
+    // run left there. Lineage must record only files THIS run produced —
+    // the post-write diff below excludes stale leftovers (they become
+    // unreferenced orphans, removable via Manifest.removeOrphans).
+    val preFiles: Map[Int, Set[String]] =
+      pending.map(b => b -> table.listBucketFiles(b).toSet).toMap
+
     extracted
       .write.mode("overwrite")
       // per-write option, NOT session config: a session-wide setting would
@@ -95,12 +104,11 @@ object ExtractJob {
       .partitionBy("bucket")
       .parquet(s"$tableDir/data")
 
-    // lineage: the files just written per pending bucket (dynamic overwrite
-    // replaced exactly those directories) — recorded in the snapshot and
-    // used to PLAN the post-write scan, Iceberg-style, instead of listing
-    // the table directory again.
+    // lineage: exactly the files this run wrote per pending bucket —
+    // recorded in the snapshot and used to PLAN the post-write scan,
+    // Iceberg-style, instead of listing the table directory again.
     val bucketFiles: Map[Int, Seq[String]] =
-      pending.map(b => b -> table.listBucketFiles(b)).toMap
+      pending.map(b => b -> table.listBucketFiles(b).filterNot(preFiles(b))).toMap
     val newFiles = pending.flatMap(bucketFiles)
 
     // ONE scan of the data at rest → metrics side table + watermark.
@@ -122,18 +130,24 @@ object ExtractJob {
           r.getSeq[Long](4), Option(r.getString(5)).getOrElse("")))
         .toMap
 
+    val states = pending.map { b =>
+      val s = stats.getOrElse(b, Stat(0L, 0L, 0L, Nil, ""))
+      Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
+    }
+    val snap = table.commit(runId, states)
+
+    // metrics AFTER the commit: a crash before the commit then reruns the
+    // buckets — metrics written pre-commit would be appended twice (orphan
+    // rows describing an uncommitted snapshot). Post-commit, a snapshot id
+    // appears at most once in the side table; the only crash artifact is a
+    // MISSING metrics batch, which is re-derivable from data at rest.
     val wallNs = System.nanoTime() - t0
     val metrics = pending.map { b =>
       val s = stats.getOrElse(b, Stat(0L, 0L, 0L, Vector.fill(10)(0L), ""))
       PartitionMetrics(runId, b, s.docs, s.spansIn, s.spansOut, wallNs, s.hist)
     }
     spark.createDataset(metrics).write.mode("append").parquet(s"$tableDir/metrics")
-
-    val states = pending.map { b =>
-      val s = stats.getOrElse(b, Stat(0L, 0L, 0L, Nil, ""))
-      Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
-    }
-    table.commit(runId, states)
+    snap
   }
 
   /** Small-file compaction (Iceberg-style rewrite): buckets with more than

@@ -731,12 +731,7 @@ object Queries {
         .select($"vec_id", expr(srpQuantBucket).as("bucket"))
       val probes = bk.where($"vec_id" < 3)
         .select($"vec_id".as("probe"), $"bucket")
-        .withColumn("pb", explode(expr(
-          """transform(sequence(0, 4), i ->
-            |  CASE WHEN i = 0 THEN bucket
-            |       ELSE concat(substring(bucket, 1, i - 1),
-            |                   CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END,
-            |                   substring(bucket, i + 1)) END)""".stripMargin)))
+        .withColumn("pb", explode(expr(ops.Similarity.multiprobeBuckets(4))))
         .select($"probe", $"pb")
       broadcast(probes).join(bk.as("c"),
           $"pb" === col("c.bucket") && $"probe" =!= col("c.vec_id"))

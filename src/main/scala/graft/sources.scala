@@ -37,13 +37,21 @@ object Sources {
 
   /** Ingest a JSON-lines dump into the canonical document table. One
     * narrow scan: JSON parse + bucket column, no shuffle (the write side
-    * decides layout). Corrupt lines fail fast (FAILFAST) — at ingest time
-    * silent row drops are data loss. */
+    * decides layout). Corrupt lines fail fast (FAILFAST), and so do
+    * WELL-FORMED lines missing a required field — FAILFAST alone lets
+    * `{"doc_id":"d1"}` through as nulls, and that corruption would only
+    * surface deep inside a downstream task. At ingest time silent nulls
+    * are data loss. */
   def fromJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(docSchema)
       .option("mode", "FAILFAST")
       .json(path)
+      .filter(
+        when(col("doc_id").isNull || col("domain").isNull || col("spans").isNull,
+          raise_error(concat(lit("fromJsonl: missing required field on line with doc_id="),
+            coalesce(col("doc_id"), lit("<null>")))))
+          .otherwise(lit(true)))
       .withColumn("bucket", md5Bucket(col("doc_id")))
 
   /** Dump a document table as JSONL (the inverse, for interchange). */

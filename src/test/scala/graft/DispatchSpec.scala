@@ -26,6 +26,13 @@ class NeedleSpec extends AnyFunSuite {
     assert(CompiledRegistry.literalNeedle("abc|def") == "") // top-level alternation
     assert(CompiledRegistry.literalNeedle("""https?://x\.y/(a|b)/\d+""") == "://x.y/")
     assert(CompiledRegistry.literalNeedle("""(optional)?[abc]+\w*""") == "")
+    // inline flags: '(?i)HOST' matches lowercase refs that do NOT contain 'HOST'
+    assert(CompiledRegistry.literalNeedle("""(?i)HTTPS://Media\.Host\.test/x""") == "")
+    assert(CompiledRegistry.literalNeedle("""(?idmsux)abcdef""") == "")
+    // backreference content is unknown — it must break the literal run
+    assert(CompiledRegistry.literalNeedle("""(abcd)\1_suffix_here""") == "_suffix_here")
+    // named groups / non-capturing / lookaheads stay usable
+    assert(CompiledRegistry.literalNeedle("""prefix_(?<id>x+)(?:y)(?=z)""") == "prefix_")
   }
 }
 

@@ -40,6 +40,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(m.orphanFiles().isEmpty)
     // idempotent: already-compact table is a no-op
     assert(ExtractJob.compact(spark, dir).id == s1.id)
+    // compaction is a LOGICAL no-op: CDC must not report rewritten buckets
+    assert(m.changedBuckets(s0.id).isEmpty,
+      "file-only rewrites must not trigger downstream reprocessing")
+  }
+
+  test("a rerun over fewer docs does not adopt stale files from the previous run") {
+    val dir = freshDir()
+    // run A fills all 16 buckets
+    ExtractJob.run(spark, DocGen.generate(spark, 800, 8), dir, "a", resume = false)
+    // run B (fresh, resume=false) has only 3 docs → most buckets get zero
+    // rows; run A's leftover files in those buckets must NOT become run B's
+    // lineage (dynamic overwrite never touched those directories)
+    val sB = ExtractJob.run(spark, DocGen.generate(spark, 3, 2), dir, "b", resume = false)
+    val m = new Manifest(dir)
+    assert(sB.buckets.map(_.rows).sum == 3, sB.buckets.map(_.rows).toString)
+    sB.buckets.filter(_.rows == 0).foreach { b =>
+      assert(b.files.isEmpty && b.watermarkDocId == "",
+        s"bucket ${b.bucket} adopted stale files: ${b.files}")
+    }
+    assert(m.readData(spark).count() == 3)
+    // run A's unreferenced leftovers are visible as orphans and removable
+    assert(m.orphanFiles().nonEmpty)
+    m.removeOrphans()
+    assert(m.orphanFiles().isEmpty)
+    assert(m.readData(spark).count() == 3)
   }
 
   test("compaction honors targetFilesPerBucket > 1") {

@@ -85,6 +85,14 @@ class OpsSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("bandLayout rejects a 64-bit band (mask overflow would collapse all buckets)") {
+    intercept[IllegalArgumentException] {
+      ops.Dedup.bandLayout(bits = 64, maxHamming = 0)
+    }
+    // 64 bits with maxHamming >= 1 stays fine (widest band = 32)
+    assert(ops.Dedup.bandLayout(64, 1).map(_._3).sum == 64)
+  }
+
   test("hamming is pure Column API (works on names needing backticks)") {
     val df = Seq((1L, 5L, 6L)).toDF("id", "sig a", "sig b")
     val d = df.select(ops.Dedup.hamming(col("sig a"), col("sig b")).as("d"))

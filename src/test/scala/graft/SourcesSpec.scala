@@ -25,6 +25,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.where($"bucket" < 0 || $"bucket" >= DocGen.NumBuckets).count() == 0)
   }
 
+  test("well-formed lines missing a required field fail fast (no silent nulls)") {
+    val dir = Files.createTempDirectory("graft_jsonl_null_").toString
+    Files.writeString(java.nio.file.Path.of(dir, "part-0.txt"),
+      """{"doc_id":"d1","domain":"src0"}""" + "\n") // no spans — parses fine
+    val ex = intercept[Exception] {
+      Sources.fromJsonl(spark, dir).collect()
+    }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: all(t.getCause)
+    assert(all(ex).exists(_.contains("missing required field")), ex.toString)
+  }
+
   test("FAILFAST ingest rejects corrupt lines instead of dropping them") {
     val dir = Files.createTempDirectory("graft_jsonl_bad_").toString
     Files.writeString(java.nio.file.Path.of(dir, "part-0.txt"),
