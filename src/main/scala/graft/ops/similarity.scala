@@ -100,6 +100,30 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (id_a, id_b, cosine) with
+    * cosine ≥ threshold — the embedding-space member of the dedup family
+    * (beside exact / MinHash-LSH / SimHash / n-gram Jaccard). Scale shape:
+    * candidates come from the SRP bucket equi-join (both sides hashed once,
+    * never a cross join; `multiprobe` widens recall), then exact cosine
+    * verifies. Recall < 1 by LSH construction — raise via multiprobe or
+    * lower nPlanes, or run per-cluster exact passes downstream. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dims: Int,
+      multiprobe: Boolean = false): DataFrame = {
+    val b = srpBucket(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__v", nPlanes, dims)
+      .withColumn("__n", norm("__v"))
+    val left =
+      if (!multiprobe) b
+      else b.withColumn("bucket", explode(expr(multiprobeBuckets(nPlanes))))
+    left.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.__id") < col("y.__id"))
+      .withColumn("cosine", dot("x.__v", "y.__v") / (col("x.__n") * col("y.__n")))
+      .where(col("cosine") >= threshold)
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"), col("cosine"))
+      .distinct()
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path beside SRP-LSH: a
   // coarse quantizer assigns every corpus vector to its nearest centroid

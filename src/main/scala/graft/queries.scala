@@ -690,18 +690,22 @@ object Queries {
       |      (w, x) -> w * cast(floor(cast(x as double) * 1000) as bigint)),
       |    0L, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END))""".stripMargin
 
-  /** DuckDB replay of [[srpQuantBucket]] as CTEs ending in bk(vec_id, bucket). */
-  private def srpOracleCtes(maxVec: Int): String =
+  /** DuckDB replay of [[srpQuantBucket]] as CTEs ending in bk(vec_id,
+    * bucket), hashing the rows of CTE `src` (vec_id, embedding). */
+  private def srpOracleCtesFrom(src: String): String =
     s"""planes AS (SELECT p, d,
        |    ('0x' || substr(md5('plane' || p || ':' || d), 1, 6))::BIGINT - 8388608 AS w
        |  FROM (SELECT unnest(range(4)) AS p), (SELECT unnest(range(64)) AS d)),
-       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxVec),
        |dots AS (SELECT vec_id, p,
        |    sum(w * CAST(floor(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT)) AS dp
-       |  FROM v, planes GROUP BY 1, 2),
+       |  FROM $src, planes GROUP BY 1, 2),
        |bk AS (SELECT vec_id,
        |    string_agg(CASE WHEN dp >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
        |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  private def srpOracleCtes(maxVec: Int): String =
+    s"""v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxVec),
+       |${srpOracleCtesFrom("v")}""".stripMargin
 
   /** Sign-random-projection LSH bucketing over embeddings — the ANN scale
     * path's hash stage. */
@@ -750,6 +754,50 @@ object Queries {
             |SELECT probe, CAST(count(DISTINCT c.vec_id) AS BIGINT) AS n_cand
             |FROM mp JOIN bk c ON c.bucket = mp.pb AND c.vec_id <> mp.probe
             |GROUP BY probe ORDER BY probe""".stripMargin))
+
+  /** Embedding-cosine near-dup pairs (ops.Similarity.cosineNearDupPairs
+    * analog on the quantized surface): planted exact-dup vectors must pair
+    * at cosine ≈ 1.0 through the SRP-bucket equi-join + exact cosine
+    * verify — never an all-pairs comparison. */
+  private val qEmbedNearDup = QueryDef(
+    "q_embed_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings").where($"vec_id" < 150)
+        .select($"vec_id", $"embedding")
+      val corpus = base.union(base.select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+      val bk = corpus.select($"vec_id", expr(srpQuantBucket).as("bucket"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+        .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x*x)"))
+      bk.as("x").join(bk.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(x.qv, y.qv, (a, b) -> a*b), 0L, (acc, v) -> acc + v)"))
+        .withColumn("cos", $"dot".cast("double") /
+          sqrt(col("x.nrm").cast("double") * col("y.nrm").cast("double")))
+        .where($"cos" >= 0.999)
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          floor($"cos" * 1000).cast("int").as("cos_q3"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+            |corpus AS (SELECT vec_id, embedding FROM base
+            |           UNION ALL SELECT vec_id + 1000, embedding FROM base),
+            |${srpOracleCtesFrom("corpus")},
+            |q AS (SELECT c.vec_id, bk.bucket,
+            |    list_transform(c.embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+            |  FROM corpus c JOIN bk ON bk.vec_id = c.vec_id),
+            |qn AS (SELECT vec_id, bucket, qv,
+            |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+            |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            |    CAST(list_sum(list_transform(range(len(x.qv)), j -> x.qv[j+1] * y.qv[j+1])) AS BIGINT) AS dot,
+            |    x.nrm AS xn, y.nrm AS yn
+            |  FROM qn x JOIN qn y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+            |SELECT id_a, id_b,
+            |  CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(xn AS DOUBLE) * CAST(yn AS DOUBLE)) * 1000) AS INT) AS cos_q3
+            |FROM pairs
+            |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(xn AS DOUBLE) * CAST(yn AS DOUBLE)) >= 0.999
+            |ORDER BY id_a, id_b""".stripMargin))
 
   /** IVF (inverted-file) ANN on the quantized surface: 8 deterministic
     * centroid seeds (stride-sampled corpus vectors), every vector assigned
@@ -1242,7 +1290,8 @@ object Queries {
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
-    qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality, qTokens, qMediaMeta,
+    qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
+    qTokens, qMediaMeta,
     qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -172,6 +172,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineNearDupPairs finds planted duplicate embeddings via the bucket equi-join") {
+    val corpus = embeddings.select($"vec_id", $"embedding")
+      .union(embeddings.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val pairs = ops.Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9999, nPlanes = 4, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = embeddings.count()
+    (0L until n).foreach(i =>
+      assert(pairs.contains((i, i + 100000L)), s"missing planted pair $i"))
+  }
+
   test("srp bucketing is deterministic and balanced-ish") {
     val b1 = ops.Similarity.srpBucket(embeddings.select($"vec_id", $"embedding".as("v")), "v", 4, 64)
       .select($"vec_id", $"bucket").collect().map(r => (r.getLong(0), r.getString(1))).toMap
