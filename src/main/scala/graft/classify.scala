@@ -74,8 +74,15 @@ object Classify {
     * semantics; [[ReferenceOracle]] re-implements the same spec
     * independently for golden comparison (SURVEY.md §5.1). */
   def extractDoc(doc: RawDoc, registry: CompiledRegistry): ExtractedDoc = {
-    // input order is data-borne: sort by offset (stable; offsets unique)
-    val spans = doc.spans.sortBy(_.offset)
+    // input order is data-borne: sort by offset (stable; offsets unique).
+    // Null text/media_ref (possible in foreign parquet) normalize to "" so
+    // the typed path agrees with the native expression, which reads nulls
+    // as empty UTF8Strings.
+    val spans = doc.spans.iterator
+      .map(s => if (s.text == null || s.media_ref == null)
+        s.copy(text = Option(s.text).getOrElse(""),
+          media_ref = Option(s.media_ref).getOrElse("")) else s)
+      .toArray.sortBy(_.offset).toSeq
     val n = spans.length
 
     // ---- dispatch (qetch get_extractor): REGISTRY-order first match — the

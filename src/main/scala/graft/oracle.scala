@@ -26,7 +26,12 @@ object ReferenceOracle {
   private def words(t: String): List[String] = t.split(" ").filter(_.nonEmpty).toList
 
   def extract(doc: RawDoc): ExtractedDoc = {
-    val spans = doc.spans.sortBy(_.offset).toList
+    // null text/media_ref normalize to "" (same contract as Classify and
+    // the native expression)
+    val spans = doc.spans
+      .map(s => RawSpan(s.kind, Option(s.text).getOrElse(""),
+        Option(s.media_ref).getOrElse(""), s.offset))
+      .sortBy(_.offset).toList
     val n = spans.length
 
     // dispatch: smallest registry index matching any media ref

@@ -67,6 +67,23 @@ class SpanEqualitySpec extends AnyFunSuite {
     assert(n == DocGen.fixtures.size)
   }
 
+  test("null text/media_ref normalize to empty in all three implementations") {
+    // foreign parquet can carry nulls the generator never produces; typed,
+    // native and oracle must agree (null → "")
+    val doc = RawDoc("n0000000001", Vector(
+      RawSpan("title", null, null, 0),
+      RawSpan("text", "the table scan joins the fast row", null, 1),
+      RawSpan("media", null, "https://media.gfyclip.test/NullTest.mp4", 2),
+      RawSpan("media", null, null, 3)), "src0", DocGen.bucketOf("n0000000001"))
+    val typed = Classify.extractDoc(doc, CompiledRegistry.default)
+    val oracle = ReferenceOracle.extract(doc)
+    val native = runColumnar(Seq(doc))(doc.doc_id)
+    assert(seq(typed) == seq(oracle), s"typed=${seq(typed)} oracle=${seq(oracle)}")
+    assert(seq(native) == seq(oracle), s"native=${seq(native)} oracle=${seq(oracle)}")
+    assert(typed.spans.map(_.kind) == Seq("title", "text", "media"))
+    assert(typed.spans.forall(s => s.text != null && s.media_ref != null))
+  }
+
   test("offsets are dense 0..n-1 and strictly increasing") {
     val docs = (0L until 500L).map(DocGen.docFor)
     runPipeline(docs).values.foreach { d =>
