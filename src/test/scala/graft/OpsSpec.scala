@@ -85,6 +85,27 @@ class OpsSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("simhashPairs == brute force on random full-width longs (sign-extension safe)") {
+    // negative longs exercise arithmetic-shift sign extension in the band
+    // extraction; generated doc hashes are 60-bit non-negative and miss it
+    val rnd = new scala.util.Random(20260816L)
+    Seq(3, 8).foreach { k =>
+      val vals = Seq.fill(80)(rnd.nextLong())
+        // plant near pairs so the assertion is not vacuous
+        .flatMap(v => Seq(v, v ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vals.toDF("id", "sh")
+      val brute = (for {
+        (ia, sa) <- vals; (ib, sb) <- vals
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= k
+      } yield (ia, ib)).toSet
+      assert(brute.nonEmpty, s"vacuous test at k=$k")
+      val banded = ops.Dedup.simhashPairs(df, "id", "sh", maxHamming = k, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"k=$k: banded=${banded.size} brute=${brute.size}")
+    }
+  }
+
   test("bandLayout rejects a 64-bit band (mask overflow would collapse all buckets)") {
     intercept[IllegalArgumentException] {
       ops.Dedup.bandLayout(bits = 64, maxHamming = 0)
