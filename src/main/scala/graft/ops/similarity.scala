@@ -109,10 +109,22 @@ object Similarity {
     * lower nPlanes, or run per-cluster exact passes downstream. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dims: Int,
-      multiprobe: Boolean = false): DataFrame = {
-    val b = srpBucket(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+      multiprobe: Boolean = false, maxBucket: Int = 4096): DataFrame = {
+    val b0 = srpBucket(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
         "__v", nPlanes, dims)
       .withColumn("__n", norm("__v"))
+    // hot-bucket guard, same rationale as Dedup.lshCandidatePairs: a
+    // cluster of identical embeddings shares one SRP bucket and would
+    // self-join quadratically — dedup exact-duplicate vectors first
+    // (exactDedup on a vector hash), cap the rest. 0 disables.
+    val b =
+      if (maxBucket <= 0) b0
+      else {
+        val w = Window.partitionBy(col("bucket"))
+        b0.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= maxBucket)
+          .drop("__bn")
+      }
     val left =
       if (!multiprobe) b
       else b.withColumn("bucket", explode(expr(multiprobeBuckets(nPlanes))))
