@@ -71,4 +71,55 @@ object Media {
     meta.withColumn("frame_idx",
         explode(sequence(lit(0), col("frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("format"))
+
+  /** Byte-level feature row: REAL computation (no codec needed). */
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      hist: Seq[Long],     // 16-bin histogram over byte values (value >> 4)
+      entropy_m3: Long,    // Shannon entropy over the 16 bins, milli-bits ×1000 floor
+      zero_runs: Int)      // number of maximal runs of 0x00 bytes
+
+  /** Feature extraction over opaque binary payloads — unlike the decoder
+    * this is NOT a stub: byte histograms / entropy / zero-run counts are
+    * the standard cheap signals for corrupt-or-padding detection and
+    * format triage at corpus scale, computable without any codec. One
+    * streaming pass per payload, per-partition batching. */
+  def extractFeatures(spark: SparkSession, df: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Long](16)
+          var zeroRuns = 0; var inZero = false
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            hist(b >> 4) += 1
+            if (b == 0) { if (!inZero) { zeroRuns += 1; inZero = true } }
+            else inZero = false
+            i += 1
+          }
+          val n = bytes.length.toDouble
+          var ent = 0.0
+          var k = 0
+          while (k < 16) {
+            if (hist(k) > 0) { val p = hist(k) / n; ent -= p * (math.log(p) / math.log(2)) }
+            k += 1
+          }
+          MediaFeatures(id, bytes.length, hist.toVector,
+            if (bytes.isEmpty) 0L else math.floor(ent * 1000).toLong, zeroRuns)
+        }
+      }
+  }
+
+  /** Resize stage stub: emits the target geometry + a deterministic
+    * checksum of (payload, w, h) standing in for resized bytes — the real
+    * part is the stage shape (pure row map, no shuffle; a real impl swaps
+    * the body for an image-lib call exactly like MediaDecoder.decode). */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.select(col("doc_id"),
+      lit(w).as("width"), lit(h).as("height"),
+      md5(concat(base64(col("payload")), lit(s":$w:$h"))).as("resized_checksum"))
 }

@@ -1022,6 +1022,37 @@ object Queries {
            |  32 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 48 AS height
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
+  /** Byte-level feature extraction over binary payloads (ops.Media
+    * .extractFeatures — REAL computation, no codec): 16-bin byte histogram
+    * + zero-run count per payload; the oracle recomputes the bins from the
+    * same bytes character-wise (payload is ASCII text in the sandbox).
+    * Entropy stays OUT of the cross-engine compare (log2 ulp differences
+    * could flip the integer quantization); it is bounds-tested in OpsSpec. */
+  private val qMediaFeatures = QueryDef(
+    "q_media_features",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"doc_id" < 200).select($"doc_id", $"text")
+      ops.Media.extractFeatures(s, ops.Media.withPayload(docs, "text")).toDF()
+        .select($"doc_id", $"n_bytes",
+          element_at($"hist", 3).as("b2"),   // 0x20 space
+          element_at($"hist", 7).as("b6"),   // 0x60-0x6f letters
+          element_at($"hist", 8).as("b7"),   // 0x70-0x7f letters
+          $"zero_runs")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, substr(text, 1, 64) AS pl
+           |           FROM documents WHERE doc_id < 200),
+           |ch AS (SELECT doc_id, ascii(substr(pl, i + 1, 1)) // 16 AS bin
+           |       FROM (SELECT doc_id, pl, unnest(range(length(pl))) AS i FROM p))
+           |SELECT p.doc_id, CAST(octet_length(encode(pl)) AS INT) AS n_bytes,
+           |  CAST(coalesce(sum(CASE WHEN bin = 2 THEN 1 END), 0) AS BIGINT) AS b2,
+           |  CAST(coalesce(sum(CASE WHEN bin = 6 THEN 1 END), 0) AS BIGINT) AS b6,
+           |  CAST(coalesce(sum(CASE WHEN bin = 7 THEN 1 END), 0) AS BIGINT) AS b7,
+           |  0 AS zero_runs
+           |FROM p LEFT JOIN ch ON ch.doc_id = p.doc_id
+           |GROUP BY p.doc_id, pl ORDER BY p.doc_id""".stripMargin))
+
   // ------------------------------------------------------------------
   // Extraction pipeline queries — FULL DuckDB oracles (round 2): the
   // generated corpus is staged once per JVM to a fixed absolute path so
@@ -1291,7 +1322,7 @@ object Queries {
     qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
-    qTokens, qMediaMeta,
+    qTokens, qMediaMeta, qMediaFeatures,
     qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -249,6 +249,29 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() >= rows.length)
   }
 
+  test("byte features: histogram sums to n_bytes, entropy bounded, zero runs counted") {
+    val meta = ops.Media.extractFeatures(spark, ops.Media.withPayload(
+      documents.where($"doc_id" < 50).select($"doc_id", $"text"), "text")).collect()
+    assert(meta.length == 50)
+    meta.foreach { f =>
+      assert(f.hist.sum == f.n_bytes)
+      assert(f.entropy_m3 >= 0 && f.entropy_m3 <= 4000) // ≤ log2(16) bits
+      assert(f.zero_runs == 0) // text payloads contain no NULs
+    }
+    // crafted payload: runs of 0x00 counted, all-same byte → entropy 0
+    val crafted = Seq(
+      (1L, Array[Byte](1, 0, 0, 2, 0)),
+      (2L, Array.fill[Byte](32)(7))).toDF("doc_id", "payload")
+    val byId = ops.Media.extractFeatures(spark, crafted).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(byId(1L).zero_runs == 2)
+    assert(byId(2L).entropy_m3 == 0L && byId(2L).hist(0) == 32)
+    // resize stub: deterministic geometry + checksum per (payload, w, h)
+    val rz = ops.Media.resizeStub(crafted, 128, 64).collect()
+    assert(rz.forall(r => r.getInt(1) == 128 && r.getInt(2) == 64 &&
+      r.getString(3).length == 32))
+  }
+
   // ---- text stats ----
 
   test("text stats columns: langId deterministic argmax, quality formula, fingerprint order-insensitive") {
