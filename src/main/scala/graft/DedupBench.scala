@@ -41,8 +41,16 @@ object DedupBench {
     }
     val (nG, tG) = timed(4096)
     val (nU, tU) = timed(0)
+    // exact dedup over the same corpus: the dup cluster shares ONE content
+    // hash, so a window-based dedup would sort the whole cluster in one
+    // task; the partial-agg shape collapses it map-side (no straggler).
+    val corpus = distinctDocs.union(dupDocs)
+    val tE0 = System.nanoTime()
+    val nKept = ops.Dedup.exactDedup(corpus, "doc_id", "text").count()
+    val tE = (System.nanoTime() - tE0) / 1e9
     println(f"""{"metric":"lsh_hot_bucket_guard","n_distinct":$nDistinct,"cluster":$cluster,""" +
-      f""""guarded_pairs":$nG,"guarded_sec":$tG%.2f,"unguarded_pairs":$nU,"unguarded_sec":$tU%.2f}""")
+      f""""guarded_pairs":$nG,"guarded_sec":$tG%.2f,"unguarded_pairs":$nU,"unguarded_sec":$tU%.2f,""" +
+      f""""exact_dedup_kept":$nKept,"exact_dedup_sec":$tE%.2f}""")
     spark.stop()
   }
 }

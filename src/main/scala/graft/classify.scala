@@ -106,6 +106,13 @@ object Classify {
       }
       di += 1
     }
+    // defensive completion of the early-exited scan: the loop above stops
+    // once rule 0 matches (bestRuleIdx can't improve), leaving later spans
+    // uninspected. Today that exit implies hasMedia=true (rule 0 only
+    // matches media), making this re-scan unreachable — it exists so the
+    // textonly/generic distinction stays correct if a future registry
+    // change breaks that implication. The native expression needs no
+    // equivalent: its dispatch pass never early-exits.
     if (!hasMedia && di < n)
       hasMedia = spans.exists(s => s.kind == "media" && s.media_ref.nonEmpty)
     val extractor =

@@ -36,7 +36,11 @@ case class ExtractedDoc(
     spans_in: Int)
 
 /** Per-partition extraction metrics row (north rule: metrics side table).
-  * conf_histogram has 10 buckets: floor(confidence*10) clamped to [0,9]. */
+  * conf_histogram has 10 buckets: floor(confidence*10) clamped to [0,9].
+  * `wall_ns` is the WHOLE-JOB wall duration of the run that committed this
+  * bucket, duplicated onto every bucket row of that run (per-bucket wall
+  * time is not observable from data at rest) — do NOT sum it across rows;
+  * aggregate with max/any_value per run_id instead. */
 case class PartitionMetrics(
     run_id: String,
     bucket: Int,

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -20,12 +19,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keep-first exact dedup on a content column: one row per distinct
-    * content hash, earliest `idCol` wins (deterministic). */
+    * content hash, earliest `idCol` wins (deterministic).
+    *
+    * Plan shape matters here more than anywhere else in the dedup family:
+    * web crawls routinely contain 10⁵–10⁶-member exact-dup clusters, and a
+    * `Window.partitionBy(hash)` would ship EVERY member of a cluster to one
+    * task and sort it in that task's window buffer — a guaranteed straggler.
+    * `groupBy(hash).agg(min_by(row, id))` instead collapses each cluster
+    * map-side via partial aggregation: one surviving row per hash per
+    * mapper, so a million-member cluster costs one row per input partition
+    * at the shuffle, never a million-row buffer in one reducer. */
   def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(contentCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(md5(col(contentCol)).as("__h"))
+      .agg(min_by(row, col(idCol)).as("__keep"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)): _*)
   }
 
   /** MinHash signature: k salted min-md5 values over word 3-gram shingles.
@@ -75,13 +83,18 @@ object Dedup {
   def lshCandidatePairs(sigDf: DataFrame, idCol: String, bands: Int,
       maxBucket: Int = 4096): DataFrame = {
     val banded = bandedSignatures(sigDf, idCol, bands)
+    // The guard itself must not buffer the hot bucket: a windowed count
+    // would pull every banded row of the hot bucket into one task, so the
+    // counter is a partial-aggregating groupBy joined back (the count table
+    // has one row per bucket — tiny next to the banded rows).
     val guarded =
       if (maxBucket <= 0) banded
       else {
-        val w = Window.partitionBy(col("band"), col("bandhash"))
-        banded.withColumn("__n", count(lit(1)).over(w))
+        val small = banded.groupBy(col("band"), col("bandhash"))
+          .agg(count(lit(1)).as("__n"))
           .where(col("__n") <= maxBucket)
-          .drop("__n")
+          .select(col("band"), col("bandhash"))
+        banded.join(small, Seq("band", "bandhash"))
       }
     guarded.as("x").join(guarded.as("y"),
         col("x.band") === col("y.band") &&
@@ -100,10 +113,17 @@ object Dedup {
       .agg(count(lit(1)).as("members"))
       .where(col("members") > maxBucket)
 
-  private def bandedSignatures(sigDf: DataFrame, idCol: String, bands: Int): DataFrame =
-    sigDf.where(size(col("sig")) > 0)
+  private def bandedSignatures(sigDf: DataFrame, idCol: String, bands: Int): DataFrame = {
+    // A signature SHORTER than `bands` would make size(sig) div bands = 0:
+    // every band but the last hashes an empty slice to the CONSTANT md5('')
+    // — all such docs collide (guarded away silently, or a corpus-wide
+    // quadratic self-join with maxBucket=0). Mirror bandLayout's fail-fast:
+    // reject the config statically and drop short signatures explicitly.
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    sigDf.where(size(col("sig")) >= bands)
       .select(col(idCol).as("__id"),
         posexplode(expr(bandHashExpr(bands))).as(Seq("band", "bandhash")))
+  }
 
   /** Exact word-set Jaccard for candidate pairs — the verify stage after
     * LSH banding. `pairs` has (id_a, id_b); returns pairs + jaccard ≥

@@ -116,14 +116,17 @@ object Similarity {
     // hot-bucket guard, same rationale as Dedup.lshCandidatePairs: a
     // cluster of identical embeddings shares one SRP bucket and would
     // self-join quadratically — dedup exact-duplicate vectors first
-    // (exactDedup on a vector hash), cap the rest. 0 disables.
+    // (exactDedup on a vector hash), cap the rest. 0 disables. The counter
+    // is a partial-aggregating groupBy joined back, never a window (a
+    // window would buffer the hot bucket in one task — the exact hazard
+    // the guard exists to prevent).
     val b =
       if (maxBucket <= 0) b0
       else {
-        val w = Window.partitionBy(col("bucket"))
-        b0.withColumn("__bn", count(lit(1)).over(w))
+        val small = b0.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
           .where(col("__bn") <= maxBucket)
-          .drop("__bn")
+          .select(col("bucket"))
+        b0.join(small, Seq("bucket"))
       }
     val left =
       if (!multiprobe) b
@@ -139,13 +142,15 @@ object Similarity {
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path beside SRP-LSH: a
   // coarse quantizer assigns every corpus vector to its nearest centroid
-  // once (narrow map against a broadcast centroid literal); a probe
-  // searches only its nProbe nearest centroid cells, so the search is a
-  // pure EQUI-join on centroid id — never a cross join. Centroid seeds are
-  // a deterministic md5-ordered sample (no RNG state), optionally refined
-  // with Lloyd iterations computed as Spark aggregations (explode dims →
-  // per-(cell, dim) mean); the centroid table is tiny and lives on the
-  // driver / in the closure, exactly like qetch's broadcast registry.
+  // once; a probe searches only its nProbe nearest centroid cells, so the
+  // search is a pure EQUI-join on centroid id — never a cross join.
+  // Centroid seeds are a deterministic md5-ordered sample (no RNG state),
+  // optionally refined with Lloyd iterations computed as Spark
+  // aggregations (explode dims → per-(cell, dim) mean). The codebook lives
+  // on the driver (nCentroids × dims doubles) and reaches executors either
+  // as a plan literal (small codebooks — narrow, zero-shuffle assign) or
+  // as a broadcast DataFrame equi-join (large codebooks — the plan must
+  // never embed 65k×768 doubles); see [[cellRanks]].
   // ------------------------------------------------------------------
 
   /** Squared-L2 rank list over the `__cents` literal column: SQL for an
@@ -158,6 +163,67 @@ object Similarity {
        |      (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
        |      0D, (acc, v) -> acc + v),
        |    'i', i)))""".stripMargin
+
+  /** Codebooks up to this many centroids inline into the plan as a
+    * `typedLit` (a narrow zero-shuffle assign); LARGER codebooks must never
+    * be plan literals — at production sizes (e.g. 65k centroids × 768 dims)
+    * a literal blows up plan size and codegen — so they take the
+    * broadcast-join path in [[cellRanks]]. */
+  val CodebookLiteralMax = 64
+
+  /** Ranked centroid cells per vector: (all input columns, __cell, __rk)
+    * with __rk = 1..maxRank ascending by (squared-L2, centroid id).
+    *
+    * Physical shape by codebook size:
+    *  - ≤ [[CodebookLiteralMax]]: `typedLit` codebook + in-row rank array —
+    *    narrow, zero shuffle (the original IVF assign).
+    *  - larger: the codebook becomes a broadcast DataFrame equi-joined on an
+    *    exploded centroid id (BroadcastHashJoin — PlanSpec asserts it), then
+    *    a partial-aggregating `min_by` per vector for maxRank=1, or a
+    *    per-vector window (bounded at nCents rows) for probe fan-out. */
+  private[graft] def cellRanks(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], maxRank: Int): DataFrame = {
+    val n = cents.length
+    if (n <= CodebookLiteralMax) {
+      df.withColumn("__cents", typedLit(cents))
+        .withColumn("__ranked", expr(
+          s"slice(${centRanksSql(n, vecCol)}, 1, $maxRank)"))
+        .select(col("*"), posexplode(col("__ranked")).as(Seq("__rk0", "__r")))
+        .withColumn("__cell", col("__r.i"))
+        .withColumn("__rk", col("__rk0") + 1)
+        .drop("__cents", "__ranked", "__rk0", "__r")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centsDf = broadcast(
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__cid", "__cv"))
+      val sqd = expr(s"""aggregate(zip_with(__cv, $vecCol,
+        |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
+        |  0D, (acc, v) -> acc + v)""".stripMargin)
+      val exploded = df
+        .withColumn("__cid", explode(expr(s"sequence(0, ${n - 1})")))
+        .join(centsDf, "__cid")
+        .withColumn("__sqd", sqd)
+        .drop("__cv")
+      if (maxRank == 1) {
+        // partial aggregation collapses the nCents candidate rows map-side;
+        // the shuffle carries one row per vector.
+        val others = df.columns.filterNot(_ == idCol)
+        exploded.groupBy(col(idCol))
+          .agg(min_by(col("__cid"), struct(col("__sqd"), col("__cid"))).as("__cell"),
+            others.map(c => first(col(c)).as(c)): _*)
+          .withColumn("__rk", lit(1))
+          .select(df.columns.map(col) :+ col("__cell") :+ col("__rk"): _*)
+      } else {
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__sqd").asc, col("__cid").asc)
+        exploded
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= maxRank)
+          .withColumnRenamed("__cid", "__cell")
+          .select(df.columns.map(col) :+ col("__cell") :+ col("__rk"): _*)
+      }
+    }
+  }
 
   /** Deterministic centroid seeds: the `n` corpus vectors first in
     * md5(id) order (a seedless, reproducible pseudo-random sample). */
@@ -176,9 +242,9 @@ object Similarity {
       cents: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
     var cur = cents
     (0 until iters).foreach { _ =>
-      val assigned = corpus
-        .withColumn("__cents", typedLit(cur))
-        .withColumn("__cell", expr(s"(${centRanksSql(cur.length, vecCol)})[0].i"))
+      val assigned = cellRanks(
+          corpus.select(col(vecCol)).withColumn("__vid", monotonically_increasing_id()),
+          "__vid", vecCol, cur, maxRank = 1)
         .select(col("__cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
         .groupBy(col("__cell"), col("__d"))
         .agg(avg(col("__x")).as("__m"))
@@ -201,17 +267,16 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCentroids)
     val cents = refineCentroids(
       corpus, vecCol, seedCentroids(corpus, idCol, vecCol, nCentroids), lloydIters)
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
-      .withColumn("__cents", typedLit(cents))
-      .withColumn("__cell", expr(s"(${centRanksSql(cents.length, "__cv")})[0].i"))
+    val c = cellRanks(
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv")),
+        "cand_id", "__cv", cents, maxRank = 1)
       .withColumn("__cn", norm("__cv"))
-      .drop("__cents")
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
-      .withColumn("__cents", typedLit(cents))
-      .withColumn("__cell", explode(expr(
-        s"transform(slice(${centRanksSql(cents.length, "__pv")}, 1, $nProbe), s -> s.i)")))
+      .drop("__rk")
+    val p = cellRanks(
+        probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+        "probe_id", "__pv", cents, maxRank = nProbe)
       .withColumn("__pn", norm("__pv"))
-      .drop("__cents")
+      .drop("__rk")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("cand_id").asc)
     p.join(c, p("__cell") === c("__cell") && col("probe_id") =!= col("cand_id"))
       .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))

@@ -160,8 +160,13 @@ object ExtractJob {
     * Crash safety comes from never deleting in place: before the commit the
     * old snapshot still references only the old files (the appended new
     * ones are invisible orphans); after the commit the old files are
-    * unreferenced orphans. Either way [[Manifest.removeOrphans]] converges
-    * the directory, and readData never observes a missing file. */
+    * unreferenced orphans. compact() itself DELETES NOTHING — a reader that
+    * resolved HEAD before the commit may still be mid-scan over the old
+    * files (the Manifest contract lets any number of readers pin a resolved
+    * snapshot), so GC is a separate maintenance step: call
+    * [[Manifest.removeOrphans]] later, once no reader can still pin the
+    * pre-compaction snapshot (a grace period ≥ the longest reader, or a
+    * reader-quiescent window). readData never observes a missing file. */
   def compact(
       spark: SparkSession,
       tableDir: String,
@@ -189,8 +194,6 @@ object ExtractJob {
       val fresh = now.filterNot(before(b.bucket))
       Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh)
     }
-    val committed = table.commit(s"compact-of-${snap.id}", states)
-    table.removeOrphans()
-    committed
+    table.commit(s"compact-of-${snap.id}", states)
   }
 }

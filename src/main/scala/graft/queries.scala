@@ -1066,10 +1066,17 @@ object Queries {
 
   private val CorpusDocs = 5000L
   /** Fixed absolute staging root — baked into the oracle SQL strings, so it
-    * must not depend on the driver's outDir. */
+    * must not depend on the driver's outDir. The default carries a
+    * per-process token: two JVMs staging concurrently (e.g. Verify and
+    * Bench) must never race overwrite-vs-read on one directory. The oracle
+    * SQL emitted by THIS JVM references THIS JVM's staging dir, so the
+    * driver's DuckDB replay always reads the parquet bytes this process
+    * wrote. Set GRAFT_CORPUS_DIR to pin a shared dir (single-process runs
+    * only). */
   private[graft] val corpusDir: String =
     sys.env.getOrElse("GRAFT_CORPUS_DIR",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") + "/graft_corpus_v2")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+        s"/graft_corpus_v3_${ProcessHandle.current().pid()}")
   private val corpusPath = s"$corpusDir/docs"
 
   /** Stage the deterministic corpus (seed=42, 5000 docs) once per JVM. */

@@ -18,7 +18,7 @@ class MaintenanceSpec extends AnyFunSuite {
       .map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
       .toMap
 
-  test("compaction merges multi-file buckets, preserves content byte-for-byte, GCs orphans") {
+  test("compaction merges multi-file buckets, preserves content byte-for-byte; GC is decoupled") {
     val dir = freshDir()
     // numPartitions ≫ buckets — the realistic layout: multiple files/bucket
     val s0 = ExtractJob.run(spark, DocGen.generate(spark, 800, 8), dir, "frag",
@@ -36,8 +36,17 @@ class MaintenanceSpec extends AnyFunSuite {
       s0.buckets.map(b => (b.bucket, b.rows, b.watermarkDocId)))
     // content identical through the manifest-planned read
     assert(tableState(m) == golden)
-    // old files were GC'd: nothing on disk outside the snapshot
+    // compact deletes NOTHING (a reader pinning the pre-compaction snapshot
+    // may still be mid-scan): old files survive as visible orphans until a
+    // separate maintenance pass removes them after a grace period
+    assert(m.orphanFiles().nonEmpty,
+      "pre-compaction files must remain readable until explicit GC")
+    val preCompactionFiles = s0.buckets.flatMap(_.files)
+    assert(preCompactionFiles.forall(f => Files.exists(
+      java.nio.file.Paths.get(f.stripPrefix("file:")))))
+    m.removeOrphans()
     assert(m.orphanFiles().isEmpty)
+    assert(tableState(m) == golden)
     // idempotent: already-compact table is a no-op
     assert(ExtractJob.compact(spark, dir).id == s1.id)
     // compaction is a LOGICAL no-op: CDC must not report rewritten buckets
@@ -76,6 +85,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val s1 = ExtractJob.compact(spark, dir, targetFilesPerBucket = 2)
     assert(s1.buckets.forall(b => b.files.length <= 2 && b.files.nonEmpty))
     assert(tableState(m) == golden)
+    m.removeOrphans() // decoupled GC (see compact scaladoc)
     assert(m.orphanFiles().isEmpty)
   }
 

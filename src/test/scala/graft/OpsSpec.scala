@@ -214,6 +214,27 @@ class OpsSpec extends AnyFunSuite {
     assert(sizes.max < b1.size, "all vectors in one bucket = useless hash")
   }
 
+  test("cellRanks broadcast-codebook path matches brute-force nearest-centroid ranking") {
+    // a codebook above CodebookLiteralMax forces the broadcast-join path;
+    // its (cell, rank) output must equal the locally computed argsort
+    val vecs = embeddings.where($"vec_id" < 40).select($"vec_id", $"embedding")
+    val cents = ops.Similarity.seedCentroids(embeddings, "vec_id", "embedding",
+      ops.Similarity.CodebookLiteralMax + 6)
+    val out = ops.Similarity.cellRanks(vecs, "vec_id", "embedding", cents, 2)
+      .select($"vec_id", $"__cell", $"__rk").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getInt(1)).toMap
+    val local = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    local.foreach { case (id, v) =>
+      val ranked = cents.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(v).foldLeft(0.0) { case (acc, (a, b)) =>
+          acc + (a - b.toDouble) * (a - b.toDouble) }
+        (d, i)
+      }.sorted.take(2).map(_._2)
+      assert(out((id, 1)) == ranked(0), s"vec $id rank1")
+      assert(out((id, 2)) == ranked(1), s"vec $id rank2")
+    }
+  }
+
   test("IVF top-k: planted self-probes are found through their cell; search is cell-pruned") {
     val probes = embeddings.where($"vec_id" < 5)
       .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")

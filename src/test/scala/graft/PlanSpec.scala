@@ -93,4 +93,44 @@ class PlanSpec extends AnyFunSuite {
     // two-phase: HashAggregate (partial) below the exchange
     assert(p.contains("HashAggregate"), p.take(500))
   }
+
+  test("exactDedup collapses dup clusters via partial aggregation, never a window") {
+    import spark.implicits._
+    // a Window.partitionBy(hash) would buffer a whole dup cluster in ONE
+    // task; the agg shape collapses clusters map-side (partial min_by)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val p = ops.Dedup.exactDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"exactDedup must not plan a window:\n${p.take(600)}")
+    assert(p.contains("min_by") && p.contains("partial"),
+      s"expected a partial min_by aggregate:\n${p.take(600)}")
+  }
+
+  test("hot-bucket guards count via aggregate+join, never a window") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").where($"doc_id" < 50)
+    val sigs = ops.Dedup.minhashSignatures(docs, "text", 8).select($"doc_id", $"sig")
+    val pLsh = ops.Dedup.lshCandidatePairs(sigs, "doc_id", 4)
+      .queryExecution.executedPlan.toString
+    assert(!pLsh.contains("Window"), s"LSH guard plans a window:\n${pLsh.take(600)}")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").where($"vec_id" < 50)
+    val pCos = ops.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.99, nPlanes = 4, dims = 64)
+      .queryExecution.executedPlan.toString
+    assert(!pCos.contains("Window"), s"cosine guard plans a window:\n${pCos.take(600)}")
+  }
+
+  test("IVF assign stage broadcast-joins large codebooks (no plan-literal blowup)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").where($"vec_id" < 20)
+    val cents = ops.Similarity.seedCentroids(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      ops.Similarity.CodebookLiteralMax + 6)
+    val df = ops.Similarity.cellRanks(emb, "vec_id", "embedding", cents, 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"large-codebook assign must be a broadcast equi-join:\n${p.take(800)}")
+  }
 }
