@@ -218,4 +218,111 @@ object Dedup {
   /** Hamming distance between two simhash columns — pure Column API (never
     * string-interpolated SQL, which breaks on names needing backticks). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // Cluster resolution: candidate/verified PAIRS → per-document keep-set.
+  // Every dedup path above ends at (id_a, id_b) pairs; a training-data
+  // user's deliverable is the deduplicated corpus, which needs connected
+  // components over the pair graph. At corpus scale that must be an
+  // iterative edge-rewriting loop (small-star/large-star, Kiveris et al.,
+  // "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  // algorithm), never a driver-side union-find: the driver would need
+  // every edge in memory.
+  // ------------------------------------------------------------------
+
+  /** One large-star round: every node u hooks its LARGER neighbors to
+    * m = min(N(u) ∪ {u}). Pure groupBy(min) + equi-join — partial
+    * aggregation keeps hot roots (million-member clusters) map-side. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = und.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    und.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u hooks its SMALLER neighbors (and
+    * itself) to the minimum of those neighbors. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+    or.join(mins, "u")
+      .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
+      .union(mins.select(least(col("u"), col("m")).as("src"),
+        greatest(col("u"), col("m")).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected-component resolution of a near-dup pair graph:
+    * (id, cluster_id, keep) for every id appearing in `pairs`, where
+    * cluster_id is the component minimum and `keep` marks the canonical
+    * keeper (the minimum itself). Pair orientation and duplicates don't
+    * matter.
+    *
+    * Alternates large-star/small-star until the edge set reaches its
+    * fixpoint (a star per component), checked by (count, hash-sum)
+    * checksum — one tiny action per round, O(log²) rounds on worst-case
+    * path graphs. Each round's result is localCheckpoint'ed to truncate
+    * the iterative lineage (swap for reliable checkpoint() on a real
+    * cluster). Throws IllegalStateException after `maxIters` rounds —
+    * convergence is a correctness precondition for the star→cluster read. */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var edges = pairs
+      .select(least(col(idA), col(idB)).as("src"), greatest(col(idA), col(idB)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // (count, xor-of-hashes): order-independent, overflow-free (edge rows
+    // are distinct, so xor cancellation needs a hash collision to lie)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIters rounds (edges=${prev._1})")
+
+    // at the fixpoint every component is a star rooted at its minimum:
+    // src = root, dst = member. The min-agg is defensive belt-and-braces.
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+    val assign = edges.groupBy(col("dst").as("id")).agg(min(col("src")).as("__root"))
+    nodes.join(assign, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
+      .withColumn("keep", col("id") === col("cluster_id"))
+  }
+
+  /** The deduplicated corpus: resolve the pair graph and anti-join every
+    * non-keeper out of `docs`. Documents never mentioned in `pairs` pass
+    * through untouched; each cluster survives as exactly one document (its
+    * minimum id). */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    val losers = resolveClusters(pairs, idA, idB, maxIters)
+      .where(!col("keep"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -581,6 +581,51 @@ object Queries {
            |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Near-dup cluster RESOLUTION (ops.Dedup.resolveClusters): pairs →
+    * connected components → canonical keeper per cluster, via iterative
+    * small-star/large-star edge rewriting (never a driver-side union-find).
+    * The planted graph has 4-chains, 3-chains, 2-chains and reversed /
+    * duplicate pair orientations; the oracle replays the components with a
+    * recursive transitive-closure CTE and must agree on every (id,
+    * cluster_id, keep) row. */
+  private val qDedupResolve = QueryDef(
+    "q_dedup_resolve",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id")
+      // chains: i<5 → {i, i+1000, i+2000, i+3000}; 5≤i<10 → {i, i+1000,
+      // i+2000}; 10≤i<20 → {i, i+1000}. Orientation deliberately mixed.
+      val pairs = base.where($"doc_id" < 20)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1000).as("id_b"))
+        .union(base.where($"doc_id" < 10)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 1000).as("id_b")))
+        .union(base.where($"doc_id" < 5)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 3000).as("id_b")))
+        .union(base.where($"doc_id" < 20) // duplicate edges, reversed
+          .select(($"doc_id" + 1000).as("id_a"), $"doc_id".as("id_b")))
+      ops.Dedup.resolveClusters(pairs)
+        .orderBy($"id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+           |  SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM documents WHERE doc_id < 20
+           |  UNION ALL
+           |  SELECT doc_id + 2000, doc_id + 1000 FROM documents WHERE doc_id < 10
+           |  UNION ALL
+           |  SELECT doc_id + 2000, doc_id + 3000 FROM documents WHERE doc_id < 5
+           |  UNION ALL
+           |  SELECT doc_id + 1000, doc_id FROM documents WHERE doc_id < 20),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+           |SELECT id, CAST(min(r) AS BIGINT) AS cluster_id,
+           |  (id = min(r)) AS keep
+           |FROM reach GROUP BY id ORDER BY id""".stripMargin))
+
   /** Document fingerprint: order-insensitive bag-of-words hash. */
   private val qFingerprint = QueryDef(
     "q_fingerprint",
@@ -1326,7 +1371,7 @@ object Queries {
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
-    qDedupExact, qMinhash, qSimhash, qJaccard, qFingerprint,
+    qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokens, qMediaMeta, qMediaFeatures,

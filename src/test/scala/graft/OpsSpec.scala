@@ -152,6 +152,81 @@ class OpsSpec extends AnyFunSuite {
     assert(ops.Dedup.lshCandidatePairs(sigs2, "doc_id", 3).count() == 1)
   }
 
+  test("resolveClusters: transitive chain a-b, b-c collapses to one cluster") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = ops.Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+  }
+
+  test("resolveClusters converges on a worst-case path graph within the log bound") {
+    // 64-node path: the adversarial case for label propagation (diameter
+    // 63); small-star/large-star must converge in O(log² n) rounds
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = ops.Dedup.resolveClusters(path, maxIters = 15).collect()
+    assert(out.length == 64)
+    assert(out.forall(_.getLong(1) == 0L), "single component rooted at 0")
+    assert(out.count(_.getBoolean(2)) == 1)
+  }
+
+  test("resolveClusters throws when the iteration bound is exhausted") {
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      ops.Dedup.resolveClusters(path, maxIters = 1)
+    }
+  }
+
+  test("resolveClusters handles duplicate and reversed pairs, self-loops, empty input") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("id_a", "id_b")
+    val out = ops.Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false))
+    assert(out(3L) == (3L, true), "self-loop-only node is its own keeper")
+    val empty = ops.Dedup.resolveClusters(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("dedupCorpus keeps one doc per cluster and passes unpaired docs through") {
+    val docs = (0L until 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = ops.Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 4L, 6L, 8L, 9L))
+  }
+
+  test("full pipeline: nearDupPairs → dedupCorpus removes exactly the planted dups") {
+    val base = documents.select($"doc_id", $"text").where($"doc_id" < 30)
+    val planted = base.select(($"doc_id" + 1000).as("doc_id"),
+      concat($"text", lit(" extra")).as("text"))
+    val corpus = base.union(planted)
+    val pairs = ops.Dedup.nearDupPairs(corpus, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.6)
+    val kept = ops.Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // planted dups always pair with their smaller original → never kept
+    (0L until 30L).foreach(i =>
+      assert(!kept.contains(i + 1000), s"planted dup ${i + 1000} must be removed"))
+    // exact keep-set: test-local union-find over the found pairs (originals
+    // may legitimately near-dup EACH OTHER — only cluster minima survive)
+    val edges = pairs.select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expected = all.filter(id => find(id) == id)
+    assert(kept == expected,
+      s"missing=${(expected -- kept).take(5)} extra=${(kept -- expected).take(5)}")
+  }
+
   // ---- similarity ----
 
   test("multiprobe lshTopK candidates are a strict superset of single-bucket candidates") {
