@@ -6,14 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
   * with typed metadata.
   *
-  * The container has no image/audio codecs (zero-egress, SURVEY.md §0.3),
-  * so the DECODE STEP IS A STUB — a deterministic fake that derives
-  * plausible metadata from the bytes (`fakeDecode`). Everything around it
-  * is real and is what matters at 100 TB: the schema, the batched
-  * per-partition decode loop (decoder init amortized once per partition,
-  * exactly like the extraction registry), partition sizing, and the typed
-  * result. Swapping in a real codec changes only the body of
-  * `MediaDecoder.decode`.
+  * The decode stage is REAL where no codec is needed and an honest stub
+  * where one would be (the container ships no image/audio codecs,
+  * SURVEY.md §0.3):
+  *  - format TRIAGE is real: magic-number sniffing of JPEG/PNG/GIF/RIFF
+  *    (WAV/AVI)/PDF/ZIP headers — the standard first pass over an opaque
+  *    crawl payload column;
+  *  - PNG and GIF DIMENSIONS are real: parsed from the IHDR chunk /
+  *    logical-screen descriptor, plain big/little-endian header reads;
+  *  - everything a codec would produce (JPEG dims, frame decode) stays a
+  *    deterministic fake, clearly marked below.
+  * The batched per-partition loop (decoder init amortized once per
+  * partition), schema and typed result are the 100 TB-relevant plumbing;
+  * a real codec swaps only the fake branches of `MediaDecoder.decode`.
   */
 object Media {
 
@@ -27,20 +32,53 @@ object Media {
       frames: Int,
       checksum: String)
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * Real implementation would parse headers / decode frames here. */
+  object MediaDecoder {
+    private[Media] def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private[Media] def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private[Media] def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+      b.length >= i + s.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+  }
+
+  /** Byte-level decoder: REAL magic-number sniffing + real PNG/GIF header
+    * dims; deterministic fakes where an actual codec would run (marked).
+    * The same prefix rules are replayed by the q_media_meta SQL oracle —
+    * keep the two in sync. */
   final class MediaDecoder extends Serializable {
+    import MediaDecoder._
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       val n = bytes.length
       val b0 = if (n > 0) bytes(0) & 0xff else 0
-      val fmt = (b0 % 3) match { case 0 => "img"; case 1 => "aud"; case _ => "vid" }
+      def fakeW = 32 + (n % 64) // FAKE dims: a codec would decode these
+      def fakeH = 32 + (b0 % 48)
+      val (fmt, w, h) =
+        if (n >= 3 && b0 == 0xFF && (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF)
+          ("jpeg", fakeW, fakeH) // real dims would need an SOF marker scan
+        else if (n >= 24 && b0 == 0x89 && ascii(bytes, 1, "PNG") &&
+            (bytes(4) & 0xff) == 0x0D && (bytes(5) & 0xff) == 0x0A &&
+            (bytes(6) & 0xff) == 0x1A && (bytes(7) & 0xff) == 0x0A)
+          ("png", be32(bytes, 16), be32(bytes, 20)) // REAL: IHDR width/height
+        else if (n >= 10 && ascii(bytes, 0, "GIF8"))
+          ("gif", le16(bytes, 6), le16(bytes, 8)) // REAL: logical screen size
+        else if (n >= 12 && ascii(bytes, 0, "RIFF"))
+          (if (ascii(bytes, 8, "WAVE")) "wav"
+           else if (ascii(bytes, 8, "AVI ")) "avi"
+           else "riff", fakeW, fakeH)
+        else if (ascii(bytes, 0, "%PDF")) ("pdf", fakeW, fakeH)
+        else if (n >= 4 && ascii(bytes, 0, "PK") && bytes(2) == 3 && bytes(3) == 4)
+          ("zip", fakeW, fakeH)
+        else // unknown header: the original deterministic fake triage
+          ((b0 % 3) match { case 0 => "img"; case 1 => "aud"; case _ => "vid" },
+            fakeW, fakeH)
       MediaMeta(
         doc_id = id,
         n_bytes = n,
         format = fmt,
-        width = 32 + (n % 64),
-        height = 32 + (b0 % 48),
-        frames = if (fmt == "vid") 1 + (n % 16) else 1,
+        width = w,
+        height = h,
+        frames = if (fmt == "vid" || fmt == "avi") 1 + (n % 16) else 1,
         checksum = java.security.MessageDigest.getInstance("MD5")
           .digest(bytes).map("%02x".format(_)).mkString)
     }

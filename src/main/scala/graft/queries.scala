@@ -1045,27 +1045,80 @@ object Queries {
   // Training-data pipeline: multimodal plumbing (binary columns)
   // ------------------------------------------------------------------
 
-  /** Opaque-binary plumbing: text bytes stand in for image payloads (no
-    * image libs in the container — SURVEY.md §0.3); metadata extraction
-    * (byte length, deterministic fake decode dims) is real Spark column
-    * algebra over a binary column. */
+  /** Planted binary payloads (hex) exercising the magic-number sniffer —
+    * one per detected format plus a RIFF-unknown and a no-magic fallback.
+    * SINGLE SOURCE OF TRUTH for both the Spark query and the SQL oracle
+    * (the oracle replays the prefix rules over these hex strings). */
+  private val PlantedMedia: Seq[(Long, String)] = Seq(
+    // PNG 64×48: signature + IHDR (width/height parsed from REAL bytes)
+    100001L -> "89504E470D0A1A0A0000000D494844520000004000000030080600000011223344",
+    100002L -> "FFD8FFE000104A4649460001",             // JPEG SOI+APP0
+    100003L -> "4749463839614001C800F7000000",         // GIF89a 320×200 (LE)
+    100004L -> "52494646240800005741564520666D7420",   // RIFF/WAVE
+    100005L -> "52494646C8000000415649204C495354",     // RIFF/AVI
+    100006L -> "255044462D312E340A25E2E3CFD3",         // %PDF-1.4
+    100007L -> "504B03041400000008",                   // ZIP local header
+    100008L -> "524946460000000058595A20",             // RIFF, unknown subtype
+    100009L -> "0102030405")                           // no magic → fallback triage
+
+  /** Multimodal metadata through the REAL decoder (ops.Media.MediaDecoder):
+    * magic-number format sniffing over planted JPEG/PNG/GIF/RIFF/PDF/ZIP
+    * headers (PNG/GIF dims parsed from actual header bytes) plus the
+    * deterministic fallback triage for the text payloads; the oracle
+    * replays the same prefix rules over the shared hex constants. */
   private val qMediaMeta = QueryDef(
     "q_media_meta",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .where($"doc_id" < 200)
-        .withColumn("payload", encode(substring($"text", 1, 64), "utf-8"))
+      val docs = t(s, dir, "documents").where($"doc_id" < 200)
+        .select($"doc_id", encode(substring($"text", 1, 64), "utf-8").as("payload"))
+      val planted = PlantedMedia.toDF("doc_id", "hx")
+        .select($"doc_id", unhex($"hx").as("payload"))
+      ops.Media.decodeMeta(s, docs.union(planted)).toDF()
         .select($"doc_id",
-          octet_length($"payload").cast("bigint").as("n_bytes"),
-          (lit(32) + octet_length($"payload").cast("bigint") % 64).as("width"),
-          (lit(32) + ascii(substring($"text", 1, 1)).cast("bigint") % 48).as("height"))
+          $"n_bytes".cast("bigint").as("n_bytes"), $"format",
+          $"width".cast("bigint").as("width"), $"height".cast("bigint").as("height"))
         .orderBy($"doc_id")
     },
-    Some("""SELECT doc_id, CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n_bytes,
-           |  32 + CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) % 64 AS width,
-           |  32 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 48 AS height
-           |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
+    Some {
+      val vals = PlantedMedia.map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
+      s"""WITH txt AS (
+         |  SELECT doc_id, CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n,
+         |    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS b0
+         |  FROM documents WHERE doc_id < 200),
+         |tm AS (SELECT doc_id, n AS n_bytes,
+         |    CASE b0 % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END AS format,
+         |    32 + n % 64 AS width, 32 + b0 % 48 AS height FROM txt),
+         |pl(doc_id, hx) AS (VALUES $vals),
+         |ph AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, hx,
+         |    CAST(octet_length(unhex(hx)) AS BIGINT) AS n,
+         |    ('0x' || substr(hx, 1, 2))::BIGINT AS b0 FROM pl),
+         |pm AS (SELECT doc_id, n AS n_bytes,
+         |    CASE WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+         |         WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24 THEN 'png'
+         |         WHEN hx LIKE '47494638%' AND n >= 10 THEN 'gif'
+         |         WHEN hx LIKE '52494646%' AND n >= 12 THEN
+         |           CASE substr(hx, 17, 8) WHEN '57415645' THEN 'wav'
+         |                WHEN '41564920' THEN 'avi' ELSE 'riff' END
+         |         WHEN hx LIKE '25504446%' THEN 'pdf'
+         |         WHEN hx LIKE '504B0304%' THEN 'zip'
+         |         ELSE CASE b0 % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END
+         |    END AS format,
+         |    CASE WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
+         |           THEN ('0x' || substr(hx, 33, 8))::BIGINT
+         |         WHEN hx LIKE '47494638%' AND n >= 10
+         |           THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::BIGINT
+         |         ELSE 32 + n % 64 END AS width,
+         |    CASE WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
+         |           THEN ('0x' || substr(hx, 41, 8))::BIGINT
+         |         WHEN hx LIKE '47494638%' AND n >= 10
+         |           THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
+         |         ELSE 32 + b0 % 48 END AS height
+         |  FROM ph)
+         |SELECT doc_id, n_bytes, format, width, height FROM tm
+         |UNION ALL SELECT doc_id, n_bytes, format, width, height FROM pm
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** Byte-level feature extraction over binary payloads (ops.Media
     * .extractFeatures — REAL computation, no codec): 16-bin byte histogram

@@ -345,6 +345,33 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() >= rows.length)
   }
 
+  test("magic-number sniffing: real formats detected, PNG/GIF dims parsed from header bytes") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val crafted = Seq(
+      1L -> "89504E470D0A1A0A0000000D494844520000004000000030080600000011223344", // PNG 64×48
+      2L -> "FFD8FFE000104A4649460001",           // JPEG
+      3L -> "4749463839614001C800F7000000",       // GIF 320×200 little-endian
+      4L -> "52494646240800005741564520666D7420", // WAV
+      5L -> "52494646C8000000415649204C495354",   // AVI
+      6L -> "255044462D312E340A25E2E3CFD3",       // PDF
+      7L -> "504B03041400000008",                 // ZIP
+      8L -> "524946460000000058595A20",           // RIFF unknown subtype
+      9L -> "0102030405"                          // no magic → fallback (b0=1 → aud)
+    ).map { case (id, h) => (id, hx(h)) }.toDF("doc_id", "payload")
+    val m = ops.Media.decodeMeta(spark, crafted).collect().map(x => x.doc_id -> x).toMap
+    assert(m(1L).format == "png" && m(1L).width == 64 && m(1L).height == 48)
+    assert(m(2L).format == "jpeg")
+    assert(m(3L).format == "gif" && m(3L).width == 320 && m(3L).height == 200)
+    assert(m(4L).format == "wav" && m(5L).format == "avi")
+    assert(m(6L).format == "pdf" && m(7L).format == "zip")
+    assert(m(8L).format == "riff")
+    assert(m(9L).format == "aud", "unknown header falls back to the triage stub")
+    // a PNG prefix too short for IHDR must NOT sniff as png
+    val shortPng = Seq((10L, hx("89504E470D0A1A0A00000000"))).toDF("doc_id", "payload")
+    assert(ops.Media.decodeMeta(spark, shortPng).collect().head.format != "png")
+  }
+
   test("byte features: histogram sums to n_bytes, entropy bounded, zero runs counted") {
     val meta = ops.Media.extractFeatures(spark, ops.Media.withPayload(
       documents.where($"doc_id" < 50).select($"doc_id", $"text"), "text")).collect()
