@@ -99,7 +99,7 @@ object DocGen {
     // title ~80%
     if (rnd.nextInt(10) < 8) add("title", words(rnd, 2 + rnd.nextInt(5)), "")
     while (off < nSpans) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 | 2 | 3 => // main text, varying length
           add("text", words(rnd, 1 + rnd.nextInt(12)), "")
         case 4 => // ad boilerplate
@@ -120,6 +120,16 @@ object DocGen {
           add("media", "", s"https://cdn.$domain.test/file${rnd.nextInt(1000)}.bin")
         case 9 => // footer boilerplate
           add("footer", words(rnd, 1 + rnd.nextInt(3)), "")
+        case 10 => // albumhost media: multi-item album — 2..3 logical items
+          // in page order, each a variant run of 1..2 exts (D2 two-level
+          // ordering: items ordered, variants collapsed per item)
+          val album = "alb" + java.lang.Long.toString(math.abs(Seed + idx * 257 + off), 36)
+          val items = 2 + rnd.nextInt(2)
+          (0 until items).foreach { it =>
+            val k = 1 + rnd.nextInt(2)
+            val exts = rnd.shuffle(Vector("mp4", "webm", "jpg")).take(k)
+            exts.foreach(e => add("media", "", s"https://i.albumhost.test/$album/${100 + it}.$e"))
+          }
       }
     }
     RawDoc(id, spans.toVector, domain, bucketOf(id))
@@ -201,7 +211,26 @@ object DocGen {
         ("text", "alpha beta gamma", "")), // 3 words 0 stop, not adjacent title → dropped
       d("f0000000023", "src6",
         ("title", "adjacency after", ""),
-        ("text", "two words", "")) // adjacent (after title) → kept
+        ("text", "two words", "")), // adjacent (after title) → kept
+      d("f0000000024", "src7", // multi-item album: two items, each a variant
+        // run → TWO media spans in item order, best variant each (mp4 > jpg)
+        ("media", "", "https://i.albumhost.test/alb1/100.jpg"),
+        ("media", "", "https://i.albumhost.test/alb1/100.mp4"),
+        ("media", "", "https://i.albumhost.test/alb1/101.webm"),
+        ("media", "", "https://i.albumhost.test/alb1/101.jpg")),
+      d("f0000000025", "src8", // same item resumed AFTER text → two groups
+        ("media", "", "https://i.albumhost.test/alb2/100.webm"),
+        ("text", "the words between the album items here", ""),
+        ("media", "", "https://i.albumhost.test/alb2/100.mp4")),
+      d("f0000000026", "src9", // dispatch priority: chanboard (rule 1) beats
+        // albumhost (rule 2) even though the album ref comes first
+        ("media", "", "https://i.albumhost.test/alb3/100.jpg"),
+        ("media", "", "https://img.chanboard.test/g/1400000006.png")),
+      d("f0000000027", "src0", // album interleaved with gfyclip: group run
+        // breaks at the rule boundary; gfyclip (rule 0) wins dispatch
+        ("media", "", "https://i.albumhost.test/alb4/100.mp4"),
+        ("media", "", "https://media.gfyclip.test/Mid.gif"),
+        ("media", "", "https://i.albumhost.test/alb4/101.mp4"))
     )
   }
 }

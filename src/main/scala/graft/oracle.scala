@@ -15,12 +15,14 @@ object ReferenceOracle {
 
   private val Gfy = """https?://media\.gfyclip\.test/([A-Za-z][A-Za-z0-9]*)\.(mp4|webm|gif)""".r
   private val Chan = """https?://img\.chanboard\.test/([a-z]+)/(\d+)\.([a-z0-9]+)""".r
+  private val Alb = """https?://i\.albumhost\.test/([a-z0-9]+)/(\d+)\.([a-z0-9]+)""".r
 
   /** (ruleIndex, groupKey, canonicalRef, ext) for a matched ref. */
   private def matchRef(ref: String): Option[(Int, String, String, String)] = ref match {
-    case Gfy(id, ext)         => Some((0, s"gfyclip:$id", s"https://gfyclip.test/$id", ext))
+    case Gfy(id, ext)          => Some((0, s"gfyclip:$id", s"https://gfyclip.test/$id", ext))
     case Chan(board, tim, ext) => Some((1, s"chanboard:$board/$tim", s"https://chanboard.test/$board/$tim.$ext", ext))
-    case _                    => None
+    case Alb(album, item, ext) => Some((2, s"albumhost:$album/$item", s"https://albumhost.test/$album/$item", ext))
+    case _                     => None
   }
 
   private def words(t: String): List[String] = t.split(" ").filter(_.nonEmpty).toList

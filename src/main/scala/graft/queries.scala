@@ -1201,9 +1201,11 @@ object Queries {
   private def classifierCtes(docWhere: String): String = {
     val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
     // Registry.rules patterns with numbered instead of named groups
-    // (gfyclip: 1=id 2=ext; chanboard: 1=board 2=tim 3=ext)
+    // (gfyclip: 1=id 2=ext; chanboard: 1=board 2=tim 3=ext;
+    //  albumhost: 1=album 2=item 3=ext)
     val gfy = """https?://media\.gfyclip\.test/([A-Za-z][A-Za-z0-9]*)\.(mp4|webm|gif)"""
     val chan = """https?://img\.chanboard\.test/([a-z]+)/([0-9]+)\.([a-z0-9]+)"""
+    val alb = """https?://i\.albumhost\.test/([a-z0-9]+)/([0-9]+)\.([a-z0-9]+)"""
     val qCase = "CASE ext " + Registry.qualityOf.toSeq.sorted
       .map { case (e, q) => s"WHEN '$e' THEN $q" }.mkString(" ") + " ELSE 10 END"
     s"""corpus AS (
@@ -1222,15 +1224,19 @@ object Queries {
        |    len(list_filter(string_split(text, ' '), w -> list_contains([$stops], w))) AS stops,
        |    CASE WHEN kind = 'media' AND regexp_full_match(media_ref, '$gfy') THEN 'gfyclip'
        |         WHEN kind = 'media' AND regexp_full_match(media_ref, '$chan') THEN 'chanboard'
+       |         WHEN kind = 'media' AND regexp_full_match(media_ref, '$alb') THEN 'albumhost'
        |         END AS rule
        |  FROM ord),
        |med AS (
        |  SELECT *,
        |    CASE rule WHEN 'gfyclip' THEN 'g:' || regexp_extract(media_ref, '$gfy', 1)
        |              WHEN 'chanboard' THEN 'c:' || regexp_extract(media_ref, '$chan', 1) ||
-       |                '/' || regexp_extract(media_ref, '$chan', 2) END AS grpkey,
+       |                '/' || regexp_extract(media_ref, '$chan', 2)
+       |              WHEN 'albumhost' THEN 'l:' || regexp_extract(media_ref, '$alb', 1) ||
+       |                '/' || regexp_extract(media_ref, '$alb', 2) END AS grpkey,
        |    CASE rule WHEN 'gfyclip' THEN regexp_extract(media_ref, '$gfy', 2)
-       |              WHEN 'chanboard' THEN regexp_extract(media_ref, '$chan', 3) END AS ext
+       |              WHEN 'chanboard' THEN regexp_extract(media_ref, '$chan', 3)
+       |              WHEN 'albumhost' THEN regexp_extract(media_ref, '$alb', 3) END AS ext
        |  FROM feat),
        |flags AS (
        |  SELECT *,
@@ -1270,9 +1276,11 @@ object Queries {
        |  SELECT doc_id, bucket, head_pos, 'media', head_text,
        |    CASE best_rule
        |      WHEN 'gfyclip' THEN 'https://gfyclip.test/' || regexp_extract(best_ref, '$gfy', 1)
-       |      ELSE 'https://chanboard.test/' || regexp_extract(best_ref, '$chan', 1) ||
+       |      WHEN 'chanboard' THEN 'https://chanboard.test/' || regexp_extract(best_ref, '$chan', 1) ||
        |        '/' || regexp_extract(best_ref, '$chan', 2) ||
-       |        '.' || regexp_extract(best_ref, '$chan', 3) END
+       |        '.' || regexp_extract(best_ref, '$chan', 3)
+       |      ELSE 'https://albumhost.test/' || regexp_extract(best_ref, '$alb', 1) ||
+       |        '/' || regexp_extract(best_ref, '$alb', 2) END
        |  FROM best),
        |outp AS (
        |  SELECT doc_id, bucket, kind, text, media_ref,
@@ -1288,6 +1296,7 @@ object Queries {
        |    SELECT doc_id,
        |      CASE WHEN count(*) FILTER (WHERE rule = 'gfyclip') > 0 THEN 'gfyclip'
        |           WHEN count(*) FILTER (WHERE rule = 'chanboard') > 0 THEN 'chanboard'
+       |           WHEN count(*) FILTER (WHERE rule = 'albumhost') > 0 THEN 'albumhost'
        |           WHEN count(*) FILTER (WHERE kind = 'media' AND media_ref <> '') > 0 THEN 'generic'
        |           ELSE 'textonly' END AS extractor
        |    FROM feat GROUP BY doc_id) r USING (doc_id))""".stripMargin

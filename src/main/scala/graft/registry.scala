@@ -28,7 +28,11 @@ object Registry {
     * gfyclip ~ qetch/extractors/gfycat.py::GfycatExtractor.handles
     * (quality-variant url-key map, raw→basic normalization);
     * chanboard ~ qetch/extractors/fourchan.py::FourChanExtractor.handles
-    * (board/tim/ext capture). Both hosts are synthetic (.test TLD). */
+    * (board/tim/ext capture);
+    * albumhost ~ qetch's imgur-album analog: ONE page yields SEVERAL
+    * logical items (album/item capture), each item a quality-variant
+    * group — the two-level ordering case (items in page order, variants
+    * collapsed per item). All hosts are synthetic (.test TLD). */
   val rules: Seq[ExtractorRule] = Seq(
     ExtractorRule(
       name = "gfyclip",
@@ -37,7 +41,11 @@ object Registry {
     ExtractorRule(
       name = "chanboard",
       pattern = """https?://img\.chanboard\.test/(?<board>[a-z]+)/(?<tim>\d+)\.(?<ext>[a-z0-9]+)""",
-      canonical = "https://chanboard.test/${board}/${tim}.${ext}")
+      canonical = "https://chanboard.test/${board}/${tim}.${ext}"),
+    ExtractorRule(
+      name = "albumhost",
+      pattern = """https?://i\.albumhost\.test/(?<album>[a-z0-9]+)/(?<item>\d+)\.(?<ext>[a-z0-9]+)""",
+      canonical = "https://albumhost.test/${album}/${item}")
   )
 
   /** Fallback extractor names (no registered pattern matched). */
@@ -131,6 +139,7 @@ final class CompiledRegistry(rules: Seq[ExtractorRule]) extends Serializable {
     rule.name match {
       case "gfyclip"   => m.group("id")
       case "chanboard" => m.group("board") + "/" + m.group("tim")
+      case "albumhost" => m.group("album") + "/" + m.group("item")
       case _           => m.group(0)
     }
   }

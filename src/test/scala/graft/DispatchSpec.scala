@@ -8,6 +8,7 @@ class NeedleSpec extends AnyFunSuite {
   test("needles of the registry rules are the host literals") {
     assert(CompiledRegistry.literalNeedle(Registry.rules(0).pattern) == "://media.gfyclip.test/")
     assert(CompiledRegistry.literalNeedle(Registry.rules(1).pattern) == "://img.chanboard.test/")
+    assert(CompiledRegistry.literalNeedle(Registry.rules(2).pattern) == "://i.albumhost.test/")
   }
 
   test("needle soundness: every accepted URL contains its rule's needle") {
@@ -70,11 +71,31 @@ class DispatchSpec extends AnyFunSuite {
     chanReject.foreach(u => assert(reg.dispatch(u).isEmpty, u))
   }
 
+  private val albAccept = Seq(
+    "https://i.albumhost.test/alb1/100.jpg",
+    "http://i.albumhost.test/x9/5.mp4")
+  private val albReject = Seq(
+    "https://i.albumhost.test/ALB1/100.jpg",  // uppercase album id
+    "https://i.albumhost.test/alb1/ten.jpg",  // item must be numeric
+    "https://albumhost.test/alb1/100.jpg",    // canonical host, not source
+    "https://i.albumhost.test/alb1/100.jpg?x" // trailing query (full-match)
+  )
+
+  test("albumhost corpus") {
+    albAccept.foreach(u => assert(reg.dispatch(u).exists(_._1.name == "albumhost"), u))
+    albReject.foreach(u => assert(reg.dispatch(u).isEmpty, u))
+  }
+
   test("canonicalization substitutes named groups") {
     val Some((r1, m1)) = reg.dispatch("https://media.gfyclip.test/AbcDef.webm")
     assert(reg.canonicalize(r1, m1) == "https://gfyclip.test/AbcDef")
     val Some((r2, m2)) = reg.dispatch("https://img.chanboard.test/tv/42.png")
     assert(reg.canonicalize(r2, m2) == "https://chanboard.test/tv/42.png")
+    val Some((r3, m3)) = reg.dispatch("https://i.albumhost.test/alb1/100.webm")
+    assert(reg.canonicalize(r3, m3) == "https://albumhost.test/alb1/100")
+    // two-level key: same album, different item → DIFFERENT groups
+    val Some((r4, m4)) = reg.dispatch("https://i.albumhost.test/alb1/101.webm")
+    assert(reg.groupKey(r3, m3) != reg.groupKey(r4, m4))
   }
 
   test("first-match is stable under repeated calls") {

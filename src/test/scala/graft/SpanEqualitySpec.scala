@@ -111,5 +111,18 @@ class SpanEqualitySpec extends AnyFunSuite {
     // generic passthrough media
     assert(seq(byId("f0000000009")) ==
       Seq(("media", "", "https://cdn.src4.test/file1.bin")))
+    // multi-item album: items stay ordered, each collapsed to best variant
+    assert(seq(byId("f0000000024")).collect { case ("media", _, r) => r } ==
+      Seq("https://albumhost.test/alb1/100", "https://albumhost.test/alb1/101"))
+    assert(byId("f0000000024").extractor == "albumhost")
+    // a variant run broken by text does NOT merge across the break
+    assert(seq(byId("f0000000025")).collect { case ("media", _, r) => r } ==
+      Seq("https://albumhost.test/alb2/100", "https://albumhost.test/alb2/100"))
+    // dispatch priority: lower registry index wins over doc position
+    assert(byId("f0000000026").extractor == "chanboard")
+    assert(byId("f0000000027").extractor == "gfyclip")
+    assert(seq(byId("f0000000027")).collect { case ("media", _, r) => r } ==
+      Seq("https://albumhost.test/alb4/100", "https://gfyclip.test/Mid",
+        "https://albumhost.test/alb4/101"))
   }
 }
