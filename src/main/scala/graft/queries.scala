@@ -926,6 +926,45 @@ object Queries {
            |SELECT doc_id, CAST(unnest(range(0, frames, 2)) AS INT) AS frame_idx, format
            |FROM meta ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** Layout reconstruction (ops.Layout.readingOrder — the north rule's
+    * PDF/layout-parse analog): a synthetic two-column page is emitted in
+    * INTERLEAVED stream order (left, right, left, right …, with vertical
+    * band gaps every 5 rows); the operator must recover column-major
+    * reading order and gap-separated regions. The oracle replays the same
+    * integer window algebra. */
+  private val qLayoutOrder = QueryDef(
+    "q_layout_order",
+    (s, dir) => {
+      import s.implicits._
+      val blocks = t(s, dir, "documents").where($"doc_id" < 30)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        .select($"doc_id", $"word",
+          (lit(50) + ($"pos" % 2) * 300).as("x"),
+          (expr("pos div 2") * 20 + expr("(pos div 2) div 5") * 100).as("y"))
+      ops.Layout.readingOrder(blocks, "doc_id", pageWidth = 700, gapThreshold = 50)
+        .select($"doc_id", $"reading_pos", $"col_id", $"region_id", $"word")
+        .orderBy($"doc_id", $"reading_pos")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |  FROM documents WHERE doc_id < 30),
+           |blk AS (SELECT doc_id, word,
+           |        50 + (pos % 2) * 300 AS x,
+           |        (pos // 2) * 20 + ((pos // 2) // 5) * 100 AS y FROM tok),
+           |c AS (SELECT *, CASE WHEN x * 2 < 700 THEN 0 ELSE 1 END AS col_id FROM blk),
+           |g AS (SELECT *, CASE WHEN lag(y) OVER w IS NULL OR y - lag(y) OVER w > 50
+           |                     THEN 1 ELSE 0 END AS gap
+           |      FROM c WINDOW w AS (PARTITION BY doc_id, col_id ORDER BY y, x)),
+           |r AS (SELECT *, sum(gap) OVER (PARTITION BY doc_id, col_id ORDER BY y, x
+           |        ROWS UNBOUNDED PRECEDING) AS ric FROM g)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY col_id, y, x) - 1 AS INT) AS reading_pos,
+           |  CAST(col_id AS INT) AS col_id,
+           |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY col_id, ric) - 1 AS INT) AS region_id,
+           |  word
+           |FROM r ORDER BY doc_id, reading_pos""".stripMargin))
+
   // ------------------------------------------------------------------
   // Training-data pipeline: similarity search
   // ------------------------------------------------------------------
@@ -1435,6 +1474,7 @@ object Queries {
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
+    qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokens, qMediaMeta, qMediaFeatures,
     qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)

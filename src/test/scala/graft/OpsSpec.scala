@@ -395,6 +395,40 @@ class OpsSpec extends AnyFunSuite {
       r.getString(3).length == 32))
   }
 
+  // ---- layout ----
+
+  test("layout readingOrder: interleaved two-column stream → column-major order + gap regions") {
+    // emission order interleaves columns (the PDF text-stream case);
+    // L3 sits below a 180px vertical gap → its own region
+    val blocks = Seq(
+      ("d1", 50, 0, "L1"), ("d1", 400, 0, "R1"),
+      ("d1", 50, 20, "L2"), ("d1", 400, 20, "R2"),
+      ("d1", 50, 200, "L3")
+    ).toDF("doc_id", "x", "y", "word")
+    val out = ops.Layout.readingOrder(blocks, "doc_id", pageWidth = 700, gapThreshold = 50)
+      .orderBy($"reading_pos").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Int]("col_id"),
+        r.getAs[Int]("region_id"), r.getAs[Int]("reading_pos")))
+    assert(out.map(_._1).toSeq == Seq("L1", "L2", "L3", "R1", "R2"),
+      s"reading order wrong: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(0, 0, 0, 1, 1))
+    assert(out.map(_._3).toSeq == Seq(0, 0, 1, 2, 2),
+      "gap must split region; regions dense in reading order")
+    assert(out.map(_._4).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("layout readingOrder is deterministic across partitionings and per-doc independent") {
+    val blocks = documents.where($"doc_id" < 20)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+      .select($"doc_id", $"word",
+        (lit(50) + ($"pos" % 2) * 300).as("x"), (expr("pos div 2") * 20).as("y"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ops.Layout.readingOrder(df, "doc_id", 700, 50)
+        .select($"doc_id", $"reading_pos", $"word").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(run(blocks.repartition(1)) == run(blocks.repartition(13)))
+  }
+
   // ---- text stats ----
 
   test("text stats columns: langId deterministic argmax, quality formula, fingerprint order-insensitive") {
