@@ -72,9 +72,9 @@ object EventStream {
     * is a single "seen" flag; the FIRST payload per key across all
     * micro-batches is emitted, later duplicates are suppressed. Within one
     * batch the minimum payload wins (deterministic under shuffle order).
-    * State is bounded: one boolean per distinct key, partitioned by key —
-    * at 100 TB pair with a TTL (GroupStateTimeout) or a pre-pass batch
-    * dedup per ingest window. */
+    * State is one boolean per distinct key, partitioned by key — but it
+    * never expires, so on an unbounded key universe use [[firstSeenTtl]]
+    * (finite retention, state removed on event-time timeout) instead. */
   def firstSeen(kv: Dataset[(String, String)]): Dataset[(String, String)] = {
     import kv.sparkSession.implicits._
     kv.groupByKey(_._1)
@@ -85,6 +85,65 @@ object EventStream {
           else {
             state.update(true)
             Iterator.single((key, rows.map(_._2).min))
+          }
+      }
+  }
+
+  /** [[firstSeen]] with a state TTL — the unbounded-keys fix: at stream
+    * scale one boolean per EVER-SEEN key grows forever, so retention must
+    * be finite. State carries its expiry (last sighting + `ttlMs`) and the
+    * key re-admits once the EVENT-TIME watermark passes it:
+    *
+    *  - a key idle past its TTL is timed out (`EventTimeTimeout`) and its
+    *    state REMOVED — state size is bounded by keys active within one
+    *    retention window;
+    *  - a duplicate arriving within the TTL is suppressed and extends the
+    *    retention (sliding window over sightings);
+    *  - a key reappearing after expiry is emitted again (a re-crawl after
+    *    the retention window is new content by definition).
+    *
+    * Event-time timeout keeps expiry data-driven and deterministic
+    * (reproducible tests, replayable streams); swap
+    * GroupStateTimeout.ProcessingTimeTimeout for wall-clock retention.
+    * Input tuples are (key, payload, eventTime); the watermark is applied
+    * here with `watermarkDelay` lateness. */
+  def firstSeenTtl(
+      kv: Dataset[(String, String, java.sql.Timestamp)],
+      ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[(String, String)] = {
+    import kv.sparkSession.implicits._
+    kv.toDF("key", "payload", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { // idle past TTL: free the state
+            state.remove()
+            Iterator.empty
+          } else {
+            // one streaming pass: min payload (deterministic within-batch
+            // winner) + max event time (retention anchor)
+            var minPayload: String = null
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              if (minPayload == null || r._2 < minPayload) minPayload = r._2
+              if (r._3.getTime > maxTs) maxTs = r._3.getTime
+            }
+            val wm = state.getCurrentWatermarkMs()
+            // a key with data is never offered hasTimedOut, so expiry of a
+            // REAPPEARING key is checked against the stored deadline
+            val expired = state.exists && wm >= state.get
+            val out =
+              if (state.exists && !expired) Iterator.empty
+              else Iterator.single((key, minPayload))
+            val expiry = maxTs + ttlMs
+            state.update(expiry)
+            // the engine rejects timeouts at/behind the watermark
+            state.setTimeoutTimestamp(math.max(expiry, wm + 1))
+            out
           }
       }
   }

@@ -82,6 +82,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(("h1", "doc_a"), ("h2", "doc_c"), ("h3", "doc_d")), rows.toString)
   }
 
+  test("firstSeenTtl: live keys dedup, expired keys re-admit, idle state is removed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(m: String) = Timestamp.valueOf(s"2026-01-01 $m:00")
+    val mem = MemoryStream[(String, String, Timestamp)]
+    val q = streaming.EventStream.firstSeenTtl(mem.toDS(), ttlMs = 60 * 60 * 1000) // 1h TTL
+      .writeStream.format("memory").queryName("ttl_test")
+      .outputMode("append").start()
+    // batch 1: first sightings emit
+    mem.addData(("k1", "v1", ts("10:00")), ("k2", "w1", ts("10:00")))
+    q.processAllAvailable()
+    // batch 2: duplicates within the TTL → suppressed (and TTL extended)
+    mem.addData(("k1", "v2", ts("10:30")), ("k2", "w2", ts("10:30")))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past both expiries (10:30 + 1h)
+    mem.addData(("other", "x", ts("13:00")))
+    q.processAllAvailable()
+    // batch 4: k1 reappears AFTER expiry (data present → expiry check path)
+    mem.addData(("k1", "v3", ts("13:01")))
+    q.processAllAvailable()
+    // batch 5: k2 reappears after its state was REMOVED by the timeout path
+    mem.addData(("k2", "w3", ts("13:02")))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from ttl_test").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(rows.toSet == Set(("k1", "v1"), ("k2", "w1"), ("other", "x"),
+      ("k1", "v3"), ("k2", "w3")), rows.mkString("; "))
+    assert(!rows.contains(("k1", "v2")) && !rows.contains(("k2", "w2")),
+      "within-TTL duplicates must be suppressed")
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
