@@ -9,20 +9,40 @@ import org.apache.spark.sql.functions._
   * [[graft.Queries]] with DuckDB oracle twins. */
 object TextStats {
 
-  /** Marker-word profiles for the n-gram/stopword language-ID heuristic. */
-  val profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to"),
-    "db" -> Seq("table", "scan", "join", "merge", "hash"),
-    "st" -> Seq("stream", "batch", "window", "row", "group"))
+  /** Characteristic word lists per language class — the seed material the
+    * character-trigram profiles are built from (the standard n-gram-profile
+    * language-ID construction, Cavnar–Trenkle style, reduced to a fixed
+    * deterministic profile table so the score is an exact integer in every
+    * engine). */
+  val profileWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "that", "this", "from", "with", "is", "at"),
+    "db" -> Seq("table", "scan", "join", "merge", "hash", "query", "filter", "sort"),
+    "st" -> Seq("stream", "batch", "window", "group", "frame", "row", "value"))
 
-  private def markerCount(textCol: Column, markers: Seq[String]): Column =
-    expr(s"size(filter(split(${textCol.toString()}, ' '), " +
-      s"w -> w in (${markers.map("'" + _ + "'").mkString(",")})))")
+  /** Trigram profile per language: every padded character trigram of the
+    * profile words (" th", "the", "he " for "the"), distinct and sorted —
+    * a fixed table, identical in the Spark expression and the SQL oracle. */
+  val trigramProfiles: Seq[(String, Seq[String])] = profileWords.map { case (l, ws) =>
+    l -> ws.flatMap { w =>
+      val p = s" $w "
+      (0 to p.length - 3).map(i => p.substring(i, i + 3))
+    }.distinct.sorted
+  }
 
-  /** Predicted language: ordered argmax over profile scores (first profile
-    * wins ties — deterministic). */
+  /** Count of the text's padded character trigrams that appear in the
+    * profile (with multiplicity) — pure integer column algebra. */
+  def trigramScore(textCol: Column, profile: Seq[String]): Column = {
+    val lits = profile.map("'" + _ + "'").mkString(",")
+    val pad = s"concat(' ', ${textCol.toString()}, ' ')"
+    expr(s"""IF(length($pad) < 3, 0,
+            |  size(filter(transform(sequence(1, length($pad) - 2),
+            |    i -> substring($pad, i, 3)), t -> t in ($lits))))""".stripMargin)
+  }
+
+  /** Predicted language: ordered argmax over the trigram-profile scores
+    * (first profile wins ties — deterministic). */
   def langId(textCol: Column): Column = {
-    val scores = profiles.map { case (name, ms) => name -> markerCount(textCol, ms) }
+    val scores = trigramProfiles.map { case (name, p) => name -> trigramScore(textCol, p) }
     scores.dropRight(1).zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((name, score), i), els) =>
         val laterScores = scores.drop(i + 1).map(_._2)

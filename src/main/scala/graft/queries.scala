@@ -1011,31 +1011,46 @@ object Queries {
   // Training-data pipeline: text analysis
   // ------------------------------------------------------------------
 
-  /** Language-ID heuristic: marker-word profile scores, ordered argmax. */
+  /** Language ID via character-trigram profiles (ops.TextStats
+    * .trigramProfiles — the n-gram-profile construction, integer scoring):
+    * score = padded-trigram hits against each language's fixed profile
+    * table, prediction = ordered argmax. The profile literals are generated
+    * from ONE Scala constant into both engines. */
   private val qLangId = QueryDef(
     "q_langid",
     (s, dir) => {
       import s.implicits._
+      val profs = ops.TextStats.trigramProfiles.toMap
       t(s, dir, "documents")
         .where($"doc_id" < 200)
         .select($"doc_id",
-          expr("size(filter(split(text, ' '), w -> w in ('the','a','and','of','to')))").as("s_en"),
-          expr("size(filter(split(text, ' '), w -> w in ('table','scan','join','merge','hash')))").as("s_db"),
-          expr("size(filter(split(text, ' '), w -> w in ('stream','batch','window','row','group')))").as("s_st"))
+          ops.TextStats.trigramScore($"text", profs("en")).as("s_en"),
+          ops.TextStats.trigramScore($"text", profs("db")).as("s_db"),
+          ops.TextStats.trigramScore($"text", profs("st")).as("s_st"))
         .withColumn("pred",
           when($"s_en" >= $"s_db" && $"s_en" >= $"s_st", "en")
             .when($"s_db" >= $"s_st", "db").otherwise("st"))
         .orderBy($"doc_id")
     },
-    Some("""SELECT doc_id, s_en, s_db, s_st,
-           |  CASE WHEN s_en >= s_db AND s_en >= s_st THEN 'en'
-           |       WHEN s_db >= s_st THEN 'db' ELSE 'st' END AS pred
-           |FROM (SELECT doc_id,
-           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['the','a','and','of','to'], w))) AS INT) AS s_en,
-           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['table','scan','join','merge','hash'], w))) AS INT) AS s_db,
-           |  CAST(len(list_filter(string_split(text,' '), w -> list_contains(['stream','batch','window','row','group'], w))) AS INT) AS s_st
-           |  FROM documents WHERE doc_id < 200)
-           |ORDER BY doc_id""".stripMargin))
+    Some {
+      val profs = ops.TextStats.trigramProfiles.toMap
+      def score(lang: String): String = {
+        val lits = profs(lang).map("'" + _ + "'").mkString(",")
+        s"""CAST(len(list_filter(list_transform(
+           |    range(length(' ' || text || ' ') - 2),
+           |    i -> substr(' ' || text || ' ', i + 1, 3)),
+           |    t -> list_contains([$lits], t))) AS INT)""".stripMargin
+      }
+      s"""SELECT doc_id, s_en, s_db, s_st,
+         |  CASE WHEN s_en >= s_db AND s_en >= s_st THEN 'en'
+         |       WHEN s_db >= s_st THEN 'db' ELSE 'st' END AS pred
+         |FROM (SELECT doc_id,
+         |  ${score("en")} AS s_en,
+         |  ${score("db")} AS s_db,
+         |  ${score("st")} AS s_st
+         |  FROM documents WHERE doc_id < 200)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** Quality scoring — the classifier's integer text-density formula
     * (4·words + 3·stopwords − 2·punct) exposed on the SQL surface. */
