@@ -192,22 +192,29 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
 
   /** Parquet files under data/ NOT referenced by the current snapshot —
     * left behind by compaction or crashed writes; safe to delete once no
-    * reader pins an expired snapshot. */
-  def orphanFiles(): Seq[String] = {
+    * reader pins an expired snapshot. `olderThanMs > 0` keeps recent
+    * orphans (by file modification time) so in-flight readers that
+    * resolved a pre-compaction snapshot can finish their scan — pick a
+    * grace period ≥ the longest reader. */
+  def orphanFiles(olderThanMs: Long = 0L): Seq[String] = {
     val referenced = head().map(_.buckets.flatMap(_.files).toSet).getOrElse(Set.empty)
     if (!fs.exists(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
     val it = fs.listFiles(dataDir, true)
     val all = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) all += st.getPath.toString
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        (olderThanMs <= 0L || st.getModificationTime <= cutoff))
+        all += st.getPath.toString
     }
     (all.toSet -- referenced).toSeq.sorted
   }
 
-  /** Delete orphan data files (post-compaction GC). Returns what was removed. */
-  def removeOrphans(): Seq[String] = {
-    val orphans = orphanFiles()
+  /** Delete orphan data files (post-compaction GC) older than the grace
+    * period. Returns what was removed. */
+  def removeOrphans(olderThanMs: Long = 0L): Seq[String] = {
+    val orphans = orphanFiles(olderThanMs)
     orphans.foreach(f => fs.delete(new Path(f), false))
     orphans
   }

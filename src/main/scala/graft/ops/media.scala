@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *  - format TRIAGE is real: magic-number sniffing of JPEG/PNG/GIF/RIFF
   *    (WAV/AVI)/PDF/ZIP headers — the standard first pass over an opaque
   *    crawl payload column;
-  *  - PNG and GIF DIMENSIONS are real: parsed from the IHDR chunk /
-  *    logical-screen descriptor, plain big/little-endian header reads;
-  *  - everything a codec would produce (JPEG dims, frame decode) stays a
-  *    deterministic fake, clearly marked below.
+  *  - DIMENSIONS are real for PNG (IHDR chunk), GIF (logical-screen
+  *    descriptor) and JPEG (marker-stream walk to the first SOF frame
+  *    header) — plain big/little-endian header reads, no codec;
+  *  - what genuinely needs a codec (frame decode, pixel ops, resize
+  *    bytes) stays a deterministic fake, clearly marked below.
   * The batched per-partition loop (decoder init amortized once per
   * partition), schema and typed result are the 100 TB-relevant plumbing;
   * a real codec swaps only the fake branches of `MediaDecoder.decode`.
@@ -40,6 +41,29 @@ object Media {
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     private[Media] def ascii(b: Array[Byte], i: Int, s: String): Boolean =
       b.length >= i + s.length && s.indices.forall(j => b(i + j) == s.charAt(j).toByte)
+
+    /** REAL JPEG dimension parse — walk the marker stream from SOI to the
+      * first SOF0/1/2 frame header and read (width, height) big-endian; no
+      * codec involved. Standalone markers (TEM, RSTn, EOI) carry no length;
+      * every other segment advances by its 2-byte length. Returns None on
+      * truncation. The q_media_meta oracle replays this walk as a recursive
+      * CTE over the hex payload — keep the two in sync. */
+    private[Media] def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 1 < b.length && (b(i) & 0xff) == 0xFF) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xC0 || m == 0xC1 || m == 0xC2)
+          return if (i + 8 < b.length)
+            Some((((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),   // width
+              ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)))      // height
+          else None
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2    // standalone
+        else if (i + 3 < b.length)
+          i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+        else return None
+      }
+      None
+    }
   }
 
   /** Byte-level decoder: REAL magic-number sniffing + real PNG/GIF header
@@ -54,8 +78,10 @@ object Media {
       def fakeW = 32 + (n % 64) // FAKE dims: a codec would decode these
       def fakeH = 32 + (b0 % 48)
       val (fmt, w, h) =
-        if (n >= 3 && b0 == 0xFF && (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF)
-          ("jpeg", fakeW, fakeH) // real dims would need an SOF marker scan
+        if (n >= 3 && b0 == 0xFF && (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF) {
+          val d = jpegDims(bytes) // REAL: SOF frame-header width/height
+          ("jpeg", d.map(_._1).getOrElse(fakeW), d.map(_._2).getOrElse(fakeH))
+        }
         else if (n >= 24 && b0 == 0x89 && ascii(bytes, 1, "PNG") &&
             (bytes(4) & 0xff) == 0x0D && (bytes(5) & 0xff) == 0x0A &&
             (bytes(6) & 0xff) == 0x1A && (bytes(7) & 0xff) == 0x0A)

@@ -62,6 +62,17 @@ object TextStats {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2's pre-tokenization regex
+    * reduced to its engine-portable core): a token is an optionally
+    * space-prefixed letter run, digit run, or single other symbol. Ordered
+    * alternation behaves identically under Java regex (Spark) and RE2
+    * (DuckDB) for these disjoint branches. */
+  val PreTokenPattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]"
+
+  /** All pre-tokens of a string column (array<string>). */
+  def preTokens(textCol: Column): Column =
+    expr(s"regexp_extract_all(${textCol.toString()}, '$PreTokenPattern', 0)")
+
   /** BPE-ish subword count estimate: tokens plus one extra per 6 chars of
     * long words (cheap deterministic proxy for a real tokenizer). */
   def subwordEstimate(textCol: Column): Column =

@@ -626,6 +626,49 @@ object Queries {
            |  (id = min(r)) AS keep
            |FROM reach GROUP BY id ORDER BY id""".stripMargin))
 
+  /** The dedup DELIVERABLE end-to-end (ops.Dedup.dedupCorpus): a corpus
+    * with planted duplicate chains goes in, the deduplicated corpus comes
+    * out — cluster resolution + anti-join; unpaired docs pass through.
+    * Oracle: recursive components → losers → NOT IN. */
+  private val qDedupCorpusQ = QueryDef(
+    "q_dedup_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 30).select($"doc_id", $"text")
+      val corpus = base
+        .union(base.where($"doc_id" < 20).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" < 10).select(($"doc_id" + 2000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" < 5).select(($"doc_id" + 3000).as("doc_id"), $"text"))
+      val pairs = base.where($"doc_id" < 20)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1000).as("id_b"))
+        .union(base.where($"doc_id" < 10)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 1000).as("id_b")))
+      ops.Dedup.dedupCorpus(corpus, "doc_id", pairs)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+           |corpus AS (
+           |  SELECT doc_id, text FROM base
+           |  UNION ALL SELECT doc_id + 1000, text FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, text FROM base WHERE doc_id < 10
+           |  UNION ALL SELECT doc_id + 3000, text FROM base WHERE doc_id < 5),
+           |pairs AS (
+           |  SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, doc_id + 1000 FROM base WHERE doc_id < 10),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+           |SELECT doc_id, md5(text) AS h FROM corpus
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Document fingerprint: order-insensitive bag-of-words hash. */
   private val qFingerprint = QueryDef(
     "q_fingerprint",
@@ -1077,6 +1120,30 @@ object Queries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** BPE-style regex pre-tokenization (ops.TextStats.preTokens) over the
+    * punctuation-rich JSON props column — letter runs / digit runs / single
+    * symbols, optionally space-prefixed; the pattern constant is shared
+    * verbatim with the oracle (Java regex and RE2 agree on these disjoint
+    * ordered branches). */
+  private val qTokenRegex = QueryDef(
+    "q_token_regex",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .where($"event_id" < 100)
+        .select($"event_id", ops.TextStats.preTokens($"props").as("toks"))
+        .select($"event_id",
+          size($"toks").as("n_tok"),
+          concat_ws("|", slice($"toks", 1, 6)).as("head"))
+        .orderBy($"event_id")
+    },
+    Some(s"""SELECT event_id, CAST(len(toks) AS INT) AS n_tok,
+            |  array_to_string(toks[1:6], '|') AS head
+            |FROM (SELECT event_id,
+            |        regexp_extract_all(props, '${ops.TextStats.PreTokenPattern}') AS toks
+            |      FROM events WHERE event_id < 100)
+            |ORDER BY event_id""".stripMargin))
+
   /** Token counting: whitespace tokens + long-token subset. */
   private val qTokens = QueryDef(
     "q_token_count",
@@ -1113,7 +1180,11 @@ object Queries {
     100006L -> "255044462D312E340A25E2E3CFD3",         // %PDF-1.4
     100007L -> "504B03041400000008",                   // ZIP local header
     100008L -> "524946460000000058595A20",             // RIFF, unknown subtype
-    100009L -> "0102030405")                           // no magic → fallback triage
+    100009L -> "0102030405",                           // no magic → fallback
+    // full JPEG header chain: SOI + APP0/JFIF (16-byte segment) + SOF0
+    // carrying REAL dims 320×240 — exercises the marker-stream walk
+    100010L -> ("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFC000110800F0014003012200021101031101"))
 
   /** Multimodal metadata through the REAL decoder (ops.Media.MediaDecoder):
     * magic-number format sniffing over planted JPEG/PNG/GIF/RIFF/PDF/ZIP
@@ -1136,7 +1207,7 @@ object Queries {
     },
     Some {
       val vals = PlantedMedia.map { case (id, hx) => s"($id, '$hx')" }.mkString(", ")
-      s"""WITH txt AS (
+      s"""WITH RECURSIVE txt AS (
          |  SELECT doc_id, CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT) AS n,
          |    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS b0
          |  FROM documents WHERE doc_id < 200),
@@ -1147,6 +1218,31 @@ object Queries {
          |ph AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, hx,
          |    CAST(octet_length(unhex(hx)) AS BIGINT) AS n,
          |    ('0x' || substr(hx, 1, 2))::BIGINT AS b0 FROM pl),
+         |-- JPEG marker-stream walk (replay of MediaDecoder.jpegDims): byte
+         |-- index i starts after SOI; standalone markers advance 2, others
+         |-- by 2 + segment length; stop at the first SOF0/1/2
+         |jw(doc_id, hx, i) AS (
+         |  SELECT doc_id, hx, 2 FROM ph WHERE hx LIKE 'FFD8FF%'
+         |  UNION ALL
+         |  SELECT doc_id, hx,
+         |    CASE WHEN substr(hx, 2*i+3, 2) = '01'
+         |           OR substr(hx, 2*i+3, 2) BETWEEN 'D0' AND 'D9'
+         |         THEN i + 2
+         |         ELSE i + 2 + ('0x' || substr(hx, 2*i+5, 4))::INT END
+         |  FROM jw
+         |  WHERE substr(hx, 2*i+1, 2) = 'FF'
+         |    AND substr(hx, 2*i+3, 2) NOT IN ('C0','C1','C2')
+         |    AND (substr(hx, 2*i+3, 2) = '01'
+         |         OR substr(hx, 2*i+3, 2) BETWEEN 'D0' AND 'D9'
+         |         OR 2*(i+4) <= length(hx))),
+         |jdim AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(hx, 2*i+15, 4))::BIGINT AS jw_px,
+         |    ('0x' || substr(hx, 2*i+11, 4))::BIGINT AS jh_px
+         |  FROM jw
+         |  WHERE substr(hx, 2*i+1, 2) = 'FF'
+         |    AND substr(hx, 2*i+3, 2) IN ('C0','C1','C2')
+         |    AND 2*(i+9) <= length(hx)),
          |pm AS (SELECT doc_id, n AS n_bytes,
          |    CASE WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
          |         WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24 THEN 'png'
@@ -1158,17 +1254,21 @@ object Queries {
          |         WHEN hx LIKE '504B0304%' THEN 'zip'
          |         ELSE CASE b0 % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'aud' ELSE 'vid' END
          |    END AS format,
-         |    CASE WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
+         |    CASE WHEN hx LIKE 'FFD8FF%'
+         |           THEN coalesce(jw_px, 32 + n % 64)
+         |         WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
          |           THEN ('0x' || substr(hx, 33, 8))::BIGINT
          |         WHEN hx LIKE '47494638%' AND n >= 10
          |           THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::BIGINT
          |         ELSE 32 + n % 64 END AS width,
-         |    CASE WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
+         |    CASE WHEN hx LIKE 'FFD8FF%'
+         |           THEN coalesce(jh_px, 32 + b0 % 48)
+         |         WHEN hx LIKE '89504E470D0A1A0A%' AND n >= 24
          |           THEN ('0x' || substr(hx, 41, 8))::BIGINT
          |         WHEN hx LIKE '47494638%' AND n >= 10
          |           THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
          |         ELSE 32 + b0 % 48 END AS height
-         |  FROM ph)
+         |  FROM ph LEFT JOIN jdim USING (doc_id))
          |SELECT doc_id, n_bytes, format, width, height FROM tm
          |UNION ALL SELECT doc_id, n_bytes, format, width, height FROM pm
          |ORDER BY doc_id""".stripMargin
@@ -1487,11 +1587,12 @@ object Queries {
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
-    qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qFingerprint,
+    qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
+    qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
-    qTokens, qMediaMeta, qMediaFeatures,
+    qTokenRegex, qTokens, qMediaMeta, qMediaFeatures,
     qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

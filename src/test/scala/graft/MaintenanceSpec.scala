@@ -71,6 +71,11 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(m.readData(spark).count() == 3)
     // run A's unreferenced leftovers are visible as orphans and removable
     assert(m.orphanFiles().nonEmpty)
+    // a grace period protects fresh orphans (in-flight readers pinning the
+    // previous snapshot); these files are seconds old → kept under 1h grace
+    assert(m.orphanFiles(olderThanMs = 3600L * 1000).isEmpty)
+    assert(m.removeOrphans(olderThanMs = 3600L * 1000).isEmpty)
+    assert(m.orphanFiles().nonEmpty, "grace-period GC must not delete fresh orphans")
     m.removeOrphans()
     assert(m.orphanFiles().isEmpty)
     assert(m.readData(spark).count() == 3)

@@ -370,6 +370,14 @@ class OpsSpec extends AnyFunSuite {
     // a PNG prefix too short for IHDR must NOT sniff as png
     val shortPng = Seq((10L, hx("89504E470D0A1A0A00000000"))).toDF("doc_id", "payload")
     assert(ops.Media.decodeMeta(spark, shortPng).collect().head.format != "png")
+    // full JPEG chain (SOI + APP0 + SOF0): REAL dims from the marker walk;
+    // the truncated JPEG above (id 2) has no SOF → falls back to fake dims
+    val sofJpeg = Seq((11L, hx("FFD8" +
+      "FFE000104A46494600010100000100010000" +
+      "FFC000110800F0014003012200021101031101"))).toDF("doc_id", "payload")
+    val j = ops.Media.decodeMeta(spark, sofJpeg).collect().head
+    assert(j.format == "jpeg" && j.width == 320 && j.height == 240, j.toString)
+    assert(m(2L).width == 32 + 12 % 64, "SOF-less JPEG keeps fake dims")
   }
 
   test("byte features: histogram sums to n_bytes, entropy bounded, zero runs counted") {
