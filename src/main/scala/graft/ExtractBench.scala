@@ -147,7 +147,12 @@ object ExtractBench {
          |$json
          |```
          |""".stripMargin
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // Multi-bracket runs (2->8, 4->16, 8->32) are curated into
+    // BENCH/BASELINE.md by hand; set GRAFT_BENCH_MD=1 to let a single
+    // bracket overwrite the doc.
+    if (sys.env.get("GRAFT_BENCH_MD").contains("1")) {
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    } else Files.writeString(Paths.get(s"/tmp/graft_bracket_${nLo}_$nHi.md"), md)
   }
 }
