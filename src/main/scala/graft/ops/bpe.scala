@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Byte-pair-encoding subword tokenizer: a Spark-first TRAINER (iterative
+  * vocabulary aggregation — the corpus never leaves the executors, the
+  * driver holds only the merge table) and a pure-column APPLIER (a fold of
+  * literal `replace` calls — whole-stage codegen, no UDF, replayable
+  * verbatim in any engine with `replace`/`regexp_replace`).
+  *
+  * Tokenizer spec — "ordered-merge BPE", deterministic and engine-portable:
+  *  - a text is symbolized as one char per symbol, every symbol preceded by
+  *    exactly ONE space; the text's own spaces become the [[Boundary]]
+  *    symbol (\u0001), so word boundaries are ordinary symbols that no
+  *    merge rule ever touches — merges cannot cross words;
+  *  - the merge table is an ORDERED list of (left, right) symbol pairs;
+  *    rank r is applied before rank r+1, each rank replacing all
+  *    left-to-right non-overlapping occurrences of " left right" with
+  *    " leftright" (exactly `replace` semantics in both Java and DuckDB);
+  *  - tokens = the merged symbols minus the boundary symbols.
+  * Classic greedy BPE re-scans for the lowest-rank pair after every merge;
+  * the single ordered pass per rank is the standard fast approximation and
+  * coincides with it whenever training order matches application order
+  * (which [[learnMerges]] guarantees by construction). What matters for the
+  * pipeline is that the spec is DETERMINISTIC and implemented identically
+  * in Spark and in the DuckDB oracle ([[graft.Queries]] q_bpe_tokens).
+  */
+object Bpe {
+
+  /** Word-boundary symbol: a control char that crawl text never contains
+    * (encoded as an escape, never a raw byte, so source and generated SQL
+    * stay plain text). */
+  val Boundary = "\u0001"
+
+  /** Symbolize a text column: " h i <B> t h e r e" for "hi there". */
+  def symbolize(textCol: Column): Column =
+    regexp_replace(replace(textCol, lit(" "), lit(Boundary)),
+      lit("(.)"), lit(" $1"))
+
+  /** Apply an ordered merge table to a symbolized column — one literal
+    * `replace` per rank, folded left; stays inside codegen. */
+  def applyMerges(symCol: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(symCol) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r"), lit(s" $l$r"))
+    }
+
+  /** BPE tokens of a text column (array<string>, boundaries removed). */
+  def bpeTokens(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val merged = applyMerges(symbolize(textCol), merges)
+    filter(split(ltrim(merged), " "), s => s =!= lit(Boundary) && s =!= lit(""))
+  }
+
+  /** BPE token count: total merged symbols minus boundary symbols — pure
+    * length algebra, no array materialization (the hot-path form). */
+  def bpeTokenCount(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val merged = applyMerges(symbolize(textCol), merges)
+    val syms = when(length(textCol) === 0, 0)
+      .otherwise(length(merged) - length(replace(merged, lit(" "), lit(""))))
+    val bounds = length(textCol) - length(replace(textCol, lit(" "), lit("")))
+    (syms - bounds).cast("int")
+  }
+
+  /** Fixed demo merge table for the oracled query — the first merges any
+    * English-corpus training run finds (digraphs chaining into trigraphs:
+    * t+h, th+e, …). [[learnMerges]] produces corpus-specific tables; this
+    * constant exists so the DuckDB oracle can replay the exact same chain.
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
+    "e" -> "s", "an" -> "d")
+
+  /** SQL replay of `applyMerges(symbolize(c))` — the merged symbol string,
+    * generated from the same merge constant the Spark side uses. Boundary
+    * appears as chr(1), never as a raw control byte. */
+  def mergedSql(c: String, merges: Seq[(String, String)]): String = {
+    val sym = s"regexp_replace(replace($c, ' ', chr(1)), '(.)', ' \\1', 'g')"
+    merges.foldLeft(sym) { case (acc, (l, r)) =>
+      s"replace($acc, ' $l $r', ' $l$r')"
+    }
+  }
+
+  /** SQL replay of [[bpeTokenCount]] over a column `c` already holding the
+    * [[mergedSql]] result, with `orig` the original text column. */
+  def tokenCountSql(merged: String, orig: String): String =
+    s"""CASE WHEN length($orig) = 0 THEN 0 ELSE
+       |  length($merged) - length(replace($merged, ' ', ''))
+       |  - (length($orig) - length(replace($orig, ' ', ''))) END""".stripMargin
+
+  /** Train an ordered merge table on a corpus — the standard
+    * vocabulary-weighted construction, shaped for scale:
+    *  1. ONE shuffle builds the weighted vocabulary
+    *     `groupBy(word).count` (crawl vocabularies are MUCH smaller than
+    *     the corpus; `minCount` prunes the hapax tail that dominates raw
+    *     vocab size but can never win a merge);
+    *  2. each round is a pair-count aggregation over the vocab (map-side
+    *     partial agg) + a 1-row argmax collect; the winning pair is folded
+    *     into the vocab symbolization via `replace` and lineage is
+    *     truncated with localCheckpoint — the driver never holds more than
+    *     the merge table itself.
+    * Ties break deterministically: highest weight, then lexicographic
+    * (left, right). Stops early when no pair occurs at least twice. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 1L): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(regexp_replace(col("w"), lit("(.)"), lit(" $1")).as("sym"), col("n"))
+      .localCheckpoint()
+
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val best = vocab
+        .withColumn("__syms", split(ltrim(col("sym")), " "))
+        .select(col("n"), explode(expr(
+          // sequence(1, 0) counts DOWN in Spark — guard 1-symbol words
+          """IF(size(__syms) < 2, array(),
+            |  transform(sequence(1, size(__syms) - 1),
+            |    i -> struct(element_at(__syms, i) AS l,
+            |                element_at(__syms, i + 1) AS r)))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < 2L) done = true
+      else {
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        merges += ((l, r))
+        vocab = vocab
+          .withColumn("sym", replace(col("sym"), lit(s" $l $r"), lit(s" $l$r")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+}

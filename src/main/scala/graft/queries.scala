@@ -1144,6 +1144,38 @@ object Queries {
             |      FROM events WHERE event_id < 100)
             |ORDER BY event_id""".stripMargin))
 
+  /** Real subword tokenization (ops.Bpe): ordered-merge BPE with the
+    * fixed DemoMerges table — symbolize (one char per symbol, text spaces
+    * become the boundary symbol) → fold of literal replaces in rank order →
+    * boundary removal. Two independent formulas are cross-checked per row:
+    * the token ARRAY (n_tok, head) and the hot-path LENGTH-ALGEBRA count
+    * (cnt_alg); the oracle regenerates both from the same Scala constant. */
+  private val qBpe = QueryDef(
+    "q_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      val toks = ops.Bpe.bpeTokens($"text", ops.Bpe.DemoMerges)
+      t(s, dir, "documents")
+        .where($"doc_id" < 150)
+        .select($"doc_id",
+          size(toks).as("n_tok"),
+          concat_ws("|", slice(toks, 1, 8)).as("head"),
+          ops.Bpe.bpeTokenCount($"text", ops.Bpe.DemoMerges).as("cnt_alg"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val m = ops.Bpe.mergedSql("text", ops.Bpe.DemoMerges)
+      s"""WITH m AS (SELECT doc_id, text, $m AS mrg
+         |  FROM documents WHERE doc_id < 150),
+         |t AS (SELECT doc_id, text, mrg,
+         |    list_filter(string_split(ltrim(mrg, ' '), ' '),
+         |      x -> x <> chr(1) AND x <> '') AS toks FROM m)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+         |  array_to_string(toks[1:8], '|') AS head,
+         |  CAST(${ops.Bpe.tokenCountSql("mrg", "text")} AS INT) AS cnt_alg
+         |FROM t ORDER BY doc_id""".stripMargin
+    })
+
   /** Token counting: whitespace tokens + long-token subset. */
   private val qTokens = QueryDef(
     "q_token_count",
@@ -1592,7 +1624,7 @@ object Queries {
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
-    qTokenRegex, qTokens, qMediaMeta, qMediaFeatures,
+    qTokenRegex, qTokens, qBpe, qMediaMeta, qMediaFeatures,
     qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -453,4 +453,105 @@ class OpsSpec extends AnyFunSuite {
       .select("fp").collect().map(_.getString(0))
     assert(shuffled.distinct.length == 1)
   }
+
+  // ---- BPE subword tokenizer ----
+
+  /** Plain-Scala reference of the ordered-merge BPE spec (independent of
+    * the Spark column implementation — String.replace semantics). */
+  private def refBpeTokens(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val sym = text.replace(" ", "\u0001").flatMap(c => s" $c")
+    val merged = merges.foldLeft(sym: String) { case (acc, (l, r)) =>
+      acc.replace(s" $l $r", s" $l$r")
+    }
+    merged.trim.split(" ").toSeq.filter(t => t.nonEmpty && t != "\u0001")
+  }
+
+  /** Plain-Scala reference trainer: weighted vocab, argmax adjacent pair
+    * (count desc, then lexicographic), ordered replace, stop under 2. */
+  private def refLearn(words: Seq[String], n: Int): Seq[(String, String)] = {
+    var vocab: Map[String, Long] =
+      words.groupBy(identity).map { case (w, ws) =>
+        w.flatMap(c => s" $c").toString -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.length < n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, cnt) <- vocab) {
+        val syms = sym.trim.split(" ")
+        for (i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      }
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          out += ((l, r))
+          vocab = vocab.map { case (sym, cnt) =>
+            sym.replace(s" $l $r", s" $l$r") -> cnt
+          }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE applier: merges chain in rank order, never cross word boundaries, refs agree") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t")
+    // "the" chains t+h then th+e; "cat hat" must NOT merge t+h across the
+    // boundary between "cat" and "hat"
+    val df = Seq((1L, "the theory"), (2L, "cat hat"), (3L, "at the mat"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        ops.Bpe.bpeTokens($"text", merges).as("toks"),
+        ops.Bpe.bpeTokenCount($"text", merges).as("cnt"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getInt(2))).toMap
+    assert(got(1L)._1 == Seq("the", "the", "o", "r", "y"))
+    assert(got(2L)._1 == Seq("c", "at", "h", "at"), "t+h must not merge across words")
+    assert(got(3L)._1 == Seq("at", "the", "m", "at"))
+    assert(got(4L)._1.isEmpty && got(4L)._2 == 0)
+    // length-algebra count == array size; both match the plain-Scala ref
+    for ((id, text) <- Seq(1L -> "the theory", 2L -> "cat hat", 3L -> "at the mat")) {
+      assert(got(id)._1 == refBpeTokens(text, merges), s"doc $id tokens")
+      assert(got(id)._2 == got(id)._1.size, s"doc $id count algebra")
+    }
+  }
+
+  test("BPE applier matches the plain-Scala reference on real corpus text") {
+    val rows = documents.where($"doc_id" < 40)
+      .select($"doc_id", $"text",
+        ops.Bpe.bpeTokens($"text", ops.Bpe.DemoMerges).as("toks"),
+        ops.Bpe.bpeTokenCount($"text", ops.Bpe.DemoMerges).as("cnt"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = refBpeTokens(r.getString(1), ops.Bpe.DemoMerges)
+      assert(r.getSeq[String](2) == expect, s"doc ${r.getLong(0)}")
+      assert(r.getInt(3) == expect.size, s"doc ${r.getLong(0)} count")
+    }
+  }
+
+  test("BPE trainer: Spark learnMerges == plain-Scala reference; merges reduce token count") {
+    val words = Seq("the", "the", "the", "then", "there", "that", "this",
+      "other", "rather", "in", "inner", "thin", "thin")
+    val corpus = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = ops.Bpe.learnMerges(corpus, "text", 6)
+    val expect = refLearn(words, 6)
+    assert(got == expect, s"got $got expected $expect")
+    assert(got.nonEmpty && got.head == ("t" -> "h"), "t+h dominates this corpus")
+    // applying the learned table shortens every word containing a merge
+    val before = corpus.select(sum(ops.Bpe.bpeTokenCount($"text", Nil))).head.getLong(0)
+    val after = corpus.select(sum(ops.Bpe.bpeTokenCount($"text", got))).head.getLong(0)
+    assert(after < before, s"merges must reduce tokens: $before -> $after")
+  }
+
+  test("BPE trainer: minCount prunes the hapax tail; early stop when nothing repeats") {
+    val corpus = Seq((1L, "aa aa aa zq"), (2L, "aa bb")).toDF("doc_id", "text")
+    // with minCount=2 the hapax words (zq, bb) never enter the vocab
+    val merges = ops.Bpe.learnMerges(corpus, "text", 4, minCount = 2L)
+    assert(merges.contains("a" -> "a"))
+    assert(!merges.exists { case (l, r) => (l + r).contains("z") || (l + r).contains("b") })
+    // a corpus of unique single chars has no repeatable pair -> early stop
+    val empty = ops.Bpe.learnMerges(Seq((1L, "x y")).toDF("doc_id", "text"), "text", 4)
+    assert(empty.isEmpty)
+  }
 }
