@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-bounded ANN path beside IVF and
+  * SRP-LSH: vectors are split into `m` subspaces, each subspace gets its
+  * own small codebook (k centroids of dims/m values), and a vector is
+  * stored as `m` small codes instead of `dims` floats (e.g. 768 floats →
+  * 96 bytes). Search uses asymmetric distance computation (ADC): the probe
+  * precomputes a (m × k) lookup table of exact subspace distances once,
+  * and every corpus candidate costs `m` table lookups — no float math per
+  * candidate. Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — the standard construction, realized as Spark
+  * plans:
+  *  - the CODEBOOK is driver-side config-sized state (m × k × dims/m
+  *    doubles) and reaches executors as a BROADCAST DataFrame keyed by
+  *    subspace — never a plan literal (the IVF lesson: 96 subspaces × 256
+  *    codes × 8 dims would blow up the plan);
+  *  - ENCODING is explode(subspace) → broadcast equi-join → per-subspace
+  *    argmin → groupBy(id) reassembly: one shuffle, once, at index-build
+  *    time;
+  *  - TRAINING runs Lloyd for ALL subspaces jointly — assign is the same
+  *    broadcast join keyed (subspace), update is one groupBy(subspace,
+  *    code, dim) mean aggregation per round — m× fewer Spark jobs than
+  *    looping subspaces on the driver;
+  *  - ADC SEARCH broadcasts per-probe LUTs (probes are small by contract,
+  *    as in [[Similarity.bruteForceTopK]]) and the candidate scan is a
+  *    narrow map over the codes column + one top-k window.
+  * All distances are squared L2 over `cast(x as double)` — exact for the
+  * integer-quantized vectors the oracle query uses, so Spark and DuckDB
+  * agree bit-for-bit.
+  */
+object Pq {
+
+  /** [subspace][code][subdim] — driver-side, config-sized. */
+  type Codebook = Seq[Seq[Seq[Double]]]
+
+  private def subdimOf(cb: Codebook): Int = cb.head.head.length
+
+  /** Broadcastable codebook relation: one row per subspace carrying that
+    * subspace's k centroids. */
+  private def codebookDf(spark: SparkSession, cb: Codebook): DataFrame = {
+    import spark.implicits._
+    broadcast(cb.zipWithIndex.map { case (cents, s) => (s, cents) }
+      .toDF("__sub", "__cents"))
+  }
+
+  /** SQL: index (0-based) of the nearest centroid in `__cents` to
+    * `__subv`, ties to the lowest code — exact integer-friendly argmin. */
+  private def argminSql(k: Int): String =
+    s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
+       |  named_struct('d',
+       |    aggregate(zip_with(element_at(__cents, c + 1), __subv,
+       |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v),
+       |    'i', c))), 1).i""".stripMargin
+
+  /** Explode a vector column into (original columns, __sub, __subv) rows —
+    * one per subspace, subvector cast to double. */
+  private def explodeSubspaces(df: DataFrame, vecCol: String, m: Int,
+      subdim: Int): DataFrame =
+    df.withColumn("__sub", explode(expr(s"sequence(0, ${m - 1})")))
+      .withColumn("__subv", expr(
+        s"transform(slice($vecCol, __sub * $subdim + 1, $subdim), x -> cast(x as double))"))
+
+  /** Deterministic codebook seed: the k corpus vectors first in md5(id)
+    * order, sliced into subvectors (every subspace seeds from the same k
+    * rows — reproducible, no RNG state). */
+  def seedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Codebook = {
+    val rows = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"),
+        md5(col(idCol).cast("string")).as("__o"))
+      .orderBy(col("__o")).limit(k)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(rows.nonEmpty, "empty corpus")
+    val dims = rows.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subdim = dims / m
+    (0 until m).map(s => rows.toSeq.map(v => v.slice(s * subdim, (s + 1) * subdim).toSeq))
+  }
+
+  /** `iters` Lloyd rounds over all subspaces jointly: broadcast-join
+    * assign, one (subspace, code, dim)-mean aggregation per round; empty
+    * cells keep their previous centroid. The driver holds only the
+    * codebook. */
+  def trainPq(corpus: DataFrame, vecCol: String, cb0: Codebook,
+      iters: Int): Codebook = {
+    val spark = corpus.sparkSession
+    val (m, k, subdim) = (cb0.length, cb0.head.length, subdimOf(cb0))
+    var cb = cb0
+    (0 until iters).foreach { _ =>
+      val means = explodeSubspaces(corpus.select(col(vecCol)), vecCol, m, subdim)
+        .join(codebookDf(spark, cb), "__sub")
+        .withColumn("__code", expr(argminSql(k)))
+        .select(col("__sub"), col("__code"),
+          posexplode(col("__subv")).as(Seq("__d", "__x")))
+        .groupBy(col("__sub"), col("__code"), col("__d"))
+        .agg(avg(col("__x")).as("__mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      cb = cb.zipWithIndex.map { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, code) =>
+          c.indices.map(d => means.getOrElse((s, code, d), c(d))).toSeq
+        }
+      }
+    }
+    cb
+  }
+
+  /** Encode the corpus: (idCol, codes array<int> of length m). One
+    * explode → broadcast join → argmin → groupBy(id) reassembly; at 100 TB
+    * this is the one-time index build (a single shuffle keyed by id). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook): DataFrame = {
+    val spark = corpus.sparkSession
+    val (m, k, subdim) = (cb.length, cb.head.length, subdimOf(cb))
+    explodeSubspaces(corpus.select(col(idCol), col(vecCol)), vecCol, m, subdim)
+      .join(codebookDf(spark, cb), "__sub")
+      .withColumn("__code", expr(argminSql(k)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code")))).as("__sc"))
+      .select(col(idCol), expr("transform(__sc, p -> p.__code)").as("codes"))
+  }
+
+  /** Average squared quantization error over the corpus — the training
+    * objective; must be non-increasing across [[trainPq]] rounds. */
+  def quantizationError(corpus: DataFrame, vecCol: String, cb: Codebook): Double = {
+    val spark = corpus.sparkSession
+    val (m, k, subdim) = (cb.length, cb.head.length, subdimOf(cb))
+    explodeSubspaces(corpus.select(col(vecCol)), vecCol, m, subdim)
+      .join(codebookDf(spark, cb), "__sub")
+      .withColumn("__d", expr(
+        s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
+           |  named_struct('d',
+           |    aggregate(zip_with(element_at(__cents, c + 1), __subv,
+           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v),
+           |    'i', c))), 1).d""".stripMargin))
+      // rows = nVectors × m, each carrying one subspace's min sq-dist;
+      // per-vector error is the sum of its m parts → mean = sum·m / rows
+      .agg((sum(col("__d")) * lit(m) / count(lit(1))).as("e"))
+      .head().getDouble(0)
+  }
+
+  /** ADC top-k: per probe, the k candidates with the smallest
+    * lookup-table distance. Probes must be small (collected once to build
+    * the m×k LUTs — the [[Similarity.bruteForceTopK]] broadcast contract);
+    * the candidate side is a narrow map over `codes` (m element_at calls
+    * per row, no float math) + one top-k window per probe. Returns
+    * (probe_id, cand_id, adc, rn). */
+  def adcTopK(codes: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, cb: Codebook, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val (m, nk, subdim) = (cb.length, cb.head.length, subdimOf(cb))
+    val probeRows = probes
+      .select(col(idCol).cast("long").as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    val luts = probeRows.toSeq.map { case (pid, pv) =>
+      val lut = for {
+        s <- 0 until m; c <- 0 until nk
+      } yield {
+        val cent = cb(s)(c)
+        var acc = 0.0
+        var d = 0
+        while (d < subdim) {
+          val diff = cent(d) - pv(s * subdim + d); acc += diff * diff; d += 1
+        }
+        acc
+      }
+      (pid, lut)
+    }
+    val lutDf = broadcast(luts.toDF("__pid", "__lut"))
+    val adc = expr(
+      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
+         |  acc + element_at(__lut, s * $nk + element_at(codes, s + 1) + 1))"""
+        .stripMargin)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("adc").asc, col("cand_id").asc)
+    codes.select(col(idCol).as("cand_id"), col("codes"))
+      .crossJoin(lutDf)
+      .where(col("__pid") =!= col("cand_id"))
+      .withColumn("adc", adc)
+      .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+}

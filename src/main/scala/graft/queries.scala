@@ -932,6 +932,54 @@ object Queries {
            |FROM pc JOIN cells USING (cell) WHERE probe <> cand
            |GROUP BY probe ORDER BY probe""".stripMargin))
 
+  /** Product quantization ANN (ops.Pq): m=4 subspaces × k=8 codes over
+    * integer-quantized embeddings; codebook = the subvectors of the eight
+    * vec_id%32==0 corpus rows (code = vec_id/32 — deterministic, so the
+    * oracle can rebuild it). encode → ADC top-5 per probe. All arithmetic
+    * is integer-exact in both engines; the oracle replays per-subspace
+    * argmin (ties to lowest code) and the ADC lookup sum in SQL. */
+  private val qEmbedPq = QueryDef(
+    "q_embed_pq",
+    (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "embeddings").where($"vec_id" < 256)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as double))").as("qv"))
+      val cbRows = q.where($"vec_id" % 32 === 0).orderBy($"vec_id")
+        .select($"qv").collect().map(_.getSeq[Double](0).toIndexedSeq)
+      val cb: ops.Pq.Codebook =
+        (0 until 4).map(sub => cbRows.toSeq.map(v => v.slice(sub * 16, (sub + 1) * 16).toSeq))
+      val codes = ops.Pq.encode(q, "vec_id", "qv", cb)
+      ops.Pq.adcTopK(codes, q.where($"vec_id" < 3), "vec_id", "qv", cb, 5)
+        .select($"probe_id".as("probe"), $"cand_id".as("cand"),
+          $"adc".cast("long").as("adc"), $"rn")
+        .orderBy($"probe", $"rn")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 256),
+           |subs AS (SELECT CAST(unnest(range(4)) AS INT) AS sub),
+           |sv AS (SELECT vec_id, sub, qv[sub*16+1 : sub*16+16] AS subv FROM q, subs),
+           |cbs AS (SELECT CAST(vec_id // 32 AS INT) AS code, sub,
+           |    qv[sub*16+1 : sub*16+16] AS csubv
+           |  FROM q, subs WHERE vec_id % 32 = 0),
+           |d AS (SELECT vec_id, sv.sub, code,
+           |    list_sum(list_transform(range(16),
+           |      j -> (sv.subv[j+1] - cbs.csubv[j+1]) * (sv.subv[j+1] - cbs.csubv[j+1]))) AS sqd
+           |  FROM sv JOIN cbs ON sv.sub = cbs.sub),
+           |enc AS (SELECT vec_id, sub, code FROM
+           |  (SELECT vec_id, sub, code,
+           |     row_number() OVER (PARTITION BY vec_id, sub ORDER BY sqd, code) AS rk FROM d)
+           |  WHERE rk = 1),
+           |adc AS (SELECT pd.vec_id AS probe, e.vec_id AS cand, SUM(pd.sqd) AS adc
+           |  FROM enc e JOIN d pd ON pd.sub = e.sub AND pd.code = e.code
+           |  WHERE pd.vec_id < 3 AND pd.vec_id <> e.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT probe, cand, CAST(adc AS BIGINT) AS adc, CAST(rn AS INT) AS rn FROM
+           |  (SELECT probe, cand, adc,
+           |     row_number() OVER (PARTITION BY probe ORDER BY adc, cand) AS rn FROM adc)
+           |WHERE rn <= 5 ORDER BY probe, rn""".stripMargin))
+
   /** BPE-ish subword count estimate (ops.TextStats.subwordEstimate). */
   private val qSubword = QueryDef(
     "q_token_subword",
@@ -1621,7 +1669,7 @@ object Queries {
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qFingerprint,
-    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
+    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
     qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe, qMediaMeta, qMediaFeatures,

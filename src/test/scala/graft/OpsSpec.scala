@@ -454,6 +454,68 @@ class OpsSpec extends AnyFunSuite {
     assert(shuffled.distinct.length == 1)
   }
 
+  // ---- product quantization ----
+
+  test("PQ lossless codebook: ADC distances equal exact squared L2") {
+    // vectors built from a known per-subspace alphabet -> encoding is
+    // lossless, so the ADC lookup distance must EQUAL the true distance
+    val alphabet = Seq(Seq(0.0, 0.0), Seq(1.0, 2.0), Seq(3.0, 1.0)) // k=3, subdim=2
+    val cb: ops.Pq.Codebook = Seq(alphabet, alphabet)               // m=2 -> dims=4
+    val combos = for (a <- alphabet; b <- alphabet) yield a ++ b
+    val corpus = combos.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val codes = ops.Pq.encode(corpus, "vec_id", "embedding", cb)
+    assert(codes.count() == combos.size)
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 2 && cs.forall(c => c >= 0 && c < 3), cs.toString)
+    }
+    val got = ops.Pq.adcTopK(codes, corpus.where($"vec_id" < 2), "vec_id", "embedding", cb, combos.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (p <- 0 until 2; c <- combos.indices if c != p) {
+      val exact = combos(p).zip(combos(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(got((p.toLong, c.toLong)) - exact) < 1e-12,
+        s"probe $p cand $c: adc ${got((p.toLong, c.toLong))} != exact $exact")
+    }
+  }
+
+  test("PQ training: quantization error is non-increasing and beats the seed") {
+    val corpus = embeddings.where($"vec_id" < 200).select($"vec_id", $"embedding")
+    val seed = ops.Pq.seedCodebook(corpus, "vec_id", "embedding", m = 4, k = 8)
+    assert(seed.length == 4 && seed.head.length == 8 && seed.head.head.length == 16)
+    val e0 = ops.Pq.quantizationError(corpus, "embedding", seed)
+    val cb1 = ops.Pq.trainPq(corpus, "embedding", seed, iters = 1)
+    val e1 = ops.Pq.quantizationError(corpus, "embedding", cb1)
+    val cb2 = ops.Pq.trainPq(corpus, "embedding", cb1, iters = 1)
+    val e2 = ops.Pq.quantizationError(corpus, "embedding", cb2)
+    assert(e1 <= e0 + 1e-9 && e2 <= e1 + 1e-9, s"lloyd must not diverge: $e0 -> $e1 -> $e2")
+    assert(e1 < e0, s"one round must improve the md5 seed on real data: $e0 -> $e1")
+  }
+
+  test("PQ ADC ranking tracks exact ranking on a planted near-duplicate") {
+    // plant an exact duplicate of probe 0 at id 9000: the duplicate encodes
+    // to the same codes as the probe itself, so its ADC distance is the
+    // MINIMUM any candidate can reach — the probe's own reconstruction
+    // error (ADC is asymmetric: raw probe vs candidate reconstruction, so
+    // it is NOT 0) — and it must rank 1
+    val base = embeddings.where($"vec_id" < 150).select($"vec_id", $"embedding")
+    val probe = base.where($"vec_id" === 0)
+    val corpus = base.union(probe.select(lit(9000L).as("vec_id"), $"embedding"))
+    val cb = ops.Pq.trainPq(corpus, "embedding",
+      ops.Pq.seedCodebook(corpus, "vec_id", "embedding", m = 4, k = 8), iters = 1)
+    val codes = ops.Pq.encode(corpus, "vec_id", "embedding", cb)
+    val top = ops.Pq.adcTopK(codes, probe, "vec_id", "embedding", cb, 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 9000L, top.mkString(","))
+    // expected ADC: per subspace, min squared distance probe↔centroid
+    val pv = probe.select($"embedding".cast("array<double>")).head.getSeq[Double](0)
+    val expect = (0 until 4).map { sub =>
+      val pSub = pv.slice(sub * 16, (sub + 1) * 16)
+      cb(sub).map(c => c.zip(pSub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }.sum
+    assert(math.abs(top(0).getDouble(2) - expect) < 1e-9,
+      s"adc ${top(0).getDouble(2)} != probe reconstruction error $expect")
+  }
+
   // ---- BPE subword tokenizer ----
 
   /** Plain-Scala reference of the ordered-merge BPE spec (independent of
