@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN-suite quality/scale bench (BENCH/BASELINE.md "ANN paths"): recall@k
+  * against exact brute force for the three approximate paths — SRP-LSH
+  * (bucket equi-join), IVF (cell equi-join) and PQ/ADC (compressed full
+  * scan) — on a deterministic clustered corpus (the regime ANN exists
+  * for; uniform random vectors have no neighbor structure worth finding).
+  *
+  * Vectors are UNIT-NORMALIZED so cosine ranking (brute force / LSH / IVF)
+  * and squared-L2 ranking (PQ's ADC) agree and one ground truth serves all
+  * paths. Corpus: `id mod nClusters` picks a hash-derived center, plus
+  * hash-derived per-id noise — fully deterministic, no RNG state.
+  *
+  * What scales is reported per path: LSH and IVF cut the CANDIDATE SET
+  * (equi-join on bucket/cell instead of all pairs); PQ cuts BYTES AND
+  * COST PER CANDIDATE (m byte-codes + m lookups vs dims floats + dims
+  * multiply-adds) — at 100 TB the first two bound the join, the third
+  * bounds memory for whatever must still be scanned.
+  *
+  * Usage: graft.AnnBench [nVecs] [nProbes]
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val nProbes = args.lift(1).map(_.toInt).getOrElse(16)
+    val (dims, k) = (64, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic corpus with REAL neighbor structure: 10-member
+    // families (id div 10 shares a hash-derived center; per-member noise is
+    // small vs family separation) — the regime ANN is for. A corpus of
+    // iid noise has concentrated pair distances (margins ~1/sqrt(dims))
+    // and NO findable neighbors: code-only ranking degrades there by
+    // information, not by implementation (measured: recall 0.03 for flat
+    // AND residual PQ at any code budget, while LSH/IVF survive only
+    // because they re-rank their candidate shortlist with exact floats —
+    // which is what the rerank stage below adds to the PQ paths).
+    val raw = spark.range(n).select($"id".as("vec_id"), expr(
+      s"""transform(sequence(0, ${dims - 1}), d ->
+         |  (pmod(xxhash64(concat('c', cast(id div 10 as string), ':', d)), 1000) / 1000.0 - 0.5)
+         |  + 0.1 * (pmod(xxhash64(concat('n', cast(id as string), ':', d)), 1000) / 1000.0 - 0.5))"""
+        .stripMargin).as("v0"))
+    val corpus = raw.select($"vec_id", expr(
+        s"""transform(v0, x -> x / sqrt(aggregate(v0, 0D, (a, y) -> a + y * y)))""")
+      .as("vec")).localCheckpoint()
+    corpus.count() // materialize outside timing
+    val probes = corpus.where($"vec_id" < nProbes).localCheckpoint()
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select($"probe_id", $"cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (truth, tBrute) = timed {
+      pairs(ops.Similarity.bruteForceTopK(corpus, probes, "vec_id", "vec", k))
+    }
+    def recall(got: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else got.intersect(truth).size.toDouble / truth.size
+
+    val (lsh, tLsh) = timed {
+      pairs(ops.Similarity.lshTopK(corpus, probes, "vec_id", "vec", k,
+        nPlanes = 12, dims = dims, multiprobe = true))
+    }
+    val (ivf, tIvf) = timed {
+      pairs(ops.Similarity.ivfTopK(corpus, probes, "vec_id", "vec", k,
+        nCentroids = 64, nProbe = 8, lloydIters = 2))
+    }
+    var pqR = Set.empty[(Long, Long)]
+    val (pq, tPq) = timed {
+      val cb = ops.Pq.trainPq(corpus, "vec",
+        ops.Pq.seedCodebook(corpus, "vec_id", "vec", m = 8, k = 64), iters = 2)
+      val codes = ops.Pq.encode(corpus, "vec_id", "vec", cb).localCheckpoint()
+      val shortlist = ops.Pq.adcTopK(codes, probes, "vec_id", "vec", cb, 100)
+        .localCheckpoint()
+      pqR = pairs(ops.Pq.rerankExact(shortlist, corpus, probes, "vec_id", "vec", k))
+      pairs(shortlist.where($"rn" <= k))
+    }
+
+    var ivfpqR = Set.empty[(Long, Long)]
+    val (ivfpq, tIvfPq) = timed {
+      val (index, model) = ops.Pq.ivfPqIndex(corpus, "vec_id", "vec",
+        nCells = 64, m = 8, k = 64)
+      val idx = index.localCheckpoint()
+      val shortlist = ops.Pq.ivfPqTopK(idx, model, probes, "vec_id", "vec", 100, nProbe = 8)
+        .localCheckpoint()
+      ivfpqR = pairs(ops.Pq.rerankExact(shortlist, corpus, probes, "vec_id", "vec", k))
+      pairs(shortlist.where($"rn" <= k))
+    }
+
+    println(f"""{"metric":"ann_recall","n":$n,"dims":$dims,"probes":$nProbes,"k":$k,""" +
+      f""""brute_sec":$tBrute%.1f,""" +
+      f""""lsh_recall":${recall(lsh)}%.3f,"lsh_sec":$tLsh%.1f,""" +
+      f""""ivf_recall":${recall(ivf)}%.3f,"ivf_sec":$tIvf%.1f,""" +
+      f""""pq_recall":${recall(pq)}%.3f,"pq_sec":$tPq%.1f,""" +
+      f""""pq_rerank_recall":${recall(pqR)}%.3f,""" +
+      f""""ivfpq_recall":${recall(ivfpq)}%.3f,"ivfpq_sec":$tIvfPq%.1f,""" +
+      f""""ivfpq_rerank_recall":${recall(ivfpqR)}%.3f,""" +
+      f""""pq_bytes_per_vec":8,"raw_bytes_per_vec":${dims * 4}}""")
+    spark.stop()
+  }
+}

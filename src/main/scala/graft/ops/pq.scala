@@ -113,15 +113,18 @@ object Pq {
     * explode → broadcast join → argmin → groupBy(id) reassembly; at 100 TB
     * this is the one-time index build (a single shuffle keyed by id). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      cb: Codebook): DataFrame = {
+      cb: Codebook, carry: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     val (m, k, subdim) = (cb.length, cb.head.length, subdimOf(cb))
-    explodeSubspaces(corpus.select(col(idCol), col(vecCol)), vecCol, m, subdim)
+    explodeSubspaces(corpus.select((idCol +: vecCol +: carry).map(col): _*),
+        vecCol, m, subdim)
       .join(codebookDf(spark, cb), "__sub")
       .withColumn("__code", expr(argminSql(k)))
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__sub"), col("__code")))).as("__sc"))
-      .select(col(idCol), expr("transform(__sc, p -> p.__code)").as("codes"))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code")))).as("__sc"),
+        carry.map(c => first(col(c)).as(c)): _*)
+      .select((col(idCol) +: expr("transform(__sc, p -> p.__code)").as("codes") +:
+        carry.map(col)): _*)
   }
 
   /** Average squared quantization error over the corpus — the training
@@ -184,6 +187,116 @@ object Pq {
       .where(col("__pid") =!= col("cand_id"))
       .withColumn("adc", adc)
       .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVFADC — the production composition (Jégou et al. §IV): coarse IVF
+  // cell + PQ of the RESIDUAL (vector minus its cell centroid). Flat PQ
+  // quantizes away exactly the within-cluster detail a top-k probe needs
+  // (AnnBench measures its recall collapsing on clustered data); encoding
+  // the residual spends the whole code budget on that detail instead.
+  // ------------------------------------------------------------------
+
+  /** Driver-side IVFADC model: coarse centroids + residual codebook —
+    * both config-sized. */
+  final case class IvfPqModel(cents: Seq[Seq[Double]], cb: Codebook)
+
+  /** Residual column: vec - cents(cell), via a broadcast centroid join
+    * (input must carry `__cell`). */
+  private def withResidual(df: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__cell", "__cent"))
+    df.join(centsDf, "__cell")
+      .withColumn("__resid",
+        expr(s"zip_with($vecCol, __cent, (x, c) -> cast(x as double) - c)"))
+      .drop("__cent")
+  }
+
+  /** Build the IVFADC index: assign cells, train PQ on residuals, encode.
+    * Returns the index relation (idCol, __cell, codes) — m codes + one
+    * cell id per vector, the at-rest ANN index at 100 TB — plus the
+    * driver-side model. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, k: Int, lloydIters: Int = 2,
+      pqIters: Int = 2): (DataFrame, IvfPqModel) = {
+    val cents = Similarity.refineCentroids(corpus, vecCol,
+      Similarity.seedCentroids(corpus, idCol, vecCol, nCells), lloydIters)
+    val resid = withResidual(
+      Similarity.cellRanks(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents, maxRank = 1).drop("__rk"),
+      vecCol, cents)
+    val cb = trainPq(resid.select(col("__resid")), "__resid",
+      seedCodebook(resid, idCol, "__resid", m, k), pqIters)
+    val index = encode(resid, idCol, "__resid", cb, carry = Seq("__cell"))
+    (index, IvfPqModel(cents, cb))
+  }
+
+  /** IVFADC top-k: each probe ranks its `nProbe` nearest cells, a
+    * per-(probe, cell) residual LUT is broadcast, and candidates are
+    * reached by an EQUI-join on cell — the scan touches only nProbe/nCells
+    * of the index, and each candidate costs m lookups. Probes small by
+    * contract. Returns (probe_id, cand_id, adc, rn). */
+  def ivfPqTopK(index: DataFrame, model: IvfPqModel, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val (m, nk, subdim) = (model.cb.length, model.cb.head.length, subdimOf(model.cb))
+    require(nProbe >= 1 && nProbe <= model.cents.length)
+    val probeRows = probes
+      .select(col(idCol).cast("long").as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val luts = for {
+      (pid, pv) <- probeRows.toSeq
+      cell <- model.cents.zipWithIndex
+        .map { case (c, i) => (sq(c, pv), i) }.sorted.take(nProbe).map(_._2)
+    } yield {
+      val rp = pv.indices.map(d => pv(d) - model.cents(cell)(d))
+      val lut = for (s <- 0 until m; c <- 0 until nk) yield
+        sq(model.cb(s)(c), rp.slice(s * subdim, (s + 1) * subdim))
+      (pid, cell, lut)
+    }
+    val lutDf = broadcast(luts.toDF("__pid", "__cell", "__lut"))
+    val adc = expr(
+      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
+         |  acc + element_at(__lut, s * $nk + element_at(codes, s + 1) + 1))"""
+        .stripMargin)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("adc").asc, col("cand_id").asc)
+    index.select(col(idCol).as("cand_id"), col("__cell"), col("codes"))
+      .join(lutDf, "__cell")
+      .where(col("__pid") =!= col("cand_id"))
+      .withColumn("adc", adc)
+      .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
+  /** Exact re-rank refinement (the standard ADC+R step, cf. FAISS refine):
+    * a candidate list from any generator ([[adcTopK]], [[ivfPqTopK]],
+    * LSH/IVF) is joined back to the RAW vectors and re-ranked by exact
+    * squared L2 — codes give the cheap shortlist, floats decide the final
+    * order. The join touches only |probes| × R rows. Returns (probe_id,
+    * cand_id, sqd, rn). */
+  def rerankExact(cands: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cv = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val pv = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("__pv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sqd").asc, col("cand_id").asc)
+    cands.select(col("probe_id"), col("cand_id"))
+      .join(cv, "cand_id").join(broadcast(pv), "probe_id")
+      .withColumn("sqd", expr(
+        "aggregate(zip_with(__pv, __cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .select(col("probe_id"), col("cand_id"), col("sqd"),
         row_number().over(w).as("rn"))
       .where(col("rn") <= k)
   }

@@ -516,6 +516,52 @@ class OpsSpec extends AnyFunSuite {
       s"adc ${top(0).getDouble(2)} != probe reconstruction error $expect")
   }
 
+  test("IVFADC: planted duplicate ranks 1; index carries cell + m codes; rerank is exact") {
+    val base = embeddings.where($"vec_id" < 150).select($"vec_id", $"embedding")
+    val probe = base.where($"vec_id" === 0)
+    val corpus = base.union(probe.select(lit(9000L).as("vec_id"), $"embedding"))
+    val (index, model) = ops.Pq.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 8, m = 4, k = 8, lloydIters = 1, pqIters = 1)
+    val rows = index.collect()
+    assert(rows.length == 151)
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8), cs.toString)
+      assert(r.getInt(2) >= 0 && r.getInt(2) < 8, "cell in range")
+    }
+    // the duplicate shares probe 0's cell AND codes -> minimal ADC -> rank 1
+    val top = ops.Pq.ivfPqTopK(index, model, probe, "vec_id", "embedding",
+      k = 5, nProbe = 2).localCheckpoint()
+    assert(top.where($"rn" === 1).head.getLong(1) == 9000L, top.collect().mkString(","))
+    // exact re-rank of the shortlist: the duplicate's exact distance is 0
+    val rr = ops.Pq.rerankExact(top, corpus, probe, "vec_id", "embedding", 1).head
+    assert(rr.getLong(1) == 9000L && rr.getDouble(2) == 0.0, rr.toString)
+  }
+
+  test("IVFADC residual training beats flat PQ quantization error at equal code budget") {
+    // residuals concentrate near 0, so the same (m, k) budget spent on
+    // residuals must reconstruct better than spent on raw vectors
+    val corpus = embeddings.where($"vec_id" < 300).select($"vec_id", $"embedding")
+    val flat = ops.Pq.trainPq(corpus, "embedding",
+      ops.Pq.seedCodebook(corpus, "vec_id", "embedding", m = 4, k = 8), iters = 2)
+    val eFlat = ops.Pq.quantizationError(corpus, "embedding", flat)
+    val (_, model) = ops.Pq.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 16, m = 4, k = 8, lloydIters = 2, pqIters = 2)
+    // rebuild the residual relation the index was trained on
+    val resid = graft.ops.Similarity.cellRanks(
+        corpus.select($"vec_id", $"embedding"), "vec_id", "embedding",
+        model.cents, maxRank = 1)
+      .withColumn("__cent", {
+        val m2 = map(model.cents.zipWithIndex.flatMap { case (c, i) =>
+          Seq(lit(i), typedLit(c)) }: _*)
+        element_at(m2, $"__cell")
+      })
+      .withColumn("__resid",
+        expr("zip_with(embedding, __cent, (x, c) -> cast(x as double) - c)"))
+    val eResid = ops.Pq.quantizationError(resid, "__resid", model.cb)
+    assert(eResid < eFlat, s"residual error $eResid must beat flat $eFlat")
+  }
+
   // ---- BPE subword tokenizer ----
 
   /** Plain-Scala reference of the ordered-merge BPE spec (independent of
