@@ -669,6 +669,92 @@ object Queries {
            |WHERE doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY doc_id""".stripMargin))
 
+  /** The training-data CLEANING PIPELINE composed end-to-end from the
+    * operator suite — what a user actually runs: language filter → quality
+    * filter (stopword/word formula) → exact dedup (keep-first) → near-dup
+    * dedup (MinHash-LSH candidates → Jaccard verify → cluster resolution →
+    * anti-join) → per-doc token stats. Near-dup copies are planted so every
+    * stage does real work; the oracle replays the whole chain (shingles,
+    * 8-hash signatures, 4-band bucketing, recursive components) in SQL. */
+  private val qCorpusPipeline = QueryDef(
+    "q_corpus_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+      val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+      val corpus = base.union(base.where($"doc_id" < 25)
+        .select(($"doc_id" + 5000).as("doc_id"),
+          concat($"text", lit(" extra")).as("text"), $"lang"))
+      val kept = corpus.where($"lang" === "en")
+        .withColumn("score",
+          (lit(4) * size(split($"text", " ")) +
+            lit(3) * expr(s"size(filter(split(text, ' '), w -> w in ($stops)))"))
+            .cast("int"))
+        .where($"score" >= 150)
+      val exact = ops.Dedup.exactDedup(kept, "doc_id", "text")
+      val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.5)
+        .select($"id_a", $"id_b")
+      ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
+        .select($"doc_id", md5($"text").as("h"),
+          ops.TextStats.tokenCount($"text").cast("int").as("n_tok"), $"score")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang FROM documents),
+         |corpus AS (SELECT doc_id, text, lang FROM base
+         |  UNION ALL SELECT doc_id + 5000, text || ' extra', lang FROM base WHERE doc_id < 25),
+         |scored AS (SELECT doc_id, text,
+         |    CAST(4*len(string_split(text, ' '))
+         |       + 3*len(list_filter(string_split(text, ' '),
+         |           w -> list_contains([$stops], w))) AS INT) AS score
+         |  FROM corpus WHERE lang = 'en'),
+         |kept AS (SELECT * FROM scored WHERE score >= 150),
+         |ex AS (SELECT doc_id, text, score FROM kept
+         |       WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ex),
+         |sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+         |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+         |             FROM w WHERE len(ws) >= 3)),
+         |sig AS (SELECT doc_id,
+         |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+         |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+         |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+         |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+         |  FROM sh GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+         |words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM ex),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM (SELECT id_a, id_b,
+         |      len(list_intersect(wa.wset, wb.wset)) AS inter,
+         |      len(list_distinct(list_concat(wa.wset, wb.wset))) AS uni
+         |    FROM cand JOIN words wa ON wa.doc_id = id_a
+         |              JOIN words wb ON wb.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.5),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+         |SELECT doc_id, md5(text) AS h,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok, score
+         |FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Document fingerprint: order-insensitive bag-of-words hash. */
   private val qFingerprint = QueryDef(
     "q_fingerprint",
@@ -1668,6 +1754,7 @@ object Queries {
     qExcept, qScalar,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
+    qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
     qLayoutOrder,
