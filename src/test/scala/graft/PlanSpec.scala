@@ -133,4 +133,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"large-codebook assign must be a broadcast equi-join:\n${p.take(800)}")
   }
+
+  test("BPE tokenization runs as one codegen'd projection over a pruned scan") {
+    val p = plan("q_bpe_tokens")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,150)]"), p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "must read only (doc_id, text)")
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("PQ encode broadcast-joins the codebook; ADC search has no cartesian on the corpus") {
+    // the codebook must reach executors as a broadcast relation keyed by
+    // subspace — never a plan literal or a shuffled join
+    val p = plan("q_embed_pq")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "codebook/LUT joins must broadcast:\n" + p.take(1200))
+  }
+
+  test("composed cleaning pipeline: LSH stays an equi-join, components never go cartesian") {
+    val p = plan("q_corpus_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
 }
