@@ -1624,11 +1624,81 @@ object Queries {
 
   /** Staged JSONL dump of the first 200 corpus docs (interchange format). */
   private val jsonlPath = s"$corpusDir/docs_jsonl"
+  private val jsonlQPath = s"$corpusDir/docs_jsonl_q"
   private def stagedJsonl(s: SparkSession): String = Queries.synchronized {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$jsonlPath/_SUCCESS")))
       Sources.toJsonl(stagedCorpus(s).where(col("doc_id") < SmallDocMax), jsonlPath)
     jsonlPath
   }
+
+  /** Planted malformed JSONL lines and the reason the quarantine ingest
+    * must assign — ONE constant feeds the staged bad file (Spark input)
+    * and the oracle's expected-quarantine VALUES (DuckDB side). */
+  private[graft] val BadJsonlLines: Seq[(String, String)] = Seq(
+    ("""{"doc_id": "xbad1", "domain": "x.example", "spans": [""", "corrupt"),
+    ("not json at all", "corrupt"),
+    ("\"just a string\"", "corrupt"),
+    ("""{"doc_id":"xbad3","domain":"x.example"}""", "missing_field"),
+    ("""{"domain":"y.example","spans":[]}""", "missing_field"))
+
+  /** Staged dump CONTAINING bad lines: the clean jsonl plus one extra
+    * part file of planted malformed lines. */
+  private def stagedJsonlQ(s: SparkSession): String = Queries.synchronized {
+    val done = java.nio.file.Paths.get(s"$jsonlQPath/_STAGED")
+    if (!java.nio.file.Files.exists(done)) {
+      Sources.toJsonl(stagedCorpus(s).where(col("doc_id") < SmallDocMax), jsonlQPath)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$jsonlQPath/bad-lines.txt"),
+        BadJsonlLines.map(_._1).mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    jsonlQPath
+  }
+
+  /** Quarantine ingest (ops robustness): PERMISSIVE parse of a dump with
+    * planted malformed lines — good rows aggregate per bucket EXACTLY as
+    * the FAILFAST path does on the clean dump; bad lines surface verbatim
+    * with a reason. The oracle replays the good side via read_json
+    * ignore_errors + null-field filter and the quarantine side from the
+    * shared planted constant. */
+  private val qSourceQuarantine = QueryDef(
+    "q_source_quarantine",
+    (s, _) => {
+      import s.implicits._
+      val path = stagedJsonlQ(s)
+      val (good, quarantine) = Sources.fromJsonlQuarantine(s, path)
+      good.groupBy($"bucket")
+        .agg(count("*").as("n"), sum(size($"spans")).as("spans"))
+        .select(lit("good").as("kind"),
+          $"bucket".cast("string").as("key"), $"n", $"spans")
+        .unionByName(quarantine
+          .select(lit("quarantine").as("kind"),
+            concat($"reason", lit("|"), $"raw").as("key"),
+            lit(1L).as("n"), lit(0L).as("spans")))
+        .orderBy($"kind", $"key")
+    },
+    Some {
+      val vals = BadJsonlLines
+        .map { case (l, r) => s"('$r|' || '${l.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, domain, spans,
+         |    CAST(('0x' || substr(md5(doc_id), 1, 6))::BIGINT % ${DocGen.NumBuckets} AS INT) AS bucket
+         |  FROM read_json('$jsonlQPath/*.txt',
+         |    format = 'newline_delimited', ignore_errors = true,
+         |    columns = {doc_id: 'VARCHAR', domain: 'VARCHAR',
+         |      spans: 'STRUCT(kind VARCHAR, "text" VARCHAR, media_ref VARCHAR, "offset" INTEGER)[]'})
+         |  WHERE doc_id IS NOT NULL AND domain IS NOT NULL AND spans IS NOT NULL),
+         |good AS (SELECT 'good' AS kind, CAST(bucket AS VARCHAR) AS key,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(len(spans)) AS BIGINT) AS spans
+         |  FROM d GROUP BY bucket),
+         |quar AS (SELECT 'quarantine' AS kind, q.key, CAST(1 AS BIGINT) AS n,
+         |    CAST(0 AS BIGINT) AS spans
+         |  FROM (VALUES $vals) q(key))
+         |SELECT kind, key, n, spans FROM good
+         |UNION ALL SELECT kind, key, n, spans FROM quar
+         |ORDER BY kind, key""".stripMargin
+    })
+
 
   /** JSONL document ingestion (Sources.fromJsonl — qetch's JSON-API-payload
     * analog): declared schema, FAILFAST, portable md5-derived bucket; the
@@ -1760,7 +1830,7 @@ object Queries {
     qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe, qMediaMeta, qMediaFeatures,
-    qSourceJsonl, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
+    qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -54,6 +54,42 @@ object Sources {
           .otherwise(lit(true)))
       .withColumn("bucket", md5Bucket(col("doc_id")))
 
+  /** PERMISSIVE ingest with an explicit QUARANTINE side-channel — the
+    * robustness counterpart of [[fromJsonl]]: a crawl dump at 100 TB WILL
+    * contain malformed lines, and FAILFAST turns one bad byte into a dead
+    * job. Reads the dump as raw text ONCE and parses in-plan
+    * (`from_json`), so the quarantined row keeps the ORIGINAL line
+    * verbatim (a corrupt-record column reconstructed from parsed fields
+    * would not round-trip). Returns (good, quarantine):
+    *  - good: the canonical bucketed table, exactly [[fromJsonl]]'s rows
+    *    on a clean dump;
+    *  - quarantine: (raw, reason) with reason ∈ {corrupt, missing_field} —
+    *    the re-drive surface (fix upstream, re-ingest just these lines).
+    * Both sides derive from one scan; materialize the parent if computing
+    * both (each action re-scans otherwise). */
+  def fromJsonlQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json PARTIALLY parses malformed lines (a truncated
+    // array still yields doc_id/domain), so "did it parse to null" cannot
+    // detect corruption — the corrupt-record column inside the parse
+    // schema is the reliable signal (set on any parse error, even when
+    // partial fields survive).
+    val parseSchema = docSchema.add(StructField("_corrupt", StringType, nullable = true))
+    val parsed = spark.read.text(path)
+      .withColumn("__p", from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
+    val bad = col("__p").isNull || col("__p._corrupt").isNotNull ||
+      col("__p.doc_id").isNull || col("__p.domain").isNull || col("__p.spans").isNull
+    val good = parsed.where(!bad)
+      .select(col("__p.doc_id").as("doc_id"), col("__p.domain").as("domain"),
+        col("__p.spans").as("spans"))
+      .withColumn("bucket", md5Bucket(col("doc_id")))
+    val quarantine = parsed.where(bad)
+      .select(col("value").as("raw"),
+        when(col("__p").isNull || col("__p._corrupt").isNotNull, lit("corrupt"))
+          .otherwise(lit("missing_field")).as("reason"))
+    (good, quarantine)
+  }
+
   /** Dump a document table as JSONL (the inverse, for interchange). */
   def toJsonl(docs: DataFrame, path: String): Unit =
     docs.select(to_json(struct(col("doc_id"), col("domain"), col("spans"))).as("value"))

@@ -48,4 +48,32 @@ class SourcesSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.toString.toLowerCase.contains("malformed")) ||
       ex.toString.contains("FAILFAST") || ex.getMessage.contains("Malformed"))
   }
+
+  test("quarantine ingest: good rows match FAILFAST exactly; bad lines surface verbatim with reasons") {
+    val docs = spark.createDataset((0L until 50L).map(DocGen.docFor)).toDF()
+    val dir = Files.createTempDirectory("graft_jsonl_quar_").toString
+    Sources.toJsonl(docs, dir)
+    val bad = Seq(
+      """{"doc_id": "b1", "domain": "x", "spans": [""" -> "corrupt",
+      "garbage line" -> "corrupt",
+      """{"doc_id":"b2","domain":"x"}""" -> "missing_field",
+      """{"domain":"y","spans":[]}""" -> "missing_field")
+    Files.writeString(java.nio.file.Path.of(dir, "bad.txt"),
+      bad.map(_._1).mkString("\n"))
+    val (good, quarantine) = Sources.fromJsonlQuarantine(spark, dir)
+    // good side == the FAILFAST path on the clean part files only
+    val clean = Files.createTempDirectory("graft_jsonl_quar_clean_").toString
+    Sources.toJsonl(docs, clean)
+    val expect = Sources.fromJsonl(spark, clean)
+      .select($"doc_id", $"bucket").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val got = good.select($"doc_id", $"bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == expect, s"good side diverged: ${got.size} vs ${expect.size}")
+    // quarantine: exact raw lines, correct reasons
+    val q = quarantine.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q.size == bad.size, q.toString)
+    bad.foreach { case (line, reason) =>
+      assert(q.get(line).contains(reason), s"line [$line]: got ${q.get(line)}")
+    }
+  }
 }
