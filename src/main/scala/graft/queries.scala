@@ -297,6 +297,31 @@ object Queries {
            |FROM documents GROUP BY CUBE(lang, source)
            |ORDER BY gid, lang, source""".stripMargin))
 
+  /** Approximate percentiles (GK sketch): mergeable map-side summaries —
+    * the scale path for quantiles over 100 TB (an exact percentile needs a
+    * full sort; the sketch shuffles one summary per partition). With
+    * accuracy >> group size the sketch is EXACT, which is what makes a
+    * hash-equal DuckDB oracle possible at test scale; at production scale
+    * the same plan degrades gracefully to epsilon-rank error. */
+  private val qApproxQuantile = QueryDef(
+    "q_approx_quantile",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.9), 1000000)").as("q"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", element_at($"q", 1).as("q25"),
+          element_at($"q", 2).as("q50"), element_at($"q", 3).as("q90"), $"n")
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  quantile_disc(l_quantity, 0.25) AS q25,
+           |  quantile_disc(l_quantity, 0.5) AS q50,
+           |  quantile_disc(l_quantity, 0.9) AS q90,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Set ops: distinct EXCEPT (sources minus low-volume sources). */
   private val qExcept = QueryDef(
     "q_set_except",
@@ -1821,7 +1846,7 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
-    qExcept, qScalar,
+    qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qCorpusPipeline,
