@@ -716,10 +716,18 @@ object Queries {
             lit(3) * expr(s"size(filter(split(text, ' '), w -> w in ($stops)))"))
             .cast("int"))
         .where($"score" >= 150)
-      val exact = ops.Dedup.exactDedup(kept, "doc_id", "text")
-      val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text",
-          k = 8, bands = 4, threshold = 0.5)
-        .select($"id_a", $"id_b")
+      // explicit materialization at every stage boundary — the production
+      // shape for a multi-stage pipeline: each stage's output feeds 2+
+      // consumers (signatures → guard count AND self-join sides; pairs →
+      // resolution AND verify), and without a checkpoint Spark re-derives
+      // the whole upstream DAG per consumer branch
+      val exact = ops.Dedup.exactDedup(kept, "doc_id", "text").localCheckpoint()
+      val sigs = ops.Dedup.minhashSignatures(exact, "text", 8)
+        .select($"doc_id", $"sig").localCheckpoint()
+      val cands = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+        .localCheckpoint()
+      val pairs = ops.Dedup.jaccardVerify(exact, "doc_id", "text", cands, 0.5)
+        .select($"id_a", $"id_b").localCheckpoint()
       ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
         .select($"doc_id", md5($"text").as("h"),
           ops.TextStats.tokenCount($"text").cast("int").as("n_tok"), $"score")
