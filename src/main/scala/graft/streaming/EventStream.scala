@@ -67,6 +67,87 @@ object EventStream {
     graft.plans.GraftFunctions.extractColumnar(raw)
   }
 
+  /** Streaming extraction INTO the manifest table — the incremental
+    * production ingest: each micro-batch appends its parquet files under
+    * `data/bucket=K`, scans EXACTLY those files for stats (the same
+    * accumulator-free at-rest pattern as the batch job), and commits ONE
+    * snapshot per batch that MERGES the previous bucket states — rows
+    * accumulate, the watermark advances to the max doc_id, file lineage
+    * appends. Exactly-once across restarts: Structured Streaming can only
+    * re-deliver the LAST batch after a crash, and a batch whose run id is
+    * already HEAD is skipped; files from a crash BETWEEN write and commit
+    * are never referenced (the pre/post listing diff excludes them — they
+    * age out via Manifest.removeOrphans, same argument as the batch job).
+    * Readers see atomic snapshot-by-snapshot growth via Manifest.readData.
+    */
+  def runExtractWithManifest(
+      spark: SparkSession, inDir: String, tableDir: String,
+      checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
+    extractStreamNative(spark, inDir, schemaFrom).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, tableDir)
+      }
+      .start()
+  }
+
+  private[graft] def commitBatch(batch: DataFrame, batchId: Long,
+      tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val runId = f"stream-batch-$batchId%06d"
+    val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val prev = table.head()
+    if (prev.exists(_.runId == runId)) return // re-delivered: already committed
+    val t0 = System.nanoTime()
+    val buckets = 0 until graft.DocGen.NumBuckets
+    val pre: Map[Int, Set[String]] =
+      buckets.map(b => b -> table.listBucketFiles(b).toSet).toMap
+
+    batch.write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
+
+    val newFiles: Map[Int, Seq[String]] =
+      buckets.map(b => b -> table.listBucketFiles(b).filterNot(pre(b))).toMap
+    val written = buckets.flatMap(newFiles)
+    if (written.isEmpty) return // empty batch: nothing to commit
+
+    val stats = spark.read.option("basePath", s"$tableDir/data").parquet(written: _*)
+      .groupBy($"bucket")
+      .agg(count("*").as("docs"),
+        sum($"spans_in").as("spans_in"),
+        sum(size($"spans")).as("spans_out"),
+        array((0 until 10).map(i =>
+          sum(when(least(floor($"confidence" * 10).cast("int"), lit(9)) === i, 1L)
+            .otherwise(0L))): _*).as("hist"),
+        max($"doc_id").as("wm"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), Option(r.getString(5)).getOrElse("")))
+      .toMap
+
+    val prevStates: Map[Int, graft.Manifest.BucketState] =
+      prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
+    val touched = stats.keys.toSeq.sorted.map { b =>
+      val (docs, _, _, _, wm) = stats(b)
+      val p = prevStates.get(b)
+      graft.Manifest.BucketState(b,
+        p.map(_.rows).getOrElse(0L) + docs,
+        Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
+        p.map(_.files).getOrElse(Nil) ++ newFiles(b))
+    }
+    table.commit(runId, touched)
+
+    // metrics AFTER the commit (same crash contract as the batch job:
+    // a missing batch is re-derivable, a duplicated batch is not)
+    val wallNs = System.nanoTime() - t0
+    val metrics = stats.toSeq.sortBy(_._1).map { case (b, (d, si, so, h, _)) =>
+      graft.PartitionMetrics(runId, b, d, si, so, wallNs, h)
+    }
+    spark.createDataset(metrics).write.mode("append").parquet(s"$tableDir/metrics")
+  }
+
   /** Streaming keep-first exact dedup — the custom-state surface
     * (KeyValueGroupedDataset.flatMapGroupsWithState): state per content key
     * is a single "seen" flag; the FIRST payload per key across all

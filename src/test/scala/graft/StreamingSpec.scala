@@ -153,4 +153,55 @@ class StreamingSpec extends AnyFunSuite {
     val res = streaming.EventStream.eventCounts(events).collect()
     assert(res.nonEmpty)
   }
+
+  test("streaming extraction commits manifest snapshots per batch; resume appends, readers see lineage") {
+    val in = Files.createTempDirectory("graft_mstream_in_").toString
+    val tbl = Files.createTempDirectory("graft_mstream_tbl_").toString
+    val ckpt = Files.createTempDirectory("graft_mstream_ckpt_").toString
+    val schemaFrom = spark.createDataset(Seq(DocGen.docFor(0L))).toDF()
+
+    // wave 1 in two files -> with maxFilesPerTrigger=8 still one batch here;
+    // what matters is per-batch commit + cross-restart append
+    spark.createDataset((0L until 200L).map(DocGen.docFor)).toDF()
+      .write.mode("append").parquet(in)
+    streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
+      .awaitTermination()
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val h1 = m.head().get
+    assert(m.readData(spark).count() == 200)
+    assert(h1.buckets.map(_.rows).sum == 200)
+    assert(h1.runId.startsWith("stream-batch-"), h1.runId)
+
+    // wave 2: restart from checkpoint — only new files processed, states MERGE
+    spark.createDataset((200L until 300L).map(DocGen.docFor)).toDF()
+      .write.mode("append").parquet(in)
+    streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
+      .awaitTermination()
+    val h2 = m.head().get
+    assert(h2.id > h1.id, "second wave must add snapshots")
+    assert(m.readData(spark).count() == 300, "rows accumulate across streaming commits")
+    assert(h2.buckets.map(_.rows).sum == 300)
+    // watermark advanced monotonically per bucket
+    val w1 = h1.buckets.map(b => b.bucket -> b.watermarkDocId).toMap
+    h2.buckets.foreach(b => assert(b.watermarkDocId >= w1.getOrElse(b.bucket, "")))
+    // file lineage: every referenced file exists and readData plans from it
+    assert(h2.buckets.flatMap(_.files).nonEmpty)
+
+    // drained stream with no new data: no new snapshot (no empty commits)
+    streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
+      .awaitTermination()
+    assert(m.head().get.id == h2.id, "empty drain must not commit")
+
+    // streamed table content == batch extraction of the same docs
+    val exp = (0L until 300L).map(DocGen.docFor).map(ReferenceOracle.extract)
+      .map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref))).toMap
+    m.readData(spark).as[ExtractedDoc].collect().foreach { d =>
+      assert(d.spans.map(s => (s.kind, s.text, s.media_ref)) == exp(d.doc_id), d.doc_id)
+    }
+
+    // metrics side table: one batch id per wave, no duplicates
+    val runs = spark.read.parquet(s"$tbl/metrics").select($"run_id").distinct()
+      .as[String].collect().sorted
+    assert(runs.length == 2 && runs.forall(_.startsWith("stream-batch-")), runs.mkString(","))
+  }
 }
