@@ -122,6 +122,20 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
   }
 
   /** Buckets already completed per the current snapshot (resume set). */
+  /** Run ids of every snapshot in meta/ — the re-delivery guard surface:
+    * a streaming batch must not re-commit if ANY snapshot recorded it,
+    * even when later commits (compaction, other writers) moved HEAD past
+    * it. Metadata-only listing, one small JSON read per snapshot. */
+  def committedRunIds(): Set[String] = {
+    if (!fs.exists(meta)) return Set.empty
+    fs.listStatus(meta).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("snap-\\d+\\.json"))
+      .flatMap { st =>
+        val body = readString(st.getPath)
+        "\"run_id\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1))
+      }.toSet
+  }
+
   def completedBuckets(): Set[Int] = head().map(_.buckets.map(_.bucket).toSet).getOrElse(Set.empty)
 
   /** Manifest-planned read of the committed table: the scan's file list

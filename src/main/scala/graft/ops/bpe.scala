@@ -34,10 +34,14 @@ object Bpe {
     * stay plain text). */
   val Boundary = "\u0001"
 
-  /** Symbolize a text column: " h i <B> t h e r e" for "hi there". */
+  /** Symbolize a text column: " h i <B> t h e r e" for "hi there".
+    * The char class is `[\s\S]`, not `.`: the dot excludes different
+    * line-terminator sets under Java regex (Spark) and RE2 (DuckDB), so a
+    * text containing \r or U+2028 would symbolize differently per engine;
+    * `[\s\S]` matches every char identically in both. */
   def symbolize(textCol: Column): Column =
     regexp_replace(replace(textCol, lit(" "), lit(Boundary)),
-      lit("(.)"), lit(" $1"))
+      lit("([\\s\\S])"), lit(" $1"))
 
   /** Apply an ordered merge table to a symbolized column — one literal
     * `replace` per rank, folded left; stays inside codegen. */
@@ -76,7 +80,7 @@ object Bpe {
     * generated from the same merge constant the Spark side uses. Boundary
     * appears as chr(1), never as a raw control byte. */
   def mergedSql(c: String, merges: Seq[(String, String)]): String = {
-    val sym = s"regexp_replace(replace($c, ' ', chr(1)), '(.)', ' \\1', 'g')"
+    val sym = s"regexp_replace(replace($c, ' ', chr(1)), '([\\s\\S])', ' \\1', 'g')"
     merges.foldLeft(sym) { case (acc, (l, r)) =>
       s"replace($acc, ' $l $r', ' $l$r')"
     }
@@ -110,7 +114,7 @@ object Bpe {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
-      .select(regexp_replace(col("w"), lit("(.)"), lit(" $1")).as("sym"), col("n"))
+      .select(regexp_replace(col("w"), lit("([\\s\\S])"), lit(" $1")).as("sym"), col("n"))
       .localCheckpoint()
 
     val merges = ArrayBuffer.empty[(String, String)]
@@ -132,9 +136,13 @@ object Bpe {
       else {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         merges += ((l, r))
+        val prev = vocab
         vocab = vocab
           .withColumn("sym", replace(col("sym"), lit(s" $l $r"), lit(s" $l$r")))
           .localCheckpoint()
+        // release the superseded checkpoint: BPE tables run to 10k+ merges,
+        // and one pinned vocab copy per round is a linear storage leak
+        prev.unpersist()
       }
     }
     merges.toSeq

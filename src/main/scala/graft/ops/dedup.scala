@@ -294,7 +294,9 @@ object Dedup {
     var converged = prev._1 == 0L
     var it = 0
     while (!converged && it < maxIters) {
+      val prev0 = edges
       edges = smallStar(largeStar(edges)).localCheckpoint()
+      prev0.unpersist() // superseded checkpoint: ~log(diameter) rounds, one pinned edge copy each
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur

@@ -52,7 +52,8 @@ object Media {
       var i = 2
       while (i + 1 < b.length && (b(i) & 0xff) == 0xFF) {
         val m = b(i + 1) & 0xff
-        if (m == 0xC0 || m == 0xC1 || m == 0xC2)
+        if (m == 0xFF) i += 1 // fill byte (spec B.1.1.2): 0xFF padding before a marker
+        else if (m == 0xC0 || m == 0xC1 || m == 0xC2)
           return if (i + 8 < b.length)
             Some((((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),   // width
               ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)))      // height

@@ -47,22 +47,34 @@ object Pq {
       .toDF("__sub", "__cents"))
   }
 
-  /** SQL: index (0-based) of the nearest centroid in `__cents` to
-    * `__subv`, ties to the lowest code — exact integer-friendly argmin. */
-  private def argminSql(k: Int): String =
+  /** SQL: the nearest centroid in `__cents` to `__subv`, ties to the
+    * lowest code — `field` selects the code index (`i`) or its squared
+    * distance (`d`). */
+  private def nearestSql(k: Int, field: String): String =
     s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
        |  named_struct('d',
        |    aggregate(zip_with(element_at(__cents, c + 1), __subv,
        |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v),
-       |    'i', c))), 1).i""".stripMargin
+       |    'i', c))), 1).$field""".stripMargin
+
+  private def argminSql(k: Int): String = nearestSql(k, "i")
 
   /** Explode a vector column into (original columns, __sub, __subv) rows —
-    * one per subspace, subvector cast to double. */
+    * one per subspace, subvector cast to double. A ragged vector would
+    * slice short, null-pad the zip and silently argmin to code 0 — fail
+    * loudly instead (one size() check per row, negligible next to the
+    * distance math). */
   private def explodeSubspaces(df: DataFrame, vecCol: String, m: Int,
       subdim: Int): DataFrame =
     df.withColumn("__sub", explode(expr(s"sequence(0, ${m - 1})")))
+      // the guard lives INSIDE the consumed column (an unreferenced check
+      // column would be pruned by the optimizer and never fire)
       .withColumn("__subv", expr(
-        s"transform(slice($vecCol, __sub * $subdim + 1, $subdim), x -> cast(x as double))"))
+        s"""CASE WHEN size($vecCol) = ${m * subdim}
+           |  THEN transform(slice($vecCol, __sub * $subdim + 1, $subdim),
+           |         x -> cast(x as double))
+           |  ELSE raise_error(concat('Pq: vector length != ${m * subdim}: got ',
+           |         cast(size($vecCol) as string))) END""".stripMargin))
 
   /** Deterministic codebook seed: the k corpus vectors first in md5(id)
     * order, sliced into subvectors (every subspace seeds from the same k
@@ -134,16 +146,64 @@ object Pq {
     val (m, k, subdim) = (cb.length, cb.head.length, subdimOf(cb))
     explodeSubspaces(corpus.select(col(vecCol)), vecCol, m, subdim)
       .join(codebookDf(spark, cb), "__sub")
-      .withColumn("__d", expr(
-        s"""element_at(array_sort(transform(sequence(0, ${k - 1}), c ->
-           |  named_struct('d',
-           |    aggregate(zip_with(element_at(__cents, c + 1), __subv,
-           |      (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v),
-           |    'i', c))), 1).d""".stripMargin))
+      .withColumn("__d", expr(nearestSql(k, "d")))
       // rows = nVectors × m, each carrying one subspace's min sq-dist;
       // per-vector error is the sum of its m parts → mean = sum·m / rows
       .agg((sum(col("__d")) * lit(m) / count(lit(1))).as("e"))
       .head().getDouble(0)
+  }
+
+
+  /** Driver-side squared L2 — LUT construction math. */
+  private def sq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Flat (m × k) lookup table for one probe (or residual) vector:
+    * entry s*k + c = squared distance of the probe's subvector s to
+    * centroid c of subspace s. */
+  private def flatLut(cb: Codebook, pv: IndexedSeq[Double]): IndexedSeq[Double] = {
+    val (m, nk, subdim) = (cb.length, cb.head.length, subdimOf(cb))
+    for { s <- 0 until m; c <- 0 until nk }
+      yield sq(cb(s)(c), pv.slice(s * subdim, (s + 1) * subdim))
+  }
+
+  /** Collect the (small) probe side as (id, vector) rows, validating the
+    * vector shape against the codebook. */
+  private def collectProbes(probes: DataFrame, idCol: String, vecCol: String,
+      cb: Codebook, op: String): Array[(Long, IndexedSeq[Double])] = {
+    val dims = cb.length * subdimOf(cb)
+    val rows = probes
+      .select(col(idCol).cast("long").as("__pid"),
+        col(vecCol).cast("array<double>").as("__pv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    rows.foreach { case (pid, pv) =>
+      require(pv.length == dims,
+        s"Pq.$op: probe $pid has ${pv.length} dims, codebook implies $dims") }
+    rows
+  }
+
+  /** Join broadcast LUTs to coded candidates and take the ADC top-k per
+    * probe — the shared tail of [[adcTopK]] (cross join: every candidate
+    * scanned with m lookups) and [[ivfPqTopK]] (equi-join on cell: only
+    * nProbe cells scanned). */
+  private def lutTopK(cands: DataFrame, lutDf: DataFrame,
+      joinCols: Seq[String], m: Int, nk: Int, k: Int): DataFrame = {
+    val adc = expr(
+      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
+         |  acc + element_at(__lut, s * $nk + element_at(codes, s + 1) + 1))"""
+        .stripMargin)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("adc").asc, col("cand_id").asc)
+    val joined =
+      if (joinCols.isEmpty) cands.crossJoin(lutDf) else cands.join(lutDf, joinCols)
+    joined.where(col("__pid") =!= col("cand_id"))
+      .withColumn("adc", adc)
+      .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
   }
 
   /** ADC top-k: per probe, the k candidates with the smallest
@@ -156,39 +216,11 @@ object Pq {
       vecCol: String, cb: Codebook, k: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    val (m, nk, subdim) = (cb.length, cb.head.length, subdimOf(cb))
-    val probeRows = probes
-      .select(col(idCol).cast("long").as("__pid"),
-        col(vecCol).cast("array<double>").as("__pv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-    val luts = probeRows.toSeq.map { case (pid, pv) =>
-      val lut = for {
-        s <- 0 until m; c <- 0 until nk
-      } yield {
-        val cent = cb(s)(c)
-        var acc = 0.0
-        var d = 0
-        while (d < subdim) {
-          val diff = cent(d) - pv(s * subdim + d); acc += diff * diff; d += 1
-        }
-        acc
-      }
-      (pid, lut)
-    }
-    val lutDf = broadcast(luts.toDF("__pid", "__lut"))
-    val adc = expr(
-      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
-         |  acc + element_at(__lut, s * $nk + element_at(codes, s + 1) + 1))"""
-        .stripMargin)
-    val w = Window.partitionBy(col("__pid")).orderBy(col("adc").asc, col("cand_id").asc)
-    codes.select(col(idCol).as("cand_id"), col("codes"))
-      .crossJoin(lutDf)
-      .where(col("__pid") =!= col("cand_id"))
-      .withColumn("adc", adc)
-      .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
-        row_number().over(w).as("rn"))
-      .where(col("rn") <= k)
+    val luts = collectProbes(probes, idCol, vecCol, cb, "adcTopK").toSeq
+      .map { case (pid, pv) => (pid, flatLut(cb, pv)) }
+    lutTopK(codes.select(col(idCol).as("cand_id"), col("codes")),
+      broadcast(luts.toDF("__pid", "__lut")), Nil,
+      cb.length, cb.head.length, k)
   }
 
   // ------------------------------------------------------------------
@@ -245,38 +277,15 @@ object Pq {
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val (m, nk, subdim) = (model.cb.length, model.cb.head.length, subdimOf(model.cb))
     require(nProbe >= 1 && nProbe <= model.cents.length)
-    val probeRows = probes
-      .select(col(idCol).cast("long").as("__pid"),
-        col(vecCol).cast("array<double>").as("__pv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-    def sq(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val luts = for {
-      (pid, pv) <- probeRows.toSeq
+      (pid, pv) <- collectProbes(probes, idCol, vecCol, model.cb, "ivfPqTopK").toSeq
       cell <- model.cents.zipWithIndex
         .map { case (c, i) => (sq(c, pv), i) }.sorted.take(nProbe).map(_._2)
-    } yield {
-      val rp = pv.indices.map(d => pv(d) - model.cents(cell)(d))
-      val lut = for (s <- 0 until m; c <- 0 until nk) yield
-        sq(model.cb(s)(c), rp.slice(s * subdim, (s + 1) * subdim))
-      (pid, cell, lut)
-    }
-    val lutDf = broadcast(luts.toDF("__pid", "__cell", "__lut"))
-    val adc = expr(
-      s"""aggregate(sequence(0, ${m - 1}), 0D, (acc, s) ->
-         |  acc + element_at(__lut, s * $nk + element_at(codes, s + 1) + 1))"""
-        .stripMargin)
-    val w = Window.partitionBy(col("__pid")).orderBy(col("adc").asc, col("cand_id").asc)
-    index.select(col(idCol).as("cand_id"), col("__cell"), col("codes"))
-      .join(lutDf, "__cell")
-      .where(col("__pid") =!= col("cand_id"))
-      .withColumn("adc", adc)
-      .select(col("__pid").as("probe_id"), col("cand_id"), col("adc"),
-        row_number().over(w).as("rn"))
-      .where(col("rn") <= k)
+    } yield (pid, cell, flatLut(model.cb, pv.indices.map(d => pv(d) - model.cents(cell)(d))))
+    lutTopK(index.select(col(idCol).as("cand_id"), col("__cell"), col("codes")),
+      broadcast(luts.toDF("__pid", "__cell", "__lut")), Seq("__cell"),
+      model.cb.length, model.cb.head.length, k)
   }
 
   /** Exact re-rank refinement (the standard ADC+R step, cf. FAISS refine):

@@ -69,9 +69,11 @@ object TextStats {
     * (DuckDB) for these disjoint branches. */
   val PreTokenPattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]"
 
-  /** All pre-tokens of a string column (array<string>). */
+  /** All pre-tokens of a string column (array<string>). Column-native
+    * (no SQL-string interpolation — a derived or backtick-needing column
+    * would not round-trip through toString). */
   def preTokens(textCol: Column): Column =
-    expr(s"regexp_extract_all(${textCol.toString()}, '$PreTokenPattern', 0)")
+    regexp_extract_all(textCol, lit(PreTokenPattern), lit(0))
 
   /** BPE-ish subword count estimate: tokens plus one extra per 6 chars of
     * long words (cheap deterministic proxy for a real tokenizer). */

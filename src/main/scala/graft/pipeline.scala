@@ -112,26 +112,10 @@ object ExtractJob {
     val newFiles = pending.flatMap(bucketFiles)
 
     // ONE scan of the data at rest → metrics side table + watermark.
-    final case class Stat(docs: Long, spansIn: Long, spansOut: Long,
-        hist: Seq[Long], wm: String)
-    val stats: Map[Int, Stat] =
-      if (newFiles.isEmpty) Map.empty
-      else spark.read.option("basePath", s"$tableDir/data").parquet(newFiles: _*)
-        .groupBy($"bucket")
-        .agg(count("*").as("docs"),
-          sum($"spans_in").as("spans_in"),
-          sum(size($"spans")).as("spans_out"),
-          array((0 until 10).map(i =>
-            sum(when(least(floor($"confidence" * 10).cast("int"), lit(9)) === i, 1L)
-              .otherwise(0L))): _*).as("hist"),
-          max($"doc_id").as("wm"))
-        .collect()
-        .map(r => r.getInt(0) -> Stat(r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getSeq[Long](4), Option(r.getString(5)).getOrElse("")))
-        .toMap
+    val stats = scanStats(spark, tableDir, newFiles)
 
     val states = pending.map { b =>
-      val s = stats.getOrElse(b, Stat(0L, 0L, 0L, Nil, ""))
+      val s = stats.getOrElse(b, BucketStat(0L, 0L, 0L, Nil, ""))
       Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
     }
     val snap = table.commit(runId, states)
@@ -141,13 +125,47 @@ object ExtractJob {
     // rows describing an uncommitted snapshot). Post-commit, a snapshot id
     // appears at most once in the side table; the only crash artifact is a
     // MISSING metrics batch, which is re-derivable from data at rest.
-    val wallNs = System.nanoTime() - t0
-    val metrics = pending.map { b =>
-      val s = stats.getOrElse(b, Stat(0L, 0L, 0L, Vector.fill(10)(0L), ""))
+    writeMetrics(spark, tableDir, runId, System.nanoTime() - t0, pending, stats)
+    snap
+  }
+
+  /** Per-bucket stats of freshly written data files: docs, span counts,
+    * 10-bin confidence histogram, max-doc_id watermark — ONE at-rest scan
+    * planned from the file list (accumulator-free: exactly-once under task
+    * retries/speculation). Shared by the batch job and the streaming
+    * per-micro-batch commit so the two paths can never drift. */
+  final case class BucketStat(docs: Long, spansIn: Long, spansOut: Long,
+      hist: Seq[Long], wm: String)
+
+  def scanStats(spark: SparkSession, tableDir: String,
+      files: Seq[String]): Map[Int, BucketStat] = {
+    import spark.implicits._
+    if (files.isEmpty) Map.empty
+    else spark.read.option("basePath", s"$tableDir/data").parquet(files: _*)
+      .groupBy($"bucket")
+      .agg(count("*").as("docs"),
+        sum($"spans_in").as("spans_in"),
+        sum(size($"spans")).as("spans_out"),
+        array((0 until 10).map(i =>
+          sum(when(least(floor($"confidence" * 10).cast("int"), lit(9)) === i, 1L)
+            .otherwise(0L))): _*).as("hist"),
+        max($"doc_id").as("wm"))
+      .collect()
+      .map(r => r.getInt(0) -> BucketStat(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), Option(r.getString(5)).getOrElse("")))
+      .toMap
+  }
+
+  /** Append the metrics side-table rows for one committed run (call AFTER
+    * the snapshot commit — see the crash contract at the call sites). */
+  def writeMetrics(spark: SparkSession, tableDir: String, runId: String,
+      wallNs: Long, buckets: Seq[Int], stats: Map[Int, BucketStat]): Unit = {
+    import spark.implicits._
+    val metrics = buckets.map { b =>
+      val s = stats.getOrElse(b, BucketStat(0L, 0L, 0L, Vector.fill(10)(0L), ""))
       PartitionMetrics(runId, b, s.docs, s.spansIn, s.spansOut, wallNs, s.hist)
     }
     spark.createDataset(metrics).write.mode("append").parquet(s"$tableDir/metrics")
-    snap
   }
 
   /** Small-file compaction (Iceberg-style rewrite): buckets with more than

@@ -1383,7 +1383,10 @@ object Queries {
     // full JPEG header chain: SOI + APP0/JFIF (16-byte segment) + SOF0
     // carrying REAL dims 320×240 — exercises the marker-stream walk
     100010L -> ("FFD8" + "FFE000104A46494600010100000100010000" +
-      "FFC000110800F0014003012200021101031101"))
+      "FFC000110800F0014003012200021101031101"),
+    // fill bytes (0xFF padding, spec B.1.1.2) before SOF0 with dims 200x100
+    100011L -> ("FFD8" + "FFFF" + "FFC000110800640"
+      + "0C803012200021101031101"))
 
   /** Multimodal metadata through the REAL decoder (ops.Media.MediaDecoder):
     * magic-number format sniffing over planted JPEG/PNG/GIF/RIFF/PDF/ZIP
@@ -1423,15 +1426,18 @@ object Queries {
          |jw(doc_id, hx, i) AS (
          |  SELECT doc_id, hx, 2 FROM ph WHERE hx LIKE 'FFD8FF%'
          |  UNION ALL
+         |  -- 'FF' second byte = fill padding (JPEG B.1.1.2): advance 1
          |  SELECT doc_id, hx,
-         |    CASE WHEN substr(hx, 2*i+3, 2) = '01'
+         |    CASE WHEN substr(hx, 2*i+3, 2) = 'FF' THEN i + 1
+         |         WHEN substr(hx, 2*i+3, 2) = '01'
          |           OR substr(hx, 2*i+3, 2) BETWEEN 'D0' AND 'D9'
          |         THEN i + 2
          |         ELSE i + 2 + ('0x' || substr(hx, 2*i+5, 4))::INT END
          |  FROM jw
          |  WHERE substr(hx, 2*i+1, 2) = 'FF'
          |    AND substr(hx, 2*i+3, 2) NOT IN ('C0','C1','C2')
-         |    AND (substr(hx, 2*i+3, 2) = '01'
+         |    AND (substr(hx, 2*i+3, 2) = 'FF'
+         |         OR substr(hx, 2*i+3, 2) = '01'
          |         OR substr(hx, 2*i+3, 2) BETWEEN 'D0' AND 'D9'
          |         OR 2*(i+4) <= length(hx))),
          |jdim AS (

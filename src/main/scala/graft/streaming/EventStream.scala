@@ -100,7 +100,10 @@ object EventStream {
     val runId = f"stream-batch-$batchId%06d"
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
-    if (prev.exists(_.runId == runId)) return // re-delivered: already committed
+    // the guard checks ALL snapshots, not just HEAD: a compaction (or any
+    // other commit) between this batch's crash and the restart moves HEAD
+    // past the batch's snapshot, and a HEAD-only check would double-commit
+    if (table.committedRunIds().contains(runId)) return // re-delivered
     val t0 = System.nanoTime()
     val buckets = 0 until graft.DocGen.NumBuckets
     val pre: Map[Int, Set[String]] =
@@ -113,39 +116,24 @@ object EventStream {
     val written = buckets.flatMap(newFiles)
     if (written.isEmpty) return // empty batch: nothing to commit
 
-    val stats = spark.read.option("basePath", s"$tableDir/data").parquet(written: _*)
-      .groupBy($"bucket")
-      .agg(count("*").as("docs"),
-        sum($"spans_in").as("spans_in"),
-        sum(size($"spans")).as("spans_out"),
-        array((0 until 10).map(i =>
-          sum(when(least(floor($"confidence" * 10).cast("int"), lit(9)) === i, 1L)
-            .otherwise(0L))): _*).as("hist"),
-        max($"doc_id").as("wm"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getSeq[Long](4), Option(r.getString(5)).getOrElse("")))
-      .toMap
+    val stats = graft.ExtractJob.scanStats(spark, tableDir, written)
 
     val prevStates: Map[Int, graft.Manifest.BucketState] =
       prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
     val touched = stats.keys.toSeq.sorted.map { b =>
-      val (docs, _, _, _, wm) = stats(b)
+      val st = stats(b)
       val p = prevStates.get(b)
       graft.Manifest.BucketState(b,
-        p.map(_.rows).getOrElse(0L) + docs,
-        Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
+        p.map(_.rows).getOrElse(0L) + st.docs,
+        Seq(p.map(_.watermarkDocId).getOrElse(""), st.wm).max,
         p.map(_.files).getOrElse(Nil) ++ newFiles(b))
     }
     table.commit(runId, touched)
 
     // metrics AFTER the commit (same crash contract as the batch job:
     // a missing batch is re-derivable, a duplicated batch is not)
-    val wallNs = System.nanoTime() - t0
-    val metrics = stats.toSeq.sortBy(_._1).map { case (b, (d, si, so, h, _)) =>
-      graft.PartitionMetrics(runId, b, d, si, so, wallNs, h)
-    }
-    spark.createDataset(metrics).write.mode("append").parquet(s"$tableDir/metrics")
+    graft.ExtractJob.writeMetrics(spark, tableDir, runId,
+      System.nanoTime() - t0, stats.keys.toSeq.sorted, stats)
   }
 
   /** Streaming keep-first exact dedup — the custom-state surface

@@ -378,6 +378,12 @@ class OpsSpec extends AnyFunSuite {
     val j = ops.Media.decodeMeta(spark, sofJpeg).collect().head
     assert(j.format == "jpeg" && j.width == 320 && j.height == 240, j.toString)
     assert(m(2L).width == 32 + 12 % 64, "SOF-less JPEG keeps fake dims")
+    // 0xFF fill padding before the marker (spec B.1.1.2) must be skipped,
+    // not read as a marker with a bogus length field
+    val fillJpeg = Seq((12L, hx("FFD8" + "FFFF" +
+      "FFC0001108006400C803012200021101031101"))).toDF("doc_id", "payload")
+    val f = ops.Media.decodeMeta(spark, fillJpeg).collect().head
+    assert(f.format == "jpeg" && f.width == 200 && f.height == 100, f.toString)
   }
 
   test("byte features: histogram sums to n_bytes, entropy bounded, zero runs counted") {
@@ -477,6 +483,23 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(got((p.toLong, c.toLong)) - exact) < 1e-12,
         s"probe $p cand $c: adc ${got((p.toLong, c.toLong))} != exact $exact")
     }
+  }
+
+  test("PQ rejects ragged vectors loudly instead of encoding garbage codes") {
+    val alphabet = Seq(Seq(0.0, 0.0), Seq(1.0, 2.0))
+    val cb: ops.Pq.Codebook = Seq(alphabet, alphabet) // expects dims = 4
+    val ragged = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      ops.Pq.encode(ragged, "vec_id", "embedding", cb).collect()
+    }
+    def all(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: all(t.getCause)
+    assert(all(ex).exists(_.contains("vector length")), ex.toString)
+    val probeEx = intercept[IllegalArgumentException] {
+      ops.Pq.adcTopK(
+        Seq((2L, Seq(0, 0))).toDF("vec_id", "codes"), ragged, "vec_id", "embedding", cb, 1)
+    }
+    assert(probeEx.getMessage.contains("dims"), probeEx.getMessage)
   }
 
   test("PQ training: quantization error is non-increasing and beats the seed") {
@@ -607,7 +630,11 @@ class OpsSpec extends AnyFunSuite {
     val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t")
     // "the" chains t+h then th+e; "cat hat" must NOT merge t+h across the
     // boundary between "cat" and "hat"
-    val df = Seq((1L, "the theory"), (2L, "cat hat"), (3L, "at the mat"), (4L, ""))
+    // doc 5 carries a carriage return: the symbolizer's [\s\S] class must
+    // treat it as an ordinary char in BOTH engines (Java '.' and RE2 '.'
+    // exclude different line terminators — the class sidesteps the dot)
+    val df = Seq((1L, "the theory"), (2L, "cat hat"), (3L, "at the mat"), (4L, ""),
+        (5L, "a\rb c"))
       .toDF("doc_id", "text")
     val got = df.select($"doc_id",
         ops.Bpe.bpeTokens($"text", merges).as("toks"),
@@ -618,7 +645,8 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == Seq("at", "the", "m", "at"))
     assert(got(4L)._1.isEmpty && got(4L)._2 == 0)
     // length-algebra count == array size; both match the plain-Scala ref
-    for ((id, text) <- Seq(1L -> "the theory", 2L -> "cat hat", 3L -> "at the mat")) {
+    for ((id, text) <- Seq(1L -> "the theory", 2L -> "cat hat", 3L -> "at the mat",
+        5L -> "a\rb c")) {
       assert(got(id)._1 == refBpeTokens(text, merges), s"doc $id tokens")
       assert(got(id)._2 == got(id)._1.size, s"doc $id count algebra")
     }

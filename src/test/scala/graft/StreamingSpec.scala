@@ -187,10 +187,23 @@ class StreamingSpec extends AnyFunSuite {
     // file lineage: every referenced file exists and readData plans from it
     assert(h2.buckets.flatMap(_.files).nonEmpty)
 
+    // exactly-once survives an intervening commit: compaction moves HEAD
+    // past the stream's snapshots; a re-delivered batch id must STILL be
+    // recognized as committed (all-snapshot guard, not HEAD-only)
+    val lastBatchId = h2.runId.stripPrefix("stream-batch-").toLong
+    ExtractJob.compact(spark, tbl, targetFilesPerBucket = 1)
+    val hc = m.head().get
+    assert(hc.runId != h2.runId, "compaction should have moved HEAD")
+    val rowsBefore = m.readData(spark).count()
+    streaming.EventStream.commitBatch(
+      m.readData(spark).limit(0), lastBatchId, tbl) // re-delivery simulation
+    assert(m.head().get.id == hc.id, "re-delivered batch must not commit")
+    assert(m.readData(spark).count() == rowsBefore)
+
     // drained stream with no new data: no new snapshot (no empty commits)
     streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
       .awaitTermination()
-    assert(m.head().get.id == h2.id, "empty drain must not commit")
+    assert(m.head().get.id == hc.id, "empty drain must not commit")
 
     // streamed table content == batch extraction of the same docs
     val exp = (0L until 300L).map(DocGen.docFor).map(ReferenceOracle.extract)
