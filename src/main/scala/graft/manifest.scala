@@ -54,8 +54,14 @@ object Manifest {
     * and the parquet data files that materialize it. */
   final case class BucketState(
       bucket: Int, rows: Long, watermarkDocId: String, files: Seq[String] = Nil)
-  /** One committed snapshot. */
-  final case class Snapshot(id: Int, parent: Int, runId: String, buckets: Seq[BucketState])
+  /** One committed snapshot. `streamWatermarks` maps a stream identity
+    * (derived from its checkpoint location) to the highest micro-batch id
+    * that stream has committed; the map is carried forward VERBATIM by
+    * every commit (including compaction), so the streaming exactly-once
+    * guard survives snapshot expiry — unlike a scan of historical snap
+    * files, which maintenance is allowed to delete. */
+  final case class Snapshot(id: Int, parent: Int, runId: String,
+      buckets: Seq[BucketState], streamWatermarks: Map[String, Long] = Map.empty)
 }
 
 final class Manifest(tableDir: String, conf: Configuration = new Configuration()) {
@@ -117,23 +123,23 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       BucketState(b.get("bucket").asInt(), b.get("rows").asLong(),
         b.get("watermark_doc_id").asText(), files)
     }.toSeq
+    val wms = Option(node.get("stream_wm")).map { w =>
+      w.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Snapshot(node.get("id").asInt(), node.get("parent").asInt(),
-      node.get("run_id").asText(), buckets)
+      node.get("run_id").asText(), buckets, wms)
   }
 
   /** Buckets already completed per the current snapshot (resume set). */
-  /** Run ids of every snapshot in meta/ — the re-delivery guard surface:
-    * a streaming batch must not re-commit if ANY snapshot recorded it,
-    * even when later commits (compaction, other writers) moved HEAD past
-    * it. Metadata-only listing, one small JSON read per snapshot. */
+  /** Run ids of every snapshot still present in meta/ — an audit surface
+    * (NOT an exactly-once guard: expireSnapshots deletes old snap files,
+    * so absence here proves nothing; the streaming guard uses the
+    * [[Snapshot.streamWatermarks]] carried forward in HEAD instead). */
   def committedRunIds(): Set[String] = {
     if (!fs.exists(meta)) return Set.empty
     fs.listStatus(meta).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches("snap-\\d+\\.json"))
-      .flatMap { st =>
-        val body = readString(st.getPath)
-        "\"run_id\":\"([^\"]*)\"".r.findFirstMatchIn(body).map(_.group(1))
-      }.toSet
+      .map(st => readSnap(st.getPath).runId).toSet
   }
 
   def completedBuckets(): Set[Int] = head().map(_.buckets.map(_.bucket).toSet).getOrElse(Set.empty)
@@ -241,7 +247,8 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
 
   /** Commit: union the parent's completed buckets with `newBuckets` (new
     * state wins on conflict), write snap-(n+1), advance HEAD. */
-  def commit(runId: String, newBuckets: Seq[BucketState]): Snapshot = {
+  def commit(runId: String, newBuckets: Seq[BucketState],
+      streamWatermark: Option[(String, Long)] = None): Snapshot = {
     fs.mkdirs(meta)
     val parent = head()
     val parentId = parent.map(_.id).getOrElse(-1)
@@ -249,13 +256,20 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       .filterNot(b => newBuckets.exists(_.bucket == b.bucket)) ++ newBuckets)
       .sortBy(_.bucket)
     val id = parentId + 1
-    val snap = Snapshot(id, parentId, runId, merged)
+    val parentWms = parent.map(_.streamWatermarks).getOrElse(Map.empty)
+    val wms = streamWatermark match {
+      case Some((sid, b)) => parentWms.updated(sid, math.max(b, parentWms.getOrElse(sid, -1L)))
+      case None => parentWms
+    }
+    val snap = Snapshot(id, parentId, runId, merged, wms)
     val body = {
       val bs = merged.map { b =>
         val fl = b.files.map(jstr).mkString("[", ",", "]")
         s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":${jstr(b.watermarkDocId)},"files":$fl}"""
       }.mkString("[", ",", "]")
-      s"""{"id":$id,"parent":$parentId,"run_id":${jstr(runId)},"buckets":$bs}"""
+      val wm = wms.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"id":$id,"parent":$parentId,"run_id":${jstr(runId)},"stream_wm":$wm,"buckets":$bs}"""
     }
     writeString(new Path(meta, s"snap-$id.json"), body)
     val tmp = new Path(meta, s".HEAD.tmp.$id")

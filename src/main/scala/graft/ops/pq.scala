@@ -74,7 +74,8 @@ object Pq {
            |  THEN transform(slice($vecCol, __sub * $subdim + 1, $subdim),
            |         x -> cast(x as double))
            |  ELSE raise_error(concat('Pq: vector length != ${m * subdim}: got ',
-           |         cast(size($vecCol) as string))) END""".stripMargin))
+           |         coalesce(cast(size($vecCol) as string), 'null vector'))) END"""
+          .stripMargin))
 
   /** Deterministic codebook seed: the k corpus vectors first in md5(id)
     * order, sliced into subvectors (every subspace seeds from the same k

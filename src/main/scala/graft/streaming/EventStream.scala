@@ -83,27 +83,38 @@ object EventStream {
   def runExtractWithManifest(
       spark: SparkSession, inDir: String, tableDir: String,
       checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
+    val streamId = streamIdFor(checkpointDir)
     extractStreamNative(spark, inDir, schemaFrom).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, tableDir)
+        commitBatch(batch, batchId, tableDir, streamId)
       }
       .start()
   }
 
+  /** Stream identity for the exactly-once watermark: micro-batch ids are
+    * monotone only within one checkpoint lineage, so a fresh checkpoint
+    * dir (restarting numbering at 0) must get a fresh watermark key. */
+  private[graft] def streamIdFor(checkpointDir: String): String =
+    "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString.take(8)
+
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
-      tableDir: String): Unit = {
+      tableDir: String, streamId: String = "stream"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val runId = f"stream-batch-$batchId%06d"
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
-    // the guard checks ALL snapshots, not just HEAD: a compaction (or any
-    // other commit) between this batch's crash and the restart moves HEAD
-    // past the batch's snapshot, and a HEAD-only check would double-commit
-    if (table.committedRunIds().contains(runId)) return // re-delivered
+    // exactly-once guard: the per-stream batch WATERMARK in the snapshot,
+    // not a scan of historical snap files — every commit (including
+    // compaction) carries the map forward, so the guard survives both
+    // HEAD moving past the batch's snapshot AND snapshot expiry deleting
+    // it, at O(1) cost per batch (vs O(#snapshots) file reads)
+    if (prev.exists(_.streamWatermarks.getOrElse(streamId, -1L) >= batchId))
+      return // re-delivered
     val t0 = System.nanoTime()
     val buckets = 0 until graft.DocGen.NumBuckets
     val pre: Map[Int, Set[String]] =
@@ -128,7 +139,7 @@ object EventStream {
         Seq(p.map(_.watermarkDocId).getOrElse(""), st.wm).max,
         p.map(_.files).getOrElse(Nil) ++ newFiles(b))
     }
-    table.commit(runId, touched)
+    table.commit(runId, touched, streamWatermark = Some(streamId -> batchId))
 
     // metrics AFTER the commit (same crash contract as the batch job:
     // a missing batch is re-derivable, a duplicated batch is not)

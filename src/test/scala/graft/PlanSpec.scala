@@ -151,7 +151,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("composed cleaning pipeline: LSH stays an equi-join, components never go cartesian") {
-    val p = plan("q_corpus_pipeline")
+    // q_corpus_pipeline itself checkpoints every stage boundary, which
+    // truncates lineage — explaining IT would assert nothing (and execute
+    // the pipeline). Compose the same stages here WITHOUT checkpoints so
+    // the whole multi-stage plan is visible to the assertion.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" < 40).select($"doc_id", $"text")
+    val sigs = ops.Dedup.minhashSignatures(docs, "text", 8)
+      .select($"doc_id", $"sig")
+    val cands = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+    val pairs = ops.Dedup.jaccardVerify(docs, "doc_id", "text", cands, 0.5)
+      .select($"id_a", $"id_b")
+    val p = ops.Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
   }

@@ -160,10 +160,12 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft_mstream_ckpt_").toString
     val schemaFrom = spark.createDataset(Seq(DocGen.docFor(0L))).toDF()
 
-    // wave 1 in two files -> with maxFilesPerTrigger=8 still one batch here;
-    // what matters is per-batch commit + cross-restart append
+    // each wave written as TWO part files (repartition pins the file count
+    // regardless of core count; maxFilesPerTrigger=8 would otherwise split
+    // a defaultParallelism-files wave into several micro-batches and break
+    // the one-commit-per-wave accounting below)
     spark.createDataset((0L until 200L).map(DocGen.docFor)).toDF()
-      .write.mode("append").parquet(in)
+      .repartition(2).write.mode("append").parquet(in)
     streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
       .awaitTermination()
     val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
@@ -174,7 +176,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // wave 2: restart from checkpoint — only new files processed, states MERGE
     spark.createDataset((200L until 300L).map(DocGen.docFor)).toDF()
-      .write.mode("append").parquet(in)
+      .repartition(2).write.mode("append").parquet(in)
     streaming.EventStream.runExtractWithManifest(spark, in, tbl, ckpt, schemaFrom)
       .awaitTermination()
     val h2 = m.head().get
@@ -187,16 +189,22 @@ class StreamingSpec extends AnyFunSuite {
     // file lineage: every referenced file exists and readData plans from it
     assert(h2.buckets.flatMap(_.files).nonEmpty)
 
-    // exactly-once survives an intervening commit: compaction moves HEAD
-    // past the stream's snapshots; a re-delivered batch id must STILL be
-    // recognized as committed (all-snapshot guard, not HEAD-only)
+    // exactly-once survives an intervening commit AND snapshot expiry:
+    // compaction moves HEAD past the stream's snapshots, expireSnapshots
+    // deletes them — the per-stream batch watermark carried forward in
+    // every snapshot must STILL recognize a re-delivered batch id
+    val sid = streaming.EventStream.streamIdFor(ckpt)
     val lastBatchId = h2.runId.stripPrefix("stream-batch-").toLong
+    assert(h2.streamWatermarks.get(sid).contains(lastBatchId), h2.streamWatermarks.toString)
     ExtractJob.compact(spark, tbl, targetFilesPerBucket = 1)
+    m.expireSnapshots(keepLast = 1)
     val hc = m.head().get
     assert(hc.runId != h2.runId, "compaction should have moved HEAD")
+    assert(hc.streamWatermarks.get(sid).contains(lastBatchId),
+      "compaction must carry the stream watermark forward")
     val rowsBefore = m.readData(spark).count()
     streaming.EventStream.commitBatch(
-      m.readData(spark).limit(0), lastBatchId, tbl) // re-delivery simulation
+      m.readData(spark).limit(0), lastBatchId, tbl, sid) // re-delivery simulation
     assert(m.head().get.id == hc.id, "re-delivered batch must not commit")
     assert(m.readData(spark).count() == rowsBefore)
 
