@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators for large-scale training-data pipelines —
+  * the filtering stages a web-crawl corpus passes through before training
+  * (the Gopher / C4 / RefinedWeb cleaning recipe, re-expressed as Spark
+  * column algebra and scale-safe plan shapes):
+  *
+  *  - repetition statistics (Gopher repetition rules): per-document word /
+  *    bigram / line repetition fractions — embarrassingly parallel column
+  *    algebra, no shuffle;
+  *  - PII redaction (email / IPv4 / long-digit-run scrubbing): ordered
+  *    `regexp_replace` chain, codegen-friendly, no shuffle;
+  *  - benchmark decontamination: drop corpus documents sharing any word
+  *    k-gram with a benchmark set — broadcast semi-join against the (small)
+  *    benchmark shingle set, corpus side stays narrow (doc_id, shingle);
+  *  - cross-document repeated-line pruning (C4's "three-sentence span seen
+  *    before" / RefinedWeb line-dedup analog): count each line across the
+  *    corpus with a partial hash-agg, broadcast the (tiny) hot-line set,
+  *    anti-join it out of every document, reassemble in document order.
+  *
+  * All formulas are integer-or-md5 valued (q4 = basis-point quantization
+  * via `floor(x · 10000)`) so the DuckDB oracle twins in [[graft.Queries]]
+  * hash-match exactly; every reference to qetch semantics is indirect —
+  * qetch (see SURVEY.md §0, empty mount) has no cleaning stage, these come
+  * from the north rule's training-data-pipeline mandate. */
+object Cleaning {
+
+  /** Fixed 8-word boilerplate line used by the demo corpora (the planted
+    * "subscribe" call every spammy site repeats) — shared verbatim with the
+    * DuckDB oracles in [[graft.Queries]]. */
+  val BoilerLine: String = "subscribe now for free daily updates right here"
+
+  /** Fixed 9-word benchmark probe sentence (planted into benchmark docs and
+    * contaminated corpus docs by the decontamination demo). */
+  val BenchProbe: String = "the quick brown fox jumps over the lazy dog"
+
+  /** Whitespace word array — the shared input of the repetition stats. */
+  def wordsOf(textCol: Column): Column = split(textCol, " ")
+
+  /** Fraction (in basis points, floor(frac·10000) as int) of words taken
+    * by the single most frequent word — Gopher's "fraction of the document
+    * in the top word". O(distinct·n) per row, zero shuffle: at 100 TB this
+    * is pure map-side CPU bounded by document length. `w` must be a plain
+    * column reference (expr-string round-trip). */
+  def topWordFracQ4(w: Column): Column = fracQ4(modeCount(w.toString), w)
+
+  /** Same statistic over adjacent word bigrams (Gopher's top-2-gram rule);
+    * documents shorter than 2 words score 0. */
+  def topBigramFracQ4(w: Column): Column = {
+    val s = w.toString
+    val bi = s"transform(sequence(1, size($s) - 1), i -> concat(element_at($s, i), ' ', element_at($s, i + 1)))"
+    when(size(w) < 2, 0).otherwise(
+      (floor(expr(modeCountOver(bi)).cast("double") /
+        (size(w) - 1).cast("double") * 10000)).cast("int"))
+  }
+
+  /** Duplicate-line fraction in basis points: chunk the word array into
+    * fixed `lineLen`-word lines (the deterministic "line" proxy for corpora
+    * without newlines), then floor((lines − distinct lines) / lines ·
+    * 10000). A document whose boilerplate repeats scores high. */
+  def dupLineFracQ4(w: Column, lineLen: Int): Column = {
+    val ls = linesExpr(w.toString, lineLen)
+    val dup = expr(s"size($ls) - size(array_distinct($ls))")
+    (floor(dup.cast("double") / expr(s"size($ls)").cast("double") * 10000)).cast("int")
+  }
+
+  /** SQL fragment: `lineLen`-word line array of word-array fragment `s` —
+    * shared shape with the DuckDB replay in [[graft.Queries]]. */
+  private def linesExpr(s: String, lineLen: Int): String =
+    s"transform(sequence(0, (size($s) - 1) div $lineLen), " +
+      s"i -> array_join(slice($s, i * $lineLen + 1, $lineLen), ' '))"
+
+  private def modeCount(s: String): Column = expr(modeCountOver(s))
+
+  /** Count of the most frequent element of array fragment `arr`. */
+  private def modeCountOver(arr: String): String =
+    s"array_max(transform(array_distinct($arr), x -> size(filter($arr, y -> y = x))))"
+
+  private def fracQ4(cnt: Column, w: Column): Column =
+    (floor(cnt.cast("double") / size(w).cast("double") * 10000)).cast("int")
+
+  // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+
+  /** Redaction patterns, ordered: emails first (so their digits never leak
+    * into the number rule), then dotted IPv4 quads, then ≥12-digit runs
+    * (card/account numbers). Every construct (classes, bounded repetition,
+    * ASCII `\b`) behaves identically under Java regex and RE2, so the same
+    * pattern string drives Spark and the DuckDB oracle. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumRe: String = "[0-9]{12,}"
+
+  /** Scrub PII in redaction order — a pure `regexp_replace` chain (stays
+    * inside whole-stage codegen; per-row cost, no shuffle). */
+  def redactPii(textCol: Column): Column = {
+    val e = regexp_replace(textCol, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, LongNumRe, "<NUM>")
+  }
+
+  /** Match count for one PII pattern (audit columns for the redaction). */
+  def piiCount(textCol: Column, pattern: String): Column =
+    regexp_count(textCol, lit(pattern))
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** md5 word-`k`-gram shingles of a text column (the decontamination
+    * join key; md5 keeps the shuffled rows fixed-width). Documents shorter
+    * than `k` words have no shingles. */
+  def shingles(textCol: Column, k: Int): Column = {
+    val s = s"split(${textCol.toString()}, ' ')"
+    expr(s"""IF(size($s) < $k, array(),
+            |  transform(sequence(1, size($s) - ${k - 1}),
+            |    i -> md5(array_join(slice($s, i, $k), ' '))))""".stripMargin)
+  }
+
+  /** GPT-3-style benchmark decontamination: a corpus document is
+    * contaminated iff it shares ≥1 word-`k`-gram with any benchmark
+    * document. Returns one row per corpus document: `(idCol, n_hits,
+    * keep)` with `n_hits` = distinct overlapping shingles.
+    *
+    * Scale shape: the benchmark side (eval sets, ~MBs even for large
+    * suites) is distinct-reduced and BROADCAST; the corpus side explodes
+    * to narrow (id, shingle) rows and never shuffles on its own — the only
+    * wide op is the per-document hit count, a partial hash-agg. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    val sh = shingles(col(textCol), k)
+    val benchSh = bench.select(explode(sh).as("sh")).distinct()
+    val corpusSh = corpus.select(col(idCol), explode(sh).as("sh"))
+    val hits = corpusSh.join(broadcast(benchSh), "sh")
+      .groupBy(col(idCol)).agg(countDistinct(col("sh")).cast("int").as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0)) > 0, 0).otherwise(1).as("keep"))
+  }
+
+  // ------------------------------------------------------------------
+  // Cross-document repeated-line pruning
+  // ------------------------------------------------------------------
+
+  /** Remove every line that appears in ≥ `maxDocs` distinct documents
+    * (site boilerplate: nav bars, cookie banners, "subscribe" calls), then
+    * reassemble each document's surviving lines in document order — the
+    * C4/RefinedWeb cross-document line-dedup stage. Lines are `lineLen`-word
+    * chunks (see [[dupLineFracQ4]]). Returns `(idCol, n_lines, n_kept,
+    * new_text)`; a document whose lines are all boilerplate keeps 0.
+    *
+    * Scale shape: line occurrence counting is a partial hash-agg over
+    * md5(line) (map-side combine collapses within-partition repeats); the
+    * hot set — lines above the threshold — is by construction tiny (a line
+    * must repeat across `maxDocs`+ documents to enter it, and the count agg
+    * has already collapsed it to one row per line), so it broadcasts and
+    * the removal is a broadcast LEFT ANTI join: the corpus never reshuffles
+    * and the reassembly groupBy is the only corpus-wide exchange. */
+  def pruneRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+                         lineLen: Int, maxDocs: Int): DataFrame = {
+    val lineArr = expr(linesExpr(s"split($textCol, ' ')", lineLen))
+    val lines = docs.select(col(idCol), posexplode(lineArr).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val hot = lines.groupBy("lh")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= maxDocs)
+      .select("lh")
+    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"), " ")
+          .as("new_text"))
+    docs.select(col(idCol), size(lineArr).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+}

@@ -1362,6 +1362,163 @@ object Queries {
            |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------
+  // Training-data pipeline: corpus cleaning (ops.Cleaning)
+  // ------------------------------------------------------------------
+
+  /** Gopher-style repetition statistics: top-word / top-bigram / duplicate-
+    * line fractions (basis points). Docs with doc_id % 4 == 1 get a 16-word
+    * spam prefix (two identical 8-word lines) so the duplicate-line metric
+    * is exercised, not identically zero. */
+  private val qRepetition = QueryDef(
+    "q_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val spam = ops.Cleaning.BoilerLine
+      t(s, dir, "documents")
+        .where($"doc_id" < 300)
+        .select($"doc_id",
+          when($"doc_id" % 4 === 1, concat(lit(s"$spam $spam "), $"text"))
+            .otherwise($"text").as("ptext"))
+        .withColumn("w", ops.Cleaning.wordsOf($"ptext"))
+        .select($"doc_id",
+          size($"w").as("n_words"),
+          ops.Cleaning.topWordFracQ4($"w").as("top_word_q4"),
+          ops.Cleaning.topBigramFracQ4($"w").as("top_bigram_q4"),
+          ops.Cleaning.dupLineFracQ4($"w", 8).as("dup_line_q4"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val spam = ops.Cleaning.BoilerLine
+      def mode(arr: String) =
+        s"list_max(list_transform(list_distinct($arr), x -> len(list_filter($arr, y -> y = x))))"
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN '$spam $spam ' || text ELSE text END AS ptext
+         |  FROM documents WHERE doc_id < 300),
+         |ww AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+         |l AS (SELECT doc_id, w,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bi,
+         |    list_transform(range(0, ((len(w)-1)//8) + 1),
+         |      i -> array_to_string(w[i*8+1 : i*8+8], ' ')) AS ls
+         |  FROM ww)
+         |SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+         |  CAST(floor(CAST(${mode("w")} AS DOUBLE) / CAST(len(w) AS DOUBLE) * 10000) AS INT) AS top_word_q4,
+         |  CASE WHEN len(w) < 2 THEN 0
+         |       ELSE CAST(floor(CAST(${mode("bi")} AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE) * 10000) AS INT)
+         |  END AS top_bigram_q4,
+         |  CAST(floor(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE) * 10000) AS INT) AS dup_line_q4
+         |FROM l ORDER BY doc_id""".stripMargin
+    })
+
+  /** PII redaction: deterministic planted PII (email, dotted IPv4, 14-digit
+    * card number derived from doc_id), per-category match counts, and the
+    * md5 of the redacted text — the same three patterns drive Spark and
+    * RE2 (DuckDB needs the 'g' flag; Spark replaces all by default). */
+  private val qPiiRedact = QueryDef(
+    "q_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      val ptext = concat($"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail.example.com from 10."), ($"doc_id" % 256).cast("string"),
+        lit(".0.7 card 4111222233"), lpad(($"doc_id" % 1000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .where($"doc_id" < 300)
+        .select($"doc_id", ptext.as("ptext"))
+        .select($"doc_id",
+          ops.Cleaning.piiCount($"ptext", ops.Cleaning.EmailRe).cast("int").as("n_email"),
+          ops.Cleaning.piiCount($"ptext", ops.Cleaning.Ipv4Re).cast("int").as("n_ip"),
+          ops.Cleaning.piiCount($"ptext", ops.Cleaning.LongNumRe).cast("int").as("n_num"),
+          md5(ops.Cleaning.redactPii($"ptext")).as("sig"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val (e, i, n) = (ops.Cleaning.EmailRe, ops.Cleaning.Ipv4Re, ops.Cleaning.LongNumRe)
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.7 card 4111222233' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS ptext
+         |  FROM documents WHERE doc_id < 300)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(ptext, '$e')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(ptext, '$i')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(ptext, '$n')) AS INT) AS n_num,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+         |    '$e', '<EMAIL>', 'g'), '$i', '<IP>', 'g'), '$n', '<NUM>', 'g')) AS sig
+         |FROM p ORDER BY doc_id""".stripMargin
+    })
+
+  /** Benchmark decontamination: corpus docs sharing any word 5-gram with
+    * the benchmark set (doc_id % 50 == 7) are dropped. The 9-word probe
+    * sentence is planted into benchmark docs AND docs with doc_id % 7 == 3,
+    * so those corpus docs carry exactly its 5 interior shingles. */
+  private val qDecontaminate = QueryDef(
+    "q_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val probe = ops.Cleaning.BenchProbe
+      val p = t(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 50 === 7 || $"doc_id" % 7 === 3,
+            concat($"text", lit(s" $probe"))).otherwise($"text").as("ptext"))
+      val bench = p.where($"doc_id" % 50 === 7)
+      val corpus = p.where($"doc_id" % 50 =!= 7)
+      ops.Cleaning.decontaminate(corpus, bench, "doc_id", "ptext", 5)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val probe = ops.Cleaning.BenchProbe
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 7 OR doc_id % 7 = 3
+         |         THEN text || ' $probe' ELSE text END AS ptext
+         |  FROM documents),
+         |ww AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+         |sh AS (SELECT doc_id, md5(array_to_string(w[i : i+4], ' ')) AS sh
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM ww WHERE len(w) >= 5)),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 7),
+         |hits AS (SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS INT) AS n_hits
+         |  FROM sh s JOIN bench USING (sh) WHERE s.doc_id % 50 <> 7 GROUP BY s.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+         |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 0 ELSE 1 END AS keep
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 7 ORDER BY d.doc_id""".stripMargin
+    })
+
+  /** Cross-document repeated-line pruning (C4/RefinedWeb boilerplate-line
+    * removal): docs with doc_id % 3 == 0 carry the same 8-word spam line,
+    * which therefore repeats across ≥5 docs and is pruned from all of them;
+    * every natural line survives. */
+  private val qLineDedup = QueryDef(
+    "q_line_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val spam = ops.Cleaning.BoilerLine
+      val p = t(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0, concat(lit(s"$spam "), $"text"))
+            .otherwise($"text").as("ptext"))
+      ops.Cleaning.pruneRepeatedLines(p, "doc_id", "ptext", 8, 5)
+        .select($"doc_id", $"n_lines", $"n_kept", md5($"new_text").as("sig"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val spam = ops.Cleaning.BoilerLine
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$spam ' || text ELSE text END AS ptext
+         |  FROM documents),
+         |ww AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+         |lines AS (SELECT doc_id, i AS pos, array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+         |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//8) + 1)) AS i FROM ww)),
+         |hot AS (SELECT md5(line) AS lh FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+         |kept AS (SELECT doc_id, pos, line FROM lines WHERE md5(line) NOT IN (SELECT lh FROM hot)),
+         |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |    string_agg(line, ' ' ORDER BY pos) AS new_text FROM kept GROUP BY doc_id),
+         |nl AS (SELECT doc_id, CAST(((len(w)-1)//8) + 1 AS INT) AS n_lines FROM ww)
+         |SELECT nl.doc_id, nl.n_lines, CAST(coalesce(reb.n_kept, 0) AS INT) AS n_kept,
+         |  md5(coalesce(reb.new_text, '')) AS sig
+         |FROM nl LEFT JOIN reb USING (doc_id) ORDER BY nl.doc_id""".stripMargin
+    })
+
+  // ------------------------------------------------------------------
   // Training-data pipeline: multimodal plumbing (binary columns)
   // ------------------------------------------------------------------
 
@@ -1868,7 +2025,9 @@ object Queries {
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
     qLayoutOrder,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
-    qTokenRegex, qTokens, qBpe, qMediaMeta, qMediaFeatures,
+    qTokenRegex, qTokens, qBpe,
+    qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
+    qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

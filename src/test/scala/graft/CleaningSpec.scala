@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-cleaning ops (ops.Cleaning): Gopher repetition stats, PII
+  * redaction, benchmark decontamination, cross-doc repeated-line pruning. */
+class CleaningSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def textDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- repetition stats ----
+
+  test("topWordFracQ4: all-same-word doc scores 10000, distinct words score evenly") {
+    val df = textDf(1L -> "a a a a", 2L -> "a b c d")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.topWordFracQ4($"w").as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == 10000)
+    assert(m(2L) == 2500)
+  }
+
+  test("topBigramFracQ4: repeated bigram dominates; single-word doc scores 0") {
+    val df = textDf(1L -> "a a a a", 2L -> "solo", 3L -> "a b c d e")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.topBigramFracQ4($"w").as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == 10000) // "a a" is all 3 bigrams
+    assert(m(2L) == 0)     // no bigrams
+    assert(m(3L) == 2500)  // 4 distinct bigrams, top count 1
+  }
+
+  test("dupLineFracQ4: doc of two identical 8-word lines scores 5000") {
+    val line = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = textDf(1L -> s"$line $line", 2L -> line)
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.dupLineFracQ4($"w", 8).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == 5000) // 2 lines, 1 duplicate
+    assert(m(2L) == 0)
+  }
+
+  // ---- PII redaction ----
+
+  test("redactPii scrubs email, ipv4, and long digit runs in order") {
+    val df = textDf(1L -> "mail bob.smith+x@corp.example.org or 192.168.0.1 card 4111222233334444 ok")
+      .select(ops.Cleaning.redactPii($"text").as("r"),
+        ops.Cleaning.piiCount($"text", ops.Cleaning.EmailRe).as("ne"),
+        ops.Cleaning.piiCount($"text", ops.Cleaning.Ipv4Re).as("ni"),
+        ops.Cleaning.piiCount($"text", ops.Cleaning.LongNumRe).as("nn"))
+    val r = df.collect().head
+    assert(r.getString(0) == "mail <EMAIL> or <IP> card <NUM> ok")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((1, 1, 1)))
+  }
+
+  test("redactPii leaves short digit runs and plain text alone") {
+    val df = textDf(1L -> "order 12345678901 of 7 items at 3.14 rate")
+      .select(ops.Cleaning.redactPii($"text").as("r"))
+    // 11 digits < 12 → kept; "3.14" is not a dotted quad
+    assert(df.collect().head.getString(0) == "order 12345678901 of 7 items at 3.14 rate")
+  }
+
+  // ---- decontamination ----
+
+  test("decontaminate drops docs sharing a 5-gram with the benchmark, keeps the rest") {
+    val bench = textDf(100L -> "q1 q2 q3 q4 q5 q6")
+    val corpus = textDf(
+      1L -> "x1 x2 q2 q3 q4 q5 q6 x3", // shares shingles q2..q6
+      2L -> "y1 y2 y3 y4 y5 y6 y7",    // clean
+      3L -> "q1 q2 q3 q4")             // 4-word overlap only — too short, clean
+    val out = ops.Cleaning.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((1, 0))) // exactly the shared [q2 q3 q4 q5 q6] shingle
+    assert(out(2L) == ((0, 1)))
+    assert(out(3L) == ((0, 1)))
+  }
+
+  // ---- repeated-line pruning ----
+
+  test("pruneRepeatedLines removes the cross-doc hot line and preserves order") {
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val docs = (0L until 6L).map(i => i -> s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h") ++
+      Seq(10L -> hot) // all-boilerplate doc
+    val out = ops.Cleaning.pruneRepeatedLines(textDf(docs: _*), "doc_id", "text", 8, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toList
+    out.foreach { case (id, nLines, nKept, txt) =>
+      if (id == 10L) { assert(nLines == 1 && nKept == 0 && txt == "") }
+      else {
+        assert(nLines == 2 && nKept == 1)
+        assert(txt == s"u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f u${id}g u${id}h")
+      }
+    }
+  }
+
+  test("pruneRepeatedLines keeps lines under the doc-count threshold") {
+    val line = "l1 l2 l3 l4 l5 l6 l7 l8"
+    val docs = (0L until 3L).map(i => i -> s"$line only$i b c d e f g h")
+    val out = ops.Cleaning.pruneRepeatedLines(textDf(docs: _*), "doc_id", "text", 8, 5)
+    // line repeats in 3 docs < threshold 5 → nothing pruned
+    assert(out.where($"n_kept" =!= $"n_lines").count() == 0)
+  }
+}
