@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixing / packing operators for training-data
+  * preparation: per-source mixture weighting (the "data mixture" step that
+  * up/down-samples each corpus source to its training proportion),
+  * reproducible train/held-out splits, and token-budget shard packing
+  * (grouping documents into fixed-budget training shards).
+  *
+  * Everything is HASH-deterministic — no RNG, no row-order dependence — so
+  * a resumed or re-run job samples the exact same rows (the property random
+  * `sample()` cannot give), results are partition-invariant, and the DuckDB
+  * oracle twins in [[graft.Queries]] reproduce every decision exactly. */
+object Sampling {
+
+  /** Portable uniform hash of a key into [0, 10000) basis points: the
+    * first 15 hex chars of md5 (60 bits, sign-safe in an int64) mod 10⁴.
+    * Spark `conv(hex,16,10)` and DuckDB `('0x'||hex)::bigint` agree
+    * digit-for-digit (same recipe as the corpus bucketing in
+    * [[graft.Sources]]). */
+  def hashBp(keyCol: Column): Column =
+    (conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % 10000).cast("int")
+
+  /** SQL fragment computing [[hashBp]] in DuckDB — kept beside the Spark
+    * definition so the two can never drift. */
+  def hashBpSql(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % 10000 AS INT)"
+
+  /** Mixture sampling: keep each row iff hashBp(id) < rate(stratum), with
+    * per-stratum rates in basis points (10000 = keep all). Rows of strata
+    * absent from `ratesBp` keep `defaultBp`. Pure map-side filter — the
+    * broadcast-free, shuffle-free shape; at 100 TB this composes with
+    * predicate pushdown (the md5 filter itself cannot push into parquet,
+    * but stratum pruning can). */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp)) {
+      case ((s, bp), els) => when(col(stratumCol) === s, bp).otherwise(els)
+    }
+    df.where(hashBp(col(idCol)) < rate)
+  }
+
+  /** Deterministic split label: "test" for the `testBp`/10⁴ fraction of
+    * ids, "train" otherwise. Salting the key decorrelates the split from
+    * any mixture sampling done with the same id. */
+  def splitLabel(idCol: Column, testBp: Int, salt: String = "split"): Column =
+    when(hashBp(concat(idCol.cast("string"), lit(salt))) < testBp, "test")
+      .otherwise("train")
+
+  /** Token-budget shard packing: within each stratum, documents (in id
+    * order — the deterministic analog of arrival order) accumulate their
+    * token counts; a document starts shard ⌊exclusive-cumsum / budget⌋.
+    * First-fit-sequential: a shard may overflow by at most one document.
+    *
+    * Scale shape: one window cumsum per stratum. Strata (sources / buckets)
+    * partition the window, so no single task sees more than a stratum —
+    * pack per range-bucket when a stratum is unbounded. */
+  def packShards(df: DataFrame, idCol: String, stratumCol: String,
+                 tokensCol: Column, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("tokens", tokensCol)
+      .withColumn("cum0", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"CAST(cum0 div $budget AS INT)"))
+      .drop("cum0")
+  }
+}

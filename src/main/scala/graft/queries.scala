@@ -1518,6 +1518,63 @@ object Queries {
          |FROM nl LEFT JOIN reb USING (doc_id) ORDER BY nl.doc_id""".stripMargin
     })
 
+  /** Deterministic mixture sampling + train/test split (ops.Sampling):
+    * per-source keep rates in basis points over the md5-hash of doc_id,
+    * then a salted-hash split label; per-source rollup of kept / test
+    * counts and an id checksum. Every decision is replayed bit-exactly by
+    * the oracle via the shared portable-hash recipe. */
+  private val qMixtureSample = QueryDef(
+    "q_mixture_sample",
+    (s, dir) => {
+      import s.implicits._
+      val rates = Map("src0" -> 2500, "src1" -> 5000, "src2" -> 7500)
+      val sampled = ops.Sampling.mixtureSample(
+        t(s, dir, "documents").select($"doc_id", $"source"),
+        "doc_id", "source", rates, defaultBp = 10000)
+      sampled
+        .withColumn("split", ops.Sampling.splitLabel($"doc_id", testBp = 1000))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("bigint").as("n_kept"),
+          sum(when($"split" === "test", 1).otherwise(0)).cast("bigint").as("n_test"),
+          sum($"doc_id").cast("bigint").as("id_sum"))
+        .orderBy($"source")
+    },
+    Some {
+      val h = ops.Sampling.hashBpSql("doc_id")
+      val hs = ops.Sampling.hashBpSql("CAST(doc_id AS VARCHAR) || 'split'")
+      s"""WITH s AS (SELECT doc_id, source, $h AS h, $hs AS hs FROM documents),
+         |k AS (SELECT * FROM s WHERE h < CASE source
+         |    WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000 WHEN 'src2' THEN 7500
+         |    ELSE 10000 END)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN hs < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  /** Token-budget shard packing (ops.Sampling.packShards): documents fill
+    * 500-token training shards per source in id order — exclusive window
+    * cumsum div budget, identical frame semantics in both engines. */
+  private val qTokenPack = QueryDef(
+    "q_token_pack",
+    (s, dir) => {
+      import s.implicits._
+      ops.Sampling.packShards(
+          t(s, dir, "documents").select($"doc_id", $"source", $"text"),
+          "doc_id", "source",
+          size(split($"text", " ")).cast("bigint"), budget = 500)
+        .select($"doc_id", $"source", $"tokens", $"shard")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source, tokens, CAST(cum0 // 500 AS INT) AS shard
+           |FROM (SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+           |    CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------------------
   // Training-data pipeline: multimodal plumbing (binary columns)
   // ------------------------------------------------------------------
@@ -2027,6 +2084,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
+    qMixtureSample, qTokenPack,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 

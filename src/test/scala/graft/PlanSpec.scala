@@ -168,4 +168,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
   }
+
+  test("decontamination broadcasts the benchmark shingle set (corpus never reshuffles on it)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val p = ops.Cleaning.decontaminate(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repeated-line pruning: hot-line removal is a broadcast anti-join over partial-agg counts") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val p = ops.Cleaning.pruneRepeatedLines(docs, "doc_id", "text", 8, 5)
+      .queryExecution.executedPlan.toString
+    // the anti-join against the (tiny) hot set must broadcast, and the
+    // occurrence count must partial-aggregate (map-side combine), not window
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(1500))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling / mixing / packing (ops.Sampling). */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def documents =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashBp is uniform-ish, stable, and in [0, 10000)") {
+    val h = documents.select(ops.Sampling.hashBp($"doc_id").as("h"))
+    val stats = h.agg(min($"h"), max($"h"), countDistinct($"h")).collect().head
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) < 10000)
+    assert(stats.getLong(2) > 400) // 500 ids → near-no collisions
+    // rerun must produce the identical hash per id
+    assert(h.collect().toSeq == documents
+      .select(ops.Sampling.hashBp($"doc_id").as("h")).collect().toSeq)
+  }
+
+  test("mixtureSample keeps ~rate per stratum and lower rates are nested subsets") {
+    val docs = documents.select($"doc_id", $"source")
+    def ids(bp: Int) = ops.Sampling.mixtureSample(docs, "doc_id", "source",
+      Map.empty, bp).select("doc_id").as[Long].collect().toSet
+    val (q1, q2) = (ids(2500), ids(5000))
+    assert(q1.subsetOf(q2)) // h < 2500 ⊆ h < 5000
+    assert(math.abs(q1.size - 125) < 50 && math.abs(q2.size - 250) < 60)
+    // per-stratum override: rate 0 drops the stratum entirely
+    val none = ops.Sampling.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 0), 10000)
+    assert(none.where($"source" === "src0").count() == 0)
+    assert(none.where($"source" =!= "src0").count() ==
+      docs.where($"source" =!= "src0").count())
+  }
+
+  test("splitLabel is deterministic and decorrelated from the sample hash") {
+    val lab = documents.select($"doc_id",
+      ops.Sampling.splitLabel($"doc_id", 2000).as("split"),
+      ops.Sampling.hashBp($"doc_id").as("h"))
+    val nTest = lab.where($"split" === "test").count()
+    assert(math.abs(nTest - 100) < 50)
+    // the split must not systematically align with the unsalted hash:
+    // among low-hash rows the test fraction stays near 20%
+    val lowTest = lab.where($"h" < 5000 && $"split" === "test").count()
+    val low = lab.where($"h" < 5000).count()
+    assert(math.abs(lowTest.toDouble / low - 0.2) < 0.1)
+  }
+
+  test("packShards fills budget sequentially and overflows by at most one doc") {
+    val docs = Seq(
+      (1L, "a", 200L), (2L, "a", 200L), (3L, "a", 200L), (4L, "a", 400L),
+      (10L, "b", 600L), (11L, "b", 100L))
+      .toDF("doc_id", "source", "n")
+    val out = ops.Sampling.packShards(docs, "doc_id", "source", col("n"), 500)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    // stratum a: cum0 = 0, 200, 400, 600 → shards 0, 0, 0, 1
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0 && out(4L) == 1)
+    // stratum b: cum0 = 0, 600 → shards 0, 1
+    assert(out(10L) == 0 && out(11L) == 1)
+  }
+}
