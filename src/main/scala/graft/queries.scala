@@ -695,27 +695,42 @@ object Queries {
            |ORDER BY doc_id""".stripMargin))
 
   /** The training-data CLEANING PIPELINE composed end-to-end from the
-    * operator suite — what a user actually runs: language filter → quality
-    * filter (stopword/word formula) → exact dedup (keep-first) → near-dup
-    * dedup (MinHash-LSH candidates → Jaccard verify → cluster resolution →
-    * anti-join) → per-doc token stats. Near-dup copies are planted so every
-    * stage does real work; the oracle replays the whole chain (shingles,
-    * 8-hash signatures, 4-band bucketing, recursive components) in SQL. */
+    * operator suite — what a user actually runs: PII redaction → language
+    * filter → quality filter (stopword/word formula) → repetition filter
+    * (Gopher top-word rule) → exact dedup (keep-first) → near-dup dedup
+    * (MinHash-LSH candidates → Jaccard verify → cluster resolution →
+    * anti-join) → benchmark decontamination → mixture sampling → token
+    * stats + shard packing. Near-dup copies, per-doc PII, and benchmark
+    * probes are planted so every stage does real work (redaction maps each
+    * doc's distinct email to the same token, so planted dup pairs survive
+    * it); the oracle replays the whole chain (regex scrub, shingles,
+    * 8-hash signatures, 4-band bucketing, recursive components, portable
+    * hash mixing, window packing) in SQL. */
   private val qCorpusPipeline = QueryDef(
     "q_corpus_pipeline",
     (s, dir) => {
       import s.implicits._
       val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
-      val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+      val base = t(s, dir, "documents").select($"doc_id", $"text", $"lang", $"source")
       val corpus = base.union(base.where($"doc_id" < 25)
         .select(($"doc_id" + 5000).as("doc_id"),
-          concat($"text", lit(" extra")).as("text"), $"lang"))
-      val kept = corpus.where($"lang" === "en")
+          concat($"text", lit(" extra")).as("text"), $"lang", $"source"))
+      // plant: benchmark probe into docs ≡9 (mod 40); per-doc PII on all
+      val planted = corpus
+        .withColumn("text", when($"doc_id" % 40 === 9,
+          concat($"text", lit(s" ${ops.Cleaning.BenchProbe}"))).otherwise($"text"))
+        .withColumn("text", concat($"text",
+          lit(" contact user"), $"doc_id".cast("string"), lit("@ex.org")))
+      val red = planted.withColumn("text", ops.Cleaning.redactPii($"text"))
+      val kept = red.where($"lang" === "en")
         .withColumn("score",
           (lit(4) * size(split($"text", " ")) +
             lit(3) * expr(s"size(filter(split(text, ' '), w -> w in ($stops)))"))
             .cast("int"))
         .where($"score" >= 150)
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .where(ops.Cleaning.topWordFracQ4($"w") <= 1500)
+        .drop("w")
       // explicit materialization at every stage boundary — the production
       // shape for a multi-stage pipeline: each stage's output feeds 2+
       // consumers (signatures → guard count AND self-join sides; pairs →
@@ -728,23 +743,46 @@ object Queries {
         .localCheckpoint()
       val pairs = ops.Dedup.jaccardVerify(exact, "doc_id", "text", cands, 0.5)
         .select($"id_a", $"id_b").localCheckpoint()
-      ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
-        .select($"doc_id", md5($"text").as("h"),
-          ops.TextStats.tokenCount($"text").cast("int").as("n_tok"), $"score")
+      val resolved = ops.Dedup.dedupCorpus(exact, "doc_id", pairs).localCheckpoint()
+      val bench = Seq(ops.Cleaning.BenchProbe).toDF("text")
+      val cleanIds = ops.Cleaning.decontaminate(resolved, bench, "doc_id", "text", 5)
+        .where($"keep" === 1).select("doc_id")
+      val decon = resolved.join(cleanIds, "doc_id")
+      val mixed = ops.Sampling.mixtureSample(decon, "doc_id", "source",
+        Map("src0" -> 3000, "src1" -> 6000), defaultBp = 10000)
+      ops.Sampling.packShards(mixed, "doc_id", "source",
+          ops.TextStats.tokenCount($"text").cast("bigint"), budget = 500)
+        .select($"doc_id", $"source", md5($"text").as("h"),
+          $"tokens".cast("int").as("n_tok"), $"score", $"shard")
         .orderBy($"doc_id")
     },
     Some {
       val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
-      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang FROM documents),
-         |corpus AS (SELECT doc_id, text, lang FROM base
-         |  UNION ALL SELECT doc_id + 5000, text || ' extra', lang FROM base WHERE doc_id < 25),
-         |scored AS (SELECT doc_id, text,
+      val (rE, rI, rN) = (ops.Cleaning.EmailRe, ops.Cleaning.Ipv4Re, ops.Cleaning.LongNumRe)
+      val probe = ops.Cleaning.BenchProbe
+      val hb = ops.Sampling.hashBpSql("doc_id")
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text, lang, source FROM documents),
+         |corpus AS (SELECT doc_id, text, lang, source FROM base
+         |  UNION ALL SELECT doc_id + 5000, text || ' extra', lang, source FROM base WHERE doc_id < 25),
+         |planted AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 40 = 9 THEN text || ' $probe' ELSE text END)
+         |      || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex.org' AS text,
+         |    lang, source FROM corpus),
+         |red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$rE', '<EMAIL>', 'g'), '$rI', '<IP>', 'g'), '$rN', '<NUM>', 'g') AS text,
+         |    lang, source FROM planted),
+         |scored AS (SELECT doc_id, text, source,
          |    CAST(4*len(string_split(text, ' '))
          |       + 3*len(list_filter(string_split(text, ' '),
          |           w -> list_contains([$stops], w))) AS INT) AS score
-         |  FROM corpus WHERE lang = 'en'),
-         |kept AS (SELECT * FROM scored WHERE score >= 150),
-         |ex AS (SELECT doc_id, text, score FROM kept
+         |  FROM red WHERE lang = 'en'),
+         |kept0 AS (SELECT doc_id, text, source, score, string_split(text, ' ') AS kw
+         |  FROM scored WHERE score >= 150),
+         |kept AS (SELECT doc_id, text, source, score FROM kept0
+         |  WHERE CAST(floor(CAST(list_max(list_transform(list_distinct(kw),
+         |      x -> len(list_filter(kw, y -> y = x)))) AS DOUBLE)
+         |    / CAST(len(kw) AS DOUBLE) * 10000) AS INT) <= 1500),
+         |ex AS (SELECT doc_id, text, source, score FROM kept
          |       WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
          |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ex),
          |sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
@@ -781,11 +819,29 @@ object Queries {
          |  SELECT id, id FROM nodes
          |  UNION
          |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
-         |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
-         |SELECT doc_id, md5(text) AS h,
-         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok, score
-         |FROM ex WHERE doc_id NOT IN (SELECT id FROM losers)
-         |ORDER BY doc_id""".stripMargin
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+         |resolved AS (SELECT doc_id, text, source, score FROM ex
+         |  WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |rw AS (SELECT doc_id, string_split(text, ' ') AS vw FROM resolved),
+         |rsh AS (SELECT doc_id, md5(array_to_string(vw[i : i+4], ' ')) AS sh
+         |  FROM (SELECT doc_id, vw, unnest(range(1, len(vw) - 3)) AS i
+         |        FROM rw WHERE len(vw) >= 5)),
+         |bsh AS (SELECT DISTINCT md5(array_to_string(bw[i : i+4], ' ')) AS sh
+         |  FROM (SELECT bw, unnest(range(1, len(bw) - 3)) AS i
+         |        FROM (SELECT string_split('$probe', ' ') AS bw))),
+         |contam AS (SELECT DISTINCT doc_id FROM rsh JOIN bsh USING (sh)),
+         |decon AS (SELECT * FROM resolved WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |mixed AS (SELECT * FROM decon WHERE $hb < CASE source
+         |    WHEN 'src0' THEN 3000 WHEN 'src1' THEN 6000 ELSE 10000 END),
+         |packed AS (SELECT doc_id, source, text, score,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         |    CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+         |  FROM mixed)
+         |SELECT doc_id, source, md5(text) AS h, CAST(tokens AS INT) AS n_tok,
+         |  score, CAST(cum0 // 500 AS INT) AS shard
+         |FROM packed ORDER BY doc_id""".stripMargin
     })
 
   /** Document fingerprint: order-insensitive bag-of-words hash. */
