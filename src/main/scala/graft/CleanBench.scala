@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning scale evidence (BENCH/BASELINE.md "cleaning at scale"):
+  * the three shapes that decide whether the cleaning stages survive a
+  * web-crawl corpus —
+  *
+  *  1. repeated-line pruning with a SITE-WIDE boilerplate line: the hot
+  *     line appears in 30% of all documents. The partial-agg count
+  *     collapses it to one row map-side and the anti-join broadcasts the
+  *     hot set, so cost stays linear in corpus size (no straggler task
+  *     owning millions of identical join keys);
+  *  2. benchmark decontamination of the full corpus against a benchmark
+  *     set: the benchmark shingle set broadcasts, the corpus is one
+  *     narrow map-side pass + a partial-agg hit count;
+  *  3. mixture sampling + shard packing: pure map-side filter plus one
+  *     window per source stratum.
+  *
+  * Usage: graft.CleanBench [nDocs] [benchDocs]
+  */
+object CleanBench {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(2000000)
+    val benchDocs = args.lift(1).map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val boiler = ops.Cleaning.BoilerLine
+    // ~14-22-word docs; 30% carry the boilerplate line first, all share a
+    // static 6-word tail line (a SECOND site-wide hot line), 0.1% carry
+    // the benchmark probe 5-gram
+    val docs = spark.range(nDocs).select($"id".as("doc_id"),
+      concat(
+        when($"id" % 10 < 3, lit(s"$boiler ")).otherwise(lit("")),
+        lit("alpha "), $"id", lit(" beta "), $"id",
+        lit(" gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        when($"id" % 1000 === 0, lit(" bq1 bq2 bq3 bq4 bq5")).otherwise(lit("")))
+        .as("text"),
+      concat(lit("src"), ($"id" % 8).cast("string")).as("source"))
+      .cache()
+    docs.count() // materialize outside timed regions
+
+    // one warmup (JIT/codegen) + median of 3 — the sandbox host steals
+    // CPU in episodes, single shots mislead (BENCH/BASELINE.md method)
+    def timed[A](f: => A): (A, Double) = {
+      f
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2).sorted.apply(1))
+    }
+
+    // 1. hot-line pruning: ~0.3·nDocs copies of one line through the
+    //    count agg + broadcast anti-join
+    val (prunedKept, tPrune) = timed {
+      ops.Cleaning.pruneRepeatedLines(docs, "doc_id", "text", 8, 5)
+        .agg(sum($"n_kept")).head().getLong(0)
+    }
+
+    // 2. decontamination: benchmark = `benchDocs` synthetic eval docs; the
+    //    shared [bq1..bq5] shingle marks 0.1% of the corpus contaminated
+    val bench = spark.range(benchDocs).select(
+      concat(lit("bq1 bq2 bq3 bq4 bq5 extra "), $"id").as("text"))
+    val (contaminated, tDecon) = timed {
+      ops.Cleaning.decontaminate(docs, bench, "doc_id", "text", 5)
+        .where($"keep" === 0).count()
+    }
+
+    // 3. mixture + packing over the full corpus
+    val (shards, tMix) = timed {
+      val mixed = ops.Sampling.mixtureSample(docs, "doc_id", "source",
+        Map("src0" -> 2500, "src1" -> 5000), 10000)
+      ops.Sampling.packShards(mixed, "doc_id", "source",
+          size(split($"text", " ")).cast("bigint"), budget = 4096)
+        .agg(countDistinct($"source", $"shard")).head().getLong(0)
+    }
+
+    println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
+      f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
+      f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
+      f""""shards":$shards,"mix_pack_sec":$tMix%.2f}""")
+    spark.stop()
+  }
+}
