@@ -225,4 +225,44 @@ class StreamingSpec extends AnyFunSuite {
       .as[String].collect().sorted
     assert(runs.length == 2 && runs.forall(_.startsWith("stream-batch-")), runs.mkString(","))
   }
+
+  test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
+    // the cleaning/mixing stages are stateless column algebra, so the SAME
+    // operator objects compose into readStream with no code changes — the
+    // batch/streaming duality Spark promises, verified here
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_clean_in_").toString
+    val out = Files.createTempDirectory("graft_clean_out_").toString
+    val ckpt = Files.createTempDirectory("graft_clean_ckpt_").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", concat($"text",
+        lit(" ping admin"), $"doc_id".cast("string"), lit("@spam.io")).as("text"),
+        $"source")
+    docs.write.mode("append").parquet(in)
+
+    def cleanStage(df: org.apache.spark.sql.DataFrame) = {
+      val red = df.withColumn("text", ops.Cleaning.redactPii($"text"))
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .where(ops.Cleaning.topWordFracQ4($"w") <= 2000).drop("w")
+      ops.Sampling.mixtureSample(red, "doc_id", "source", Map("src0" -> 5000), 9000)
+        .withColumn("split", ops.Sampling.splitLabel($"doc_id", 1000))
+    }
+
+    val q = cleanStage(spark.readStream.schema(docs.schema).parquet(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id", $"text", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = cleanStage(docs)
+      .select($"doc_id", $"text", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // every surviving row is redacted
+    assert(streamed.forall(_._2.contains("<EMAIL>")))
+  }
 }
