@@ -1631,6 +1631,34 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Hashing-trick document embedding (ops.Embed.hashEmbed): 16-dim signed
+    * integer vectors, checksummed per doc (nonzeros, L1 mass, md5 of the
+    * exact vector) — the feature-hash recipe is shared verbatim with the
+    * oracle via Embed.bsSql/vecSql. */
+  private val qHashEmbed = QueryDef(
+    "q_hash_embed",
+    (s, dir) => {
+      import s.implicits._
+      ops.Embed.hashEmbed(
+          t(s, dir, "documents").where($"doc_id" < 200).select($"doc_id", $"text"),
+          "text", 16)
+        .select($"doc_id",
+          expr("size(filter(vec, v -> v <> 0))").cast("int").as("nnz"),
+          expr("aggregate(vec, 0, (a, v) -> a + abs(v))").cast("int").as("l1"),
+          md5(concat_ws(",", expr("transform(vec, v -> cast(v as string))"))).as("h"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val vec = ops.Embed.vecSql(ops.Embed.bsSql("text", 16), 16)
+      s"""WITH e AS (SELECT doc_id, $vec AS vec
+         |  FROM documents WHERE doc_id < 200)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(vec, v -> v <> 0)) AS INT) AS nnz,
+         |  CAST(list_sum(list_transform(vec, v -> abs(v))) AS INT) AS l1,
+         |  md5(array_to_string(list_transform(vec, v -> CAST(v AS VARCHAR)), ',')) AS h
+         |FROM e ORDER BY doc_id""".stripMargin
+    })
+
   // ------------------------------------------------------------------
   // Training-data pipeline: multimodal plumbing (binary columns)
   // ------------------------------------------------------------------
@@ -2140,7 +2168,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
-    qMixtureSample, qTokenPack,
+    qMixtureSample, qTokenPack, qHashEmbed,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 

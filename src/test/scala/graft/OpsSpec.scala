@@ -690,4 +690,37 @@ class OpsSpec extends AnyFunSuite {
     val empty = ops.Bpe.learnMerges(Seq((1L, "x y")).toDF("doc_id", "text"), "text", 4)
     assert(empty.isEmpty)
   }
+
+  // ---- hashing-trick embeddings ----
+
+  test("hashEmbed: word-order invariant, duplicate docs identical, L1 bounded by word count") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation → same bag → same vec
+      (3L, "alpha beta gamma delta"), // exact dup
+      (4L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val vecs = ops.Embed.hashEmbed(df, "text", 16)
+      .select($"doc_id", $"vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(vecs(1L) == vecs(2L) && vecs(1L) == vecs(3L))
+    assert(vecs(1L) != vecs(4L))
+    assert(vecs.values.forall(_.map(math.abs).sum <= 4))
+    assert(vecs.values.forall(_.length == 16))
+  }
+
+  test("hashEmbed + normalized feeds the cosine ANN path: planted dup ranks first") {
+    val corpus = documents.select($"doc_id", $"text").where($"doc_id" < 60)
+    val emb = ops.Embed.hashEmbed(corpus, "text", 32)
+      .select($"doc_id".as("vec_id"), ops.Embed.normalized($"vec").as("embedding"))
+    // probe = doc 7's exact text under a new id: cosine 1.0 with doc 7
+    val probe = ops.Embed.hashEmbed(
+        corpus.where($"doc_id" === 7).select(lit(999L).as("doc_id"), $"text"),
+        "text", 32)
+      .select($"doc_id".as("vec_id"), ops.Embed.normalized($"vec").as("embedding"))
+    val top = ops.Similarity.bruteForceTopK(emb, probe, "vec_id", "embedding", k = 3)
+      .where($"rn" === 1).collect().head
+    assert(top.getAs[Long]("cand_id") == 7L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
 }
