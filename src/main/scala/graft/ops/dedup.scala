@@ -152,6 +152,84 @@ object Dedup {
     jaccardVerify(docs, idCol, textCol, cands, threshold)
   }
 
+  /** Cross-corpus LSH candidates: (delta id, corpus id) pairs sharing any
+    * band bucket — the incremental analog of [[lshCandidatePairs]] with no
+    * self-pairs on either side. The hot-bucket guard caps the candidate
+    * PRODUCT per bucket (nDelta·nCorpus ≤ maxPairs): a boilerplate bucket
+    * hot on both sides would otherwise emit |delta|×|corpus| rows. */
+  def lshCandidatePairsAcross(deltaSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, bands: Int, maxPairs: Int = 4096): DataFrame = {
+    val bd = bandedSignatures(deltaSigs, idCol, bands)
+    val bc = bandedSignatures(corpusSigs, idCol, bands)
+    val joined =
+      if (maxPairs <= 0) bd.as("d").join(bc.as("c"),
+        col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
+      else {
+        val nd = bd.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nd"))
+        val nc = bc.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nc"))
+        val ok = nd.join(nc, Seq("band", "bandhash"))
+          .where(col("__nd") * col("__nc") <= maxPairs)
+          .select(col("band"), col("bandhash"))
+        bd.join(ok, Seq("band", "bandhash")).as("d")
+          .join(bc.join(ok, Seq("band", "bandhash")).as("c"),
+            col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
+      }
+    joined.select(col("d.__id").as("delta_id"), col("c.__id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** Incremental dedup — the daily-crawl-increment pattern: admit only the
+    * delta rows that survive dedup against an ALREADY-DEDUPED, immutable
+    * corpus, without recomputing the corpus. Returns the admitted delta
+    * rows (original columns).
+    *
+    * Semantics (keeper preference always goes to the corpus, even when a
+    * delta id is smaller — the corpus has shipped):
+    *  1. exact: delta texts whose md5 already exists in the corpus are
+    *     dropped; within-delta exact dups collapse keep-first;
+    *  2. near vs corpus: banded cross-candidates → exact Jaccard ≥
+    *     threshold → matched delta ids dropped;
+    *  3. within delta: [[nearDupPairs]] → [[resolveClusters]]; cluster
+    *     losers are dropped, and a whole cluster is dropped when ANY of
+    *     its members matched the corpus (transitive closure through the
+    *     delta — matches what a full re-run over corpus ∪ delta decides).
+    *
+    * Scale shape: every join is a narrow equi-join (md5 / band hash / id);
+    * the corpus is touched by one hash projection and one signature
+    * projection per increment — persist those two indexes alongside the
+    * corpus to make increments independent of corpus width. */
+  def incrementalDedup(delta: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      maxBucket: Int = 4096, maxIters: Int = 50): DataFrame = {
+    // 1. exact, within delta then vs corpus
+    val deltaE = exactDedup(delta, idCol, textCol)
+      .join(corpus.select(md5(col(textCol)).as("__ch")).distinct(),
+        md5(col(textCol)) === col("__ch"), "left_anti")
+    // 2. near-dup candidates vs corpus, exact-verified
+    val dSigs = minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig"))
+    val cSigs = minhashSignatures(corpus, textCol, k).select(col(idCol), col("sig"))
+    val across = lshCandidatePairsAcross(dSigs, cSigs, idCol, bands, maxPairs = maxBucket)
+      .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
+    val bothTexts = deltaE.select(col(idCol), col(textCol))
+      .union(corpus.select(col(idCol), col(textCol)))
+    val matched = jaccardVerify(bothTexts, idCol, textCol, across, threshold)
+      .select(col("id_a").as("__mid")).distinct()
+    // 3. within-delta near-dup clusters; a corpus match poisons its cluster
+    val deltaPairs = nearDupPairs(deltaE, idCol, textCol, k, bands, threshold, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val clusters = resolveClusters(deltaPairs, maxIters = maxIters)
+    val poisoned = clusters
+      .join(matched, col("id") === col("__mid"))
+      .select(col("cluster_id").as("__pc")).distinct()
+    val clusterDrops = clusters
+      .join(poisoned, col("cluster_id") === col("__pc"), "left_semi")
+      .select(col("id").as("__drop"))
+      .union(clusters.where(!col("keep")).select(col("id").as("__drop")))
+      .union(matched.select(col("__mid").as("__drop")))
+      .distinct()
+    deltaE.join(clusterDrops, deltaE(idCol) === col("__drop"), "left_anti")
+  }
+
   /** 60-bit SimHash per row: explode words, md5→60-bit int, per-bit signed
     * vote. Returns df with (idCol, simhash: bigint). Narrow + one groupBy. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

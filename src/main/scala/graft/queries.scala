@@ -694,6 +694,99 @@ object Queries {
            |WHERE doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Incremental dedup (ops.Dedup.incrementalDedup) — admit only delta
+    * rows that survive dedup against an immutable already-deduped corpus:
+    * exact copies and LSH-verified near-dups of the corpus are dropped,
+    * within-delta clusters keep one member, and a cluster ANY member of
+    * which matches the corpus is dropped whole (transitive closure). The
+    * oracle replays both LSH passes (8-sig/4-band on each side), the
+    * Jaccard verifies, and the recursive component/poisoning logic. */
+  private val qDedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = base.where($"doc_id" < 40)
+      val delta = base.where($"doc_id" < 10)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text")
+        .union(base.where($"doc_id" >= 10 && $"doc_id" < 20)
+          .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+        .union(base.where($"doc_id" >= 40 && $"doc_id" < 50)
+          .select(($"doc_id" + 3000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
+          .select(($"doc_id" + 4000).as("doc_id"), concat($"text", lit(" alt")).as("text")))
+        .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
+          .select(($"doc_id" + 5000).as("doc_id"), concat($"text", lit(" alt more")).as("text")))
+      ops.Dedup.incrementalDedup(delta, corpus, "doc_id", "text", threshold = 0.7)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      def sig(src: String, p: String) =
+        s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+           |${p}sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |             FROM ${p}w WHERE len(ws) >= 3)),
+           |${p}sig AS (SELECT doc_id,
+           |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+           |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+           |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+           |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+           |  FROM ${p}sh GROUP BY doc_id),
+           |${p}band AS (
+           |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM ${p}sig)"""
+          .stripMargin
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (SELECT doc_id, text FROM base WHERE doc_id < 40),
+         |delta0 AS (
+         |  SELECT doc_id + 1000 AS doc_id, text FROM base WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id + 2000, text || ' extra' FROM base WHERE doc_id >= 10 AND doc_id < 20
+         |  UNION ALL SELECT doc_id + 3000, text FROM base WHERE doc_id >= 40 AND doc_id < 50
+         |  UNION ALL SELECT doc_id + 4000, text || ' alt' FROM base WHERE doc_id >= 50 AND doc_id < 55
+         |  UNION ALL SELECT doc_id + 5000, text || ' alt more' FROM base WHERE doc_id >= 50 AND doc_id < 55),
+         |dex AS (SELECT doc_id, text FROM delta0
+         |        WHERE doc_id IN (SELECT min(doc_id) FROM delta0 GROUP BY md5(text))),
+         |de AS (SELECT * FROM dex WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+         |${sig("de", "d")},
+         |${sig("corpus", "c")},
+         |across AS (SELECT DISTINCT d.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM dband d JOIN cband c ON d.band = c.band AND d.bandhash = c.bandhash),
+         |dwords AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM de),
+         |cwords AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM corpus),
+         |matched AS (SELECT DISTINCT id_a FROM
+         |  (SELECT id_a, len(list_intersect(a.wset, b.wset)) AS inter,
+         |          len(list_distinct(list_concat(a.wset, b.wset))) AS uni
+         |   FROM across JOIN dwords a ON a.doc_id = id_a JOIN cwords b ON b.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+         |wcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM dband x JOIN dband y
+         |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+         |wpairs AS (SELECT id_a, id_b FROM
+         |  (SELECT id_a, id_b, len(list_intersect(a.wset, b.wset)) AS inter,
+         |          len(list_distinct(list_concat(a.wset, b.wset))) AS uni
+         |   FROM wcand JOIN dwords a ON a.doc_id = id_a JOIN dwords b ON b.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM wpairs UNION SELECT id_b FROM wpairs)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM wpairs
+         |          UNION SELECT id_b, id_a FROM wpairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |proots AS (SELECT DISTINCT comp.root FROM comp JOIN matched ON comp.id = matched.id_a),
+         |drops AS (SELECT id FROM comp WHERE id <> root
+         |  UNION SELECT id FROM comp WHERE root IN (SELECT root FROM proots)
+         |  UNION SELECT id_a FROM matched)
+         |SELECT doc_id, md5(text) AS h FROM de
+         |WHERE doc_id NOT IN (SELECT id FROM drops)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -2161,6 +2254,7 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
+    qDedupIncremental,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,

@@ -691,6 +691,39 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  // ---- incremental dedup ----
+
+  test("incrementalDedup admits exactly what a full re-run over corpus ∪ delta would keep") {
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val T = words("t", 40)
+    val corpus = Seq((1L, T), (2L, words("u", 40)), (3L, words("v", 40)))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      101L -> T,                                        // exact copy of corpus → drop
+      102L -> s"$T x1",                                 // near-dup of corpus (j=40/41) → drop
+      103L -> words("f", 20),                           // fresh → admit
+      104L -> (words("t", 34) + " x1 " + words("z", 5)), // j vs T=34/46 < 0.75, j vs 102=35/46... 0.761 ≥ 0.75:
+                                                        // transitively dup of corpus THROUGH 102 → drop
+      105L -> words("g", 40),                           // fresh pair keeper → admit
+      106L -> (words("g", 40) + " x2"),                 // within-delta near-dup of 105 → drop
+      107L -> words("f", 20))                           // within-delta exact dup of 103 → drop
+      .toDF("doc_id", "text")
+    val admitted = ops.Dedup.incrementalDedup(delta, corpus, "doc_id", "text",
+        threshold = 0.75)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(103L, 105L), s"got $admitted")
+
+    // equivalence: a full re-run over corpus ∪ delta (corpus ids smaller,
+    // so corpus rows always win keeper selection) must admit the same set
+    val union = corpus.union(delta)
+    val fullExact = ops.Dedup.exactDedup(union, "doc_id", "text")
+    val fullPairs = ops.Dedup.nearDupPairs(fullExact, "doc_id", "text",
+        threshold = 0.75).select($"id_a", $"id_b")
+    val fullKept = ops.Dedup.dedupCorpus(fullExact, "doc_id", fullPairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fullKept.filter(_ > 100L) == admitted)
+  }
+
   // ---- hashing-trick embeddings ----
 
   test("hashEmbed: word-order invariant, duplicate docs identical, L1 bounded by word count") {
