@@ -228,6 +228,46 @@ object EventStream {
       }
   }
 
+  /** Streaming corpus construction with CROSS-BATCH dedup: every
+    * micro-batch of raw documents is incrementally deduped against the
+    * corpus accumulated so far ([[graft.ops.Dedup.incrementalDedup]] —
+    * exact hash, LSH near-dup vs corpus, within-batch clusters with
+    * corpus-match poisoning) and only the admitted rows are appended.
+    *
+    * Idempotence is a property of the SEMANTICS, not a side channel: a
+    * re-delivered batch's rows are exact duplicates of their already-
+    * admitted copies, so the incremental dedup drops every one of them —
+    * replays self-cancel. (A production deployment would still commit
+    * appends through the snapshot manifest like [[runExtractWithManifest]]
+    * so a crash mid-append cannot expose partial files; the dedup
+    * guarantees cover re-delivery, not torn writes.) */
+  def runDedupedCorpusStream(spark: SparkSession, inDir: String,
+      corpusDir: String, checkpointDir: String, schemaFrom: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.7): StreamingQuery =
+    spark.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, corpusDir, idCol, textCol, threshold)
+      }
+      .start()
+
+  private[graft] def admitBatch(batch: DataFrame, corpusDir: String,
+      idCol: String, textCol: String, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val corpus =
+      try spark.read.parquet(corpusDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+    val admitted = graft.ops.Dedup.incrementalDedup(
+      batch, corpus, idCol, textCol, threshold = threshold)
+    admitted.write.mode("append").parquet(corpusDir)
+  }
+
   /** Watermarked tumbling-window counts per event_type over a timestamped
     * event stream (schema: ts timestamp, event_type string, value double). */
   def eventCounts(events: DataFrame): DataFrame =

@@ -169,6 +169,18 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("incremental dedup: every join is an equi-join (no cartesian anywhere in the chain)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val p = ops.Dedup.incrementalDedup(
+        docs.where($"doc_id" >= 200), docs.where($"doc_id" < 200),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("decontamination broadcasts the benchmark shingle set (corpus never reshuffles on it)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

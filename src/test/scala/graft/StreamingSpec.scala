@@ -226,6 +226,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(runs.length == 2 && runs.forall(_.startsWith("stream-batch-")), runs.mkString(","))
   }
 
+  test("deduped-corpus stream: cross-batch admission matches batch, re-delivery self-cancels") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_corp_in_").toString
+    val corpusDir = Files.createTempDirectory("graft_corp_tbl_").toString + "/c"
+    val ckpt = Files.createTempDirectory("graft_corp_ckpt_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+
+    // wave 1: 40 natural docs + 10 exact dups + 5 near-dups, one file
+    val wave1 = base.where($"doc_id" < 40)
+      .union(base.where($"doc_id" < 10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      .union(base.where($"doc_id" >= 10 && $"doc_id" < 15)
+        .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runDedupedCorpusStream(spark, in, corpusDir, ckpt, base)
+      .awaitTermination()
+    val c1 = spark.read.parquet(corpusDir)
+    // admission must equal the batch operator applied to the same wave
+    val exp1 = ops.Dedup.incrementalDedup(wave1, wave1.limit(0), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(c1.select($"doc_id").as[Long].collect().toSet == exp1)
+
+    // wave 2: 20 re-crawled exact copies + 10 fresh docs → only fresh admitted
+    val wave2 = base.where($"doc_id" < 20)
+      .select(($"doc_id" + 3000).as("doc_id"), $"text")
+      .union(base.where($"doc_id" >= 40 && $"doc_id" < 50))
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runDedupedCorpusStream(spark, in, corpusDir, ckpt, base)
+      .awaitTermination()
+    val c2ids = spark.read.parquet(corpusDir).select($"doc_id").as[Long].collect().toSet
+    assert((c2ids -- c1.select($"doc_id").as[Long].collect().toSet) ==
+      (40L until 50L).toSet, "only the fresh wave-2 docs are admitted")
+
+    // re-delivery: a FRESH checkpoint reprocesses both files; every row is
+    // an exact dup of its admitted copy, so nothing new lands
+    val ckpt2 = Files.createTempDirectory("graft_corp_ckpt2_").toString
+    streaming.EventStream.runDedupedCorpusStream(spark, in, corpusDir, ckpt2, base)
+      .awaitTermination()
+    assert(spark.read.parquet(corpusDir).count() == c2ids.size.toLong)
+
+    // the built corpus is internally duplicate-free (exact AND near)
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select(md5($"text")).distinct().count() == c2ids.size.toLong)
+    assert(ops.Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.7).count() == 0)
+  }
+
   test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
     // the cleaning/mixing stages are stateless column algebra, so the SAME
     // operator objects compose into readStream with no code changes — the
