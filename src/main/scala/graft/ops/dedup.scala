@@ -195,29 +195,37 @@ object Dedup {
     *     delta — matches what a full re-run over corpus ∪ delta decides).
     *
     * Scale shape: every join is a narrow equi-join (md5 / band hash / id);
-    * the corpus is touched by one hash projection and one signature
-    * projection per increment — persist those two indexes alongside the
-    * corpus to make increments independent of corpus width. */
+    * the corpus is touched by one hash projection, one signature
+    * projection, and one text projection per increment — persist the hash
+    * and signature indexes alongside the corpus to make increments
+    * independent of corpus width. Delta-side stage outputs feed 2+
+    * consumers each, so they are materialized (`localCheckpoint`) like the
+    * composed cleaning pipeline; pass `materialize = false` to keep full
+    * lineage (plan inspection / tiny inputs). */
   def incrementalDedup(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
-      maxBucket: Int = 4096, maxIters: Int = 50): DataFrame = {
+      maxBucket: Int = 4096, maxIters: Int = 50,
+      materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // 1. exact, within delta then vs corpus
-    val deltaE = exactDedup(delta, idCol, textCol)
+    val deltaE = mat(exactDedup(delta, idCol, textCol)
       .join(corpus.select(md5(col(textCol)).as("__ch")).distinct(),
-        md5(col(textCol)) === col("__ch"), "left_anti")
+        md5(col(textCol)) === col("__ch"), "left_anti"))
     // 2. near-dup candidates vs corpus, exact-verified
-    val dSigs = minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig"))
+    val dSigs = mat(minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig")))
     val cSigs = minhashSignatures(corpus, textCol, k).select(col(idCol), col("sig"))
     val across = lshCandidatePairsAcross(dSigs, cSigs, idCol, bands, maxPairs = maxBucket)
       .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
     val bothTexts = deltaE.select(col(idCol), col(textCol))
       .union(corpus.select(col(idCol), col(textCol)))
-    val matched = jaccardVerify(bothTexts, idCol, textCol, across, threshold)
-      .select(col("id_a").as("__mid")).distinct()
-    // 3. within-delta near-dup clusters; a corpus match poisons its cluster
-    val deltaPairs = nearDupPairs(deltaE, idCol, textCol, k, bands, threshold, maxBucket)
+    val matched = mat(jaccardVerify(bothTexts, idCol, textCol, across, threshold)
+      .select(col("id_a").as("__mid")).distinct())
+    // 3. within-delta near-dup clusters (delta signatures reused, not
+    //    recomputed); a corpus match poisons its whole cluster
+    val deltaPairs = jaccardVerify(deltaE, idCol, textCol,
+        lshCandidatePairs(dSigs, idCol, bands, maxBucket), threshold)
       .select(col("id_a"), col("id_b"))
-    val clusters = resolveClusters(deltaPairs, maxIters = maxIters)
+    val clusters = mat(resolveClusters(deltaPairs, maxIters = maxIters))
     val poisoned = clusters
       .join(matched, col("id") === col("__mid"))
       .select(col("cluster_id").as("__pc")).distinct()

@@ -173,9 +173,10 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text")
+    // materialize=false keeps full lineage so the assertion sees every join
     val p = ops.Dedup.incrementalDedup(
         docs.where($"doc_id" >= 200), docs.where($"doc_id" < 200),
-        "doc_id", "text")
+        "doc_id", "text", materialize = false)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
