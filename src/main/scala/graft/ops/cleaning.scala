@@ -156,14 +156,18 @@ object Cleaning {
     * new_text)`; a document whose lines are all boilerplate keeps 0.
     *
     * Scale shape: line occurrence counting is a partial hash-agg over
-    * md5(line) (map-side combine collapses within-partition repeats); the
-    * hot set — lines above the threshold — is by construction tiny (a line
-    * must repeat across `maxDocs`+ documents to enter it, and the count agg
-    * has already collapsed it to one row per line), so it broadcasts and
-    * the removal is a broadcast LEFT ANTI join: the corpus never reshuffles
-    * and the reassembly groupBy is the only corpus-wide exchange. */
+    * md5(line) (map-side combine collapses within-partition repeats, so a
+    * line with millions of copies reaches the reducer as one row per map
+    * partition — no task ever owns the raw copies). The hot SET, however,
+    * is data-dependent: one row per DISTINCT line that crosses `maxDocs`
+    * documents. On a site-boilerplate corpus that is tiny and the default
+    * broadcast anti-join is right; on a real web crawl at a low `maxDocs`
+    * it can be millions of distinct lines (the C4 situation) — pass
+    * `broadcastHot = false` there and the removal becomes a shuffled
+    * left-anti join on md5(line) instead of a driver-sized broadcast. */
   def pruneRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
-                         lineLen: Int, maxDocs: Int): DataFrame = {
+                         lineLen: Int, maxDocs: Int,
+                         broadcastHot: Boolean = true): DataFrame = {
     val lineArr = expr(linesExpr(s"split($textCol, ' ')", lineLen))
     val lines = docs.select(col(idCol), posexplode(lineArr).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
@@ -171,7 +175,8 @@ object Cleaning {
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= maxDocs)
       .select("lh")
-    val kept = lines.join(broadcast(hot), Seq("lh"), "left_anti")
+    val kept = lines.join(if (broadcastHot) broadcast(hot) else hot,
+      Seq("lh"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_kept"),
         array_join(expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"), " ")

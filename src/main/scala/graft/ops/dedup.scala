@@ -152,31 +152,27 @@ object Dedup {
     jaccardVerify(docs, idCol, textCol, cands, threshold)
   }
 
-  /** Cross-corpus LSH candidates: (delta id, corpus id) pairs sharing any
-    * band bucket — the incremental analog of [[lshCandidatePairs]] with no
-    * self-pairs on either side. The hot-bucket guard caps the candidate
-    * PRODUCT per bucket (nDelta·nCorpus ≤ maxPairs): a boilerplate bucket
-    * hot on both sides would otherwise emit |delta|×|corpus| rows. */
-  def lshCandidatePairsAcross(deltaSigs: DataFrame, corpusSigs: DataFrame,
-      idCol: String, bands: Int, maxPairs: Int = 4096): DataFrame = {
-    val bd = bandedSignatures(deltaSigs, idCol, bands)
-    val bc = bandedSignatures(corpusSigs, idCol, bands)
-    val joined =
-      if (maxPairs <= 0) bd.as("d").join(bc.as("c"),
-        col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
-      else {
-        val nd = bd.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nd"))
-        val nc = bc.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nc"))
-        val ok = nd.join(nc, Seq("band", "bandhash"))
-          .where(col("__nd") * col("__nc") <= maxPairs)
-          .select(col("band"), col("bandhash"))
-        bd.join(ok, Seq("band", "bandhash")).as("d")
-          .join(bc.join(ok, Seq("band", "bandhash")).as("c"),
-            col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
-      }
-    joined.select(col("d.__id").as("delta_id"), col("c.__id").as("corpus_id"))
-      .distinct()
+  /** Per-bucket UNION member counts over two banded sides (delta +
+    * corpus): the bucket population a full re-run over corpus ∪ delta
+    * would see. Partial-agg per side, then a full-outer merge of the two
+    * (tiny) count tables. */
+  private def unionBucketCounts(dBand: DataFrame, cBand: DataFrame): DataFrame = {
+    val nd = dBand.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nd"))
+    val nc = cBand.groupBy(col("band"), col("bandhash")).agg(count(lit(1)).as("__nc"))
+    nd.join(nc, Seq("band", "bandhash"), "full_outer")
+      .select(col("band"), col("bandhash"),
+        (coalesce(col("__nd"), lit(0L)) + coalesce(col("__nc"), lit(0L))).as("members"))
   }
+
+  /** The union buckets [[incrementalDedup]] drops at `maxBucket`, with
+    * member counts — the audit/log surface for the incremental hot-bucket
+    * guard (mirror of [[lshOversizeBuckets]]; no silent caps). */
+  def lshOversizeBucketsUnion(deltaSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, bands: Int, maxBucket: Int): DataFrame =
+    unionBucketCounts(
+      bandedSignatures(deltaSigs, idCol, bands),
+      bandedSignatures(corpusSigs, idCol, bands))
+      .where(col("members") > maxBucket)
 
   /** Incremental dedup — the daily-crawl-increment pattern: admit only the
     * delta rows that survive dedup against an ALREADY-DEDUPED, immutable
@@ -195,13 +191,19 @@ object Dedup {
     *     delta — matches what a full re-run over corpus ∪ delta decides).
     *
     * Scale shape: every join is a narrow equi-join (md5 / band hash / id);
-    * the corpus is touched by one hash projection, one signature
-    * projection, and one text projection per increment — persist the hash
-    * and signature indexes alongside the corpus to make increments
-    * independent of corpus width. Delta-side stage outputs feed 2+
-    * consumers each, so they are materialized (`localCheckpoint`) like the
-    * composed cleaning pipeline; pass `materialize = false` to keep full
-    * lineage (plan inspection / tiny inputs). */
+    * the corpus is touched by one hash projection and ONE signature/banding
+    * pass per increment (the banded corpus frame — 4 narrow rows per doc —
+    * is materialized and reused for the bucket counts and the join);
+    * persist the hash and signature indexes alongside the corpus to make
+    * increments independent of corpus width. The hot-bucket guard counts
+    * the UNION bucket (delta members + corpus members), which is exactly
+    * the bucket a full re-run over corpus ∪ delta would see, so the guard
+    * fires in the same places — audit what it drops with
+    * [[lshOversizeBucketsUnion]] (no silent caps). Delta-side stage
+    * outputs feed 2+ consumers each, so they are materialized
+    * (`localCheckpoint`) like the composed cleaning pipeline; pass
+    * `materialize = false` to keep full lineage (plan inspection / tiny
+    * inputs). */
   def incrementalDedup(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       maxBucket: Int = 4096, maxIters: Int = 50,
@@ -211,19 +213,42 @@ object Dedup {
     val deltaE = mat(exactDedup(delta, idCol, textCol)
       .join(corpus.select(md5(col(textCol)).as("__ch")).distinct(),
         md5(col(textCol)) === col("__ch"), "left_anti"))
-    // 2. near-dup candidates vs corpus, exact-verified
-    val dSigs = mat(minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig")))
-    val cSigs = minhashSignatures(corpus, textCol, k).select(col(idCol), col("sig"))
-    val across = lshCandidatePairsAcross(dSigs, cSigs, idCol, bands, maxPairs = maxBucket)
-      .select(col("delta_id").as("id_a"), col("corpus_id").as("id_b"))
-    val bothTexts = deltaE.select(col(idCol), col(textCol))
-      .union(corpus.select(col(idCol), col(textCol)))
-    val matched = mat(jaccardVerify(bothTexts, idCol, textCol, across, threshold)
+    // 2. banded signatures once per side; guard on the UNION bucket size
+    val dBand = mat(bandedSignatures(
+      minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig")), idCol, bands))
+    val cBand = mat(bandedSignatures(
+      minhashSignatures(corpus, textCol, k).select(col(idCol), col("sig")), idCol, bands))
+    val (gd, gc) =
+      if (maxBucket <= 0) (dBand, cBand)
+      else {
+        val ok = unionBucketCounts(dBand, cBand)
+          .where(col("members") <= maxBucket)
+          .select(col("band"), col("bandhash"))
+        (dBand.join(ok, Seq("band", "bandhash")), cBand.join(ok, Seq("band", "bandhash")))
+      }
+    val across = gd.as("d").join(gc.as("c"),
+        col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
+      .select(col("d.__id").as("id_a"), col("c.__id").as("id_b")).distinct()
+    // verify each side against its OWN text table — a delta id that
+    // collides with a corpus id can never be checked against the wrong text
+    val dWords = deltaE.select(col(idCol).as("__did"),
+      array_distinct(split(col(textCol), " ")).as("__dw"))
+    val cWords = corpus.select(col(idCol).as("__cid"),
+      array_distinct(split(col(textCol), " ")).as("__cw"))
+    val matched = mat(across
+      .join(dWords, col("id_a") === col("__did"))
+      .join(cWords, col("id_b") === col("__cid"))
+      .withColumn("__j", size(array_intersect(col("__dw"), col("__cw"))).cast("double") /
+        size(array_union(col("__dw"), col("__cw"))))
+      .where(col("__j") >= threshold)
       .select(col("id_a").as("__mid")).distinct())
-    // 3. within-delta near-dup clusters (delta signatures reused, not
-    //    recomputed); a corpus match poisons its whole cluster
-    val deltaPairs = jaccardVerify(deltaE, idCol, textCol,
-        lshCandidatePairs(dSigs, idCol, bands, maxBucket), threshold)
+    // 3. within-delta near-dup clusters (same guarded banding reused); a
+    //    corpus match poisons its whole cluster
+    val withinCands = gd.as("x").join(gd.as("y"),
+        col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash") &&
+        col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b")).distinct()
+    val deltaPairs = jaccardVerify(deltaE, idCol, textCol, withinCands, threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = mat(resolveClusters(deltaPairs, maxIters = maxIters))
     val poisoned = clusters

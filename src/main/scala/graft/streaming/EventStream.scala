@@ -260,9 +260,14 @@ object EventStream {
   private[graft] def admitBatch(batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
+    // first-batch detection is an explicit existence check, NOT a broad
+    // exception catch: a transient read failure (permissions, metastore,
+    // storage) must fail the batch — substituting an empty corpus would
+    // skip dedup and permanently admit duplicates
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val corpus =
-      try spark.read.parquet(corpusDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+      if (fs.exists(path)) spark.read.parquet(corpusDir) else batch.limit(0)
     val admitted = graft.ops.Dedup.incrementalDedup(
       batch, corpus, idCol, textCol, threshold = threshold)
     admitted.write.mode("append").parquet(corpusDir)

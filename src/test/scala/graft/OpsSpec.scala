@@ -724,6 +724,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fullKept.filter(_ > 100L) == admitted)
   }
 
+  test("lshOversizeBucketsUnion flags buckets only the COMBINED sides overflow") {
+    val txt = "same words in every copy of this page body here"
+    val d = spark.range(50).select(($"id" + 10000).as("doc_id"), lit(txt).as("text"))
+    val c = spark.range(60).select($"id".as("doc_id"), lit(txt).as("text"))
+    val dS = ops.Dedup.minhashSignatures(d, "text", 8).select($"doc_id", $"sig")
+    val cS = ops.Dedup.minhashSignatures(c, "text", 8).select($"doc_id", $"sig")
+    // per-side populations (50, 60) are both under 100; the UNION bucket
+    // (110) is what a full re-run over corpus ∪ delta would see — flagged
+    val over = ops.Dedup.lshOversizeBucketsUnion(dS, cS, "doc_id", 4, 100)
+    assert(over.count() == 4) // one bucket per band
+    assert(over.agg(max($"members")).head().getLong(0) == 110)
+    // and at a permissive threshold nothing is flagged
+    assert(ops.Dedup.lshOversizeBucketsUnion(dS, cS, "doc_id", 4, 4096).count() == 0)
+  }
+
   // ---- hashing-trick embeddings ----
 
   test("hashEmbed: word-order invariant, duplicate docs identical, L1 bounded by word count") {
