@@ -169,6 +169,39 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("O12 ranged-fetch analog: maxPartitionBytes splits one file into byte-range scan tasks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ranged_").toString + "/p"
+    // one ~4MB parquet file (incompressible-ish md5 chains)
+    spark.range(200000)
+      .select($"id", md5(concat_ws("", $"id", md5($"id".cast("string")))).as("payload"))
+      .coalesce(1).write.parquet(dir)
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val minConf = "spark.sql.files.minPartitionNum"
+    val saved = spark.conf.get(conf)
+    try {
+      // pin the floor: without it Spark still range-splits large files to
+      // fill default parallelism (totalBytes / minPartitionNum)
+      spark.conf.set(minConf, "1")
+      // qetch's HTTPDownloader splits one fragment into max_connections
+      // byte ranges; Spark's scan splits one file into FilePartitions of
+      // at most maxPartitionBytes — same operator, cluster-wide
+      spark.conf.set(conf, (128 * 1024).toString)
+      val ranged = spark.read.parquet(dir).rdd.getNumPartitions
+      spark.conf.set(conf, (1024L * 1024 * 1024).toString)
+      val whole = spark.read.parquet(dir).rdd.getNumPartitions
+      assert(ranged > 4, s"expected byte-range splits, got $ranged partitions")
+      assert(whole == 1, s"expected one whole-file task, got $whole")
+      // identical bytes either way — reassembly-order invariance
+      spark.conf.set(conf, (128 * 1024).toString)
+      val a = spark.read.parquet(dir).agg(sum(crc32($"payload"))).head().getLong(0)
+      spark.conf.set(conf, (1024L * 1024 * 1024).toString)
+      val b = spark.read.parquet(dir).agg(sum(crc32($"payload"))).head().getLong(0)
+      assert(a == b)
+    } finally { spark.conf.set(conf, saved); spark.conf.unset(minConf) }
+  }
+
   test("incremental dedup: every join is an equi-join (no cartesian anywhere in the chain)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
