@@ -1724,6 +1724,57 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Corpus profile — the per-source report a data engineer runs before
+    * training: doc/token/quality mass, language-ID distribution, and the
+    * worst repetition score per source, all integer-exact compositions of
+    * the text/cleaning operators. */
+  private val qCleanProfile = QueryDef(
+    "q_clean_profile",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .select($"source",
+          ops.TextStats.tokenCount($"text").cast("long").as("tok"),
+          ops.TextStats.qualityScore($"text").cast("long").as("q"),
+          ops.TextStats.langId($"text").as("pred"),
+          ops.Cleaning.topWordFracQ4($"w").as("tw"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"tok").cast("bigint").as("sum_tokens"),
+          sum($"q").cast("bigint").as("sum_quality"),
+          sum(when($"pred" === "en", 1).otherwise(0)).cast("bigint").as("n_en"),
+          max($"tw").cast("int").as("max_topword_q4"))
+        .orderBy($"source")
+    },
+    Some {
+      val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+      val profs = ops.TextStats.trigramProfiles.toMap
+      def score(lang: String): String = {
+        val lits = profs(lang).map("'" + _ + "'").mkString(",")
+        s"""CAST(len(list_filter(list_transform(
+           |    range(length(' ' || text || ' ') - 2),
+           |    i -> substr(' ' || text || ' ', i + 1, 3)),
+           |    t -> list_contains([$lits], t))) AS INT)""".stripMargin
+      }
+      s"""WITH ww AS (SELECT source, text, string_split(text, ' ') AS w FROM documents),
+         |per AS (SELECT source,
+         |    CAST(len(w) AS BIGINT) AS tok,
+         |    CAST(4*len(w) + 3*len(list_filter(w, x -> list_contains([$stops], x))) AS BIGINT) AS q,
+         |    CASE WHEN ${score("en")} >= ${score("db")} AND ${score("en")} >= ${score("st")} THEN 'en'
+         |         WHEN ${score("db")} >= ${score("st")} THEN 'db' ELSE 'st' END AS pred,
+         |    CAST(floor(CAST(list_max(list_transform(list_distinct(w),
+         |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+         |      / CAST(len(w) AS DOUBLE) * 10000) AS INT) AS tw
+         |  FROM ww)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(q) AS BIGINT) AS sum_quality,
+         |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(max(tw) AS INT) AS max_topword_q4
+         |FROM per GROUP BY source ORDER BY source""".stripMargin
+    })
+
   /** Hashing-trick document embedding (ops.Embed.hashEmbed): 16-dim signed
     * integer vectors, checksummed per doc (nonzeros, L1 mass, md5 of the
     * exact vector) — the feature-hash recipe is shared verbatim with the
@@ -2262,7 +2313,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
-    qMixtureSample, qTokenPack, qHashEmbed,
+    qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 

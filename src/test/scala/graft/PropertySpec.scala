@@ -90,4 +90,54 @@ class PropertySpec extends AnyFunSuite {
     val dist = DocGen.generate(spark, 200, 7).collect().sortBy(_.doc_id).toSeq
     assert(dist == a)
   }
+
+  test("cleaning properties: line-pruning matches a plain-Scala reference; embeddings are bag functions") {
+    val docTextGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, docTextGen))
+    checkAllFew(corpusGen) { texts =>
+      // independent reference: a line (4-word chunk) survives iff it
+      // appears in fewer than 2 distinct docs; survivors keep doc order
+      val docLines = texts.map(_.split(" ").grouped(4).map(_.mkString(" ")).toList)
+      val hot = docLines.zipWithIndex
+        .flatMap { case (ls, i) => ls.distinct.map(_ -> i) }
+        .groupBy(_._1).collect { case (l, xs) if xs.map(_._2).distinct.size >= 2 => l }
+        .toSet
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = ops.Cleaning.pruneRepeatedLines(df, "doc_id", "text", 4, 2)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      docLines.zipWithIndex.forall { case (ls, i) =>
+        val kept = ls.filterNot(hot)
+        out(i.toLong) == ((ls.size, kept.size, kept.mkString(" ")))
+      }
+    }
+    // hashEmbed is a pure function of the word BAG: permutation-invariant
+    checkAllFew(docTextGen) { t =>
+      val shuffled = new scala.util.Random(42).shuffle(t.split(" ").toList).mkString(" ")
+      val df = Seq((1L, t), (2L, shuffled)).toDF("doc_id", "text")
+      val v = ops.Embed.hashEmbed(df, "text", 8).select($"doc_id", $"vec")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      v(1L) == v(2L) && v(1L).map(math.abs).sum <= t.split(" ").length
+    }
+  }
+
+  /** 40 samples (Spark-action properties are costlier than pure ones). */
+  private def checkAllFew[A](gen: Gen[A])(p: A => Boolean): Unit = {
+    (0 until 40).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(2000L + i)).foreach { a =>
+        assert(p(a), s"property failed for sample #$i: $a")
+      }
+    }
+  }
+
+  test("mixture sampling is partition-invariant and repartition-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      ops.Sampling.mixtureSample(df, "doc_id", "source", Map("src1" -> 3000), 7000)
+        .select($"doc_id").as[Long].collect().toSet
+    val base = ids(docs)
+    assert(ids(docs.repartition(13)) == base)
+    assert(ids(docs.coalesce(1)) == base)
+  }
 }
