@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the FULL corpus pipeline — the two halves
+  * of this library composed into one runnable artifact: extraction
+  * (registry dispatch → boilerplate classify → ordered spans) feeding
+  * corpus preparation (reassemble → redact → filter → dedup → resolve →
+  * mix → pack) and writing a training-ready shard table plus a per-domain
+  * profile. What a user of the reference would actually run to turn a
+  * crawl into training data.
+  *
+  * Usage: graft.CorpusMain <outDir> [nDocs]
+  */
+object CorpusMain {
+
+  /** Stage counts keyed by stage name, in pipeline order. */
+  def run(spark: SparkSession, nDocs: Long, outDir: String,
+          parallelism: Int): Seq[(String, Long)] = {
+    import spark.implicits._
+    val raw = DocGen.generate(spark, nDocs, parallelism)
+
+    // 1. extraction: the native extract_spans expression (the fast path;
+    //    span-for-span equal to the typed engine — SpanEqualitySpec)
+    val extracted = plans.GraftFunctions.extractColumnar(raw.toDF())
+
+    // 2. reassemble document text from kept non-media spans, offset order
+    val texts = extracted.select($"doc_id", $"domain",
+        array_join(expr(
+          "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
+            "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
+      .where(length($"text") > 0)
+      .localCheckpoint()
+
+    // 3. clean: PII scrub, then minimum size + Gopher repetition gate
+    val cleaned = texts
+      .withColumn("text", ops.Cleaning.redactPii($"text"))
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4($"w") <= 3000)
+      .drop("w")
+      .localCheckpoint()
+
+    // 4. dedup: exact keep-first, then LSH near-dup cluster resolution
+    val exact = ops.Dedup.exactDedup(cleaned, "doc_id", "text").localCheckpoint()
+    val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val deduped = ops.Dedup.dedupCorpus(exact, "doc_id", pairs).localCheckpoint()
+
+    // 5. mix by domain and pack into token-budget shards
+    val mixed = ops.Sampling.mixtureSample(deduped, "doc_id", "domain",
+      Map.empty, defaultBp = 10000)
+    val packed = ops.Sampling.packShards(mixed, "doc_id", "domain",
+      ops.TextStats.tokenCount($"text").cast("bigint"), budget = 2048)
+
+    packed.write.mode("overwrite").parquet(s"$outDir/shards")
+    val profile = spark.read.parquet(s"$outDir/shards")
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
+        (max($"shard") + 1).as("shards"))
+    profile.write.mode("overwrite").parquet(s"$outDir/profile")
+
+    val admitted = spark.read.parquet(s"$outDir/shards")
+    Seq(
+      "raw" -> nDocs,
+      "with_text" -> texts.count(),
+      "cleaned" -> cleaned.count(),
+      "exact_deduped" -> exact.count(),
+      "near_deduped" -> deduped.count(),
+      "admitted" -> admitted.count(),
+      "shards" -> admitted.select($"domain", $"shard").distinct().count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse(sys.error(
+      "usage: graft.CorpusMain <outDir> [nDocs]"))
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", s"local[$cpus]"))
+      .appName("graft-corpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val stages = run(spark, nDocs, outDir, cpus.toInt * 2)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(stages.map { case (k, v) => s""""$k":$v""" }
+      .mkString("""{"metric":"corpus_pipeline",""", ",", f""","wall_sec":$secs%.1f}"""))
+    spark.stop()
+  }
+}

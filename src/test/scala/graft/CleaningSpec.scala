@@ -95,6 +95,23 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusMain.run: raw docs → extracted → cleaned → deduped → packed shards + profile") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cmain_").toString
+    val stages = graft.CorpusMain.run(spark, 2000, out, 4).toMap
+    // the funnel only narrows, and every stage emits something
+    val order = Seq("raw", "with_text", "cleaned", "exact_deduped", "near_deduped", "admitted")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(stages(a) >= stages(b), s"$a=${stages(a)} < $b=${stages(b)}")
+    }
+    assert(stages("admitted") > 0 && stages("shards") > 0)
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.count() == stages("admitted"))
+    assert(shards.columns.toSet.intersect(Set("doc_id", "text", "tokens", "shard")).size == 4)
+    // profile accounts for every admitted doc
+    val prof = spark.read.parquet(s"$out/profile")
+    assert(prof.agg(sum($"docs")).head().getLong(0) == stages("admitted"))
+  }
+
   test("pruneRepeatedLines keeps lines under the doc-count threshold") {
     val line = "l1 l2 l3 l4 l5 l6 l7 l8"
     val docs = (0L until 3L).map(i => i -> s"$line only$i b c d e f g h")
