@@ -210,8 +210,10 @@ object Dedup {
       materialize: Boolean = true): DataFrame = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // 1. exact, within delta then vs corpus
+    // (no distinct() on the corpus hashes: left-anti ignores right-side
+    // multiplicity, and distinct would be a corpus-wide shuffle)
     val deltaE = mat(exactDedup(delta, idCol, textCol)
-      .join(corpus.select(md5(col(textCol)).as("__ch")).distinct(),
+      .join(corpus.select(md5(col(textCol)).as("__ch")),
         md5(col(textCol)) === col("__ch"), "left_anti"))
     // 2. banded signatures once per side; guard on the UNION bucket size
     val dBand = mat(bandedSignatures(

@@ -29,19 +29,34 @@ object Sampling {
   def hashBpSql(key: String): String =
     s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % 10000 AS INT)"
 
+  /** Above this many strata the rate table joins as a broadcast DataFrame
+    * instead of a CASE cascade — a 10k-entry when-chain is a plan-size /
+    * codegen blowup (the same hazard class as a literal IVF codebook). */
+  val RatesLiteralMax = 64
+
   /** Mixture sampling: keep each row iff hashBp(id) < rate(stratum), with
     * per-stratum rates in basis points (10000 = keep all). Rows of strata
-    * absent from `ratesBp` keep `defaultBp`. Pure map-side filter — the
-    * broadcast-free, shuffle-free shape; at 100 TB this composes with
+    * absent from `ratesBp` keep `defaultBp`. Small rate maps compile to a
+    * pure map-side CASE filter (shuffle-free); maps above
+    * [[RatesLiteralMax]] reach executors as a BROADCAST rate-table join —
+    * still map-side, never a plan literal. At 100 TB this composes with
     * predicate pushdown (the md5 filter itself cannot push into parquet,
     * but stratum pruning can). */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
-                    ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
-    val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp)) {
-      case ((s, bp), els) => when(col(stratumCol) === s, bp).otherwise(els)
+                    ratesBp: Map[String, Int], defaultBp: Int): DataFrame =
+    if (ratesBp.size <= RatesLiteralMax) {
+      val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp)) {
+        case ((s, bp), els) => when(col(stratumCol) === s, bp).otherwise(els)
+      }
+      df.where(hashBp(col(idCol)) < rate)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rates = ratesBp.toSeq.toDF("__stratum", "__bp")
+      df.join(broadcast(rates), col(stratumCol) === col("__stratum"), "left")
+        .where(hashBp(col(idCol)) < coalesce(col("__bp"), lit(defaultBp)))
+        .drop("__stratum", "__bp")
     }
-    df.where(hashBp(col(idCol)) < rate)
-  }
 
   /** Deterministic split label: "test" for the `testBp`/10⁴ fraction of
     * ids, "train" otherwise. Salting the key decorrelates the split from
@@ -55,15 +70,38 @@ object Sampling {
     * token counts; a document starts shard ⌊exclusive-cumsum / budget⌋.
     * First-fit-sequential: a shard may overflow by at most one document.
     *
-    * Scale shape: one window cumsum per stratum. Strata (sources / buckets)
-    * partition the window, so no single task sees more than a stratum —
-    * pack per range-bucket when a stratum is unbounded. */
+    * Scale shape: one window cumsum per stratum — the window SORTS the
+    * whole stratum in one task, so this form is for bounded strata
+    * (sources, shards of a previous pass). For an unbounded stratum use
+    * [[packShardsBucketed]], which bounds every task by the hash bucket. */
   def packShards(df: DataFrame, idCol: String, stratumCol: String,
                  tokensCol: Column, budget: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("tokens", tokensCol)
+      .withColumn("cum0", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("shard", expr(s"CAST(cum0 div $budget AS INT)"))
+      .drop("cum0")
+  }
+
+  /** [[packShards]] with bounded task size: documents sub-partition into
+    * `buckets` deterministic hash buckets per stratum and pack within
+    * (stratum, bucket) — no window task ever sorts more than a bucket (the
+    * same bounded-buffer discipline as the exact-dedup partial-agg shape).
+    * Shards are identified by (`pack_bucket`, `shard`); the budget
+    * invariant (≤ one overflow doc per shard) holds per shard exactly as
+    * in the flat form. */
+  def packShardsBucketed(df: DataFrame, idCol: String, stratumCol: String,
+                         tokensCol: Column, budget: Int, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val bucketed = df.withColumn("pack_bucket",
+      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % buckets).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("pack_bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.withColumn("tokens", tokensCol)
       .withColumn("cum0", coalesce(sum(col("tokens")).over(w), lit(0L)))
       .withColumn("shard", expr(s"CAST(cum0 div $budget AS INT)"))
       .drop("cum0")

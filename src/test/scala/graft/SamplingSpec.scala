@@ -49,6 +49,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(lowTest.toDouble / low - 0.2) < 0.1)
   }
 
+  test("mixtureSample: broadcast rate-table path (big maps) == literal CASE path") {
+    val docs = documents.select($"doc_id", $"source")
+    val small = ops.Sampling.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 2000, "src1" -> 8000), 6000)
+      .select("doc_id").as[Long].collect().toSet
+    // pad the map past RatesLiteralMax with strata that don't occur —
+    // forces the broadcast-join path with identical effective rates
+    val big = Map("src0" -> 2000, "src1" -> 8000) ++
+      (0 until ops.Sampling.RatesLiteralMax + 10).map(i => s"zz$i" -> 1)
+    assert(big.size > ops.Sampling.RatesLiteralMax)
+    val joined = ops.Sampling.mixtureSample(docs, "doc_id", "source", big, 6000)
+    assert(joined.select("doc_id").as[Long].collect().toSet == small)
+    assert(joined.columns.sameElements(docs.columns)) // helper cols dropped
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("packShardsBucketed: per-bucket packing equals flat packing of that bucket") {
+    val docs = documents.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("n"))
+    val bucketed = ops.Sampling.packShardsBucketed(docs, "doc_id", "source",
+      col("n"), 300, buckets = 3)
+    val got = bucketed.select($"doc_id", $"pack_bucket", $"shard")
+      .as[(Long, Int, Int)].collect()
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // within every (stratum, bucket), the flat packer on that subset agrees
+    got.groupBy(_._2).foreach { case (b, rows) =>
+      val subset = bucketed.where($"pack_bucket" === b)
+        .select($"doc_id", $"source", $"n")
+      val flat = ops.Sampling.packShards(subset, "doc_id", "source", col("n"), 300)
+        .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+      rows.foreach { case (id, _, shard) => assert(flat(id) == shard, s"doc $id") }
+    }
+  }
+
   test("packShards fills budget sequentially and overflows by at most one doc") {
     val docs = Seq(
       (1L, "a", 200L), (2L, "a", 200L), (3L, "a", 200L), (4L, "a", 400L),
