@@ -82,6 +82,24 @@ object Cleaning {
   private def fracQ4(cnt: Column, w: Column): Column =
     (floor(cnt.cast("double") / size(w).cast("double") * 10000)).cast("int")
 
+  /** Sliding-window chunking for context-window preparation: word windows
+    * of `maxTokens` starting every `maxTokens - overlap` words (the
+    * standard stride-with-overlap split of long documents into training
+    * sequences). Returns array<struct<idx:int, chunk:string>>; the final
+    * window may be shorter. Pure per-row algebra — `w` must be a plain
+    * column reference. */
+  def chunkWindows(w: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val s = w.toString
+    expr(s"""transform(sequence(0, (size($s) - 1) div $step),
+            |  i -> named_struct('idx', CAST(i AS INT),
+            |                    'chunk', array_join(slice($s, i * $step + 1, $maxTokens), ' ')))"""
+      .stripMargin)
+  }
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

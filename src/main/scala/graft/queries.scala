@@ -1724,6 +1724,33 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Context-window chunking (ops.Cleaning.chunkWindows): 16-word windows
+    * with 4-word overlap (stride 12), exploded to one row per chunk —
+    * the long-document → training-sequence split. */
+  private val qChunkWindows = QueryDef(
+    "q_chunk_windows",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 150)
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .select($"doc_id",
+          posexplode(ops.Cleaning.chunkWindows($"w", 16, 4)).as(Seq("pos", "c")))
+        .select($"doc_id", $"c.idx".as("idx"),
+          size(split($"c.chunk", " ")).cast("int").as("n_tok"),
+          md5($"c.chunk").as("sig"))
+        .orderBy($"doc_id", $"idx")
+    },
+    Some("""WITH ww AS (SELECT doc_id, string_split(text, ' ') AS w
+           |  FROM documents WHERE doc_id < 150),
+           |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+           |    array_to_string(w[i*12+1 : i*12+16], ' ') AS chunk
+           |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//12) + 1)) AS i FROM ww))
+           |SELECT doc_id, idx,
+           |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tok,
+           |  md5(chunk) AS sig
+           |FROM ch ORDER BY doc_id, idx""".stripMargin))
+
   /** Corpus profile — the per-source report a data engineer runs before
     * training: doc/token/quality mass, language-ID distribution, and the
     * worst repetition score per source, all integer-exact compositions of
@@ -2313,7 +2340,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
-    qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile,
+    qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 

@@ -43,6 +43,22 @@ class CleaningSpec extends AnyFunSuite {
     assert(m(2L) == 0)
   }
 
+  test("chunkWindows: stride-with-overlap split, consecutive full chunks share the overlap") {
+    val words = (1 to 20).map("w" + _)
+    val df = textDf(1L -> words.mkString(" "))
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select(explode(ops.Cleaning.chunkWindows($"w", 8, 3)).as("c"))
+      .select($"c.idx", $"c.chunk")
+    val chunks = df.collect().map(r => r.getInt(0) -> r.getString(1).split(" ").toSeq).toMap
+    // step = 5: starts 0, 5, 10, 15
+    assert(chunks.keySet == Set(0, 1, 2, 3))
+    assert(chunks(0) == words.slice(0, 8))
+    assert(chunks(1) == words.slice(5, 13))
+    assert(chunks(3) == words.slice(15, 20)) // final window short
+    // full consecutive windows overlap by exactly 3 words
+    assert(chunks(0).takeRight(3) == chunks(1).take(3))
+  }
+
   // ---- PII redaction ----
 
   test("redactPii scrubs email, ipv4, and long digit runs in order") {
