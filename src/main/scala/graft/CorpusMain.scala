@@ -54,21 +54,25 @@ object CorpusMain {
       ops.TextStats.tokenCount($"text").cast("bigint"), budget = 2048)
 
     packed.write.mode("overwrite").parquet(s"$outDir/shards")
+    // ONE scan of the written shards feeds the profile and both stage
+    // counts; countDistinct(shard) is exact even when an over-budget doc
+    // makes shard ids skip (max(shard)+1 would overcount there)
     val profile = spark.read.parquet(s"$outDir/shards")
       .groupBy($"domain")
       .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
-        (max($"shard") + 1).as("shards"))
+        countDistinct($"shard").as("shards"))
+      .localCheckpoint()
     profile.write.mode("overwrite").parquet(s"$outDir/profile")
 
-    val admitted = spark.read.parquet(s"$outDir/shards")
+    val totals = profile.agg(sum($"docs"), sum($"shards")).head()
     Seq(
       "raw" -> nDocs,
       "with_text" -> texts.count(),
       "cleaned" -> cleaned.count(),
       "exact_deduped" -> exact.count(),
       "near_deduped" -> deduped.count(),
-      "admitted" -> admitted.count(),
-      "shards" -> admitted.select($"domain", $"shard").distinct().count())
+      "admitted" -> totals.getLong(0),
+      "shards" -> totals.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {

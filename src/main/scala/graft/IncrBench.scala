@@ -39,15 +39,20 @@ object IncrBench {
     val corpus = spark.range(nCorpus)
       .select($"id".as("doc_id"), docText($"id").as("text")).cache()
     // delta quarters: fresh | exact re-crawl | near-dup re-crawl | internal pairs
+    // id/text offsets far above any plausible corpus width — a corpus of
+    // 10M+ docs must NOT collide with the "fresh" quarter's ids or texts
+    // (a collision silently turns fresh docs into exact re-crawls and
+    // corrupts the corpus-width comparison this bench exists to make)
+    require(nCorpus < 1000000000, "corpus width would collide with delta id space")
     val q = nDelta / 4
     val delta = spark.range(q)
-      .select(($"id" + 10000000L).as("doc_id"), docText($"id" + 10000000L).as("text"))
-      .union(spark.range(q).select(($"id" + 20000000L).as("doc_id"), docText($"id").as("text")))
-      .union(spark.range(q).select(($"id" + 30000000L).as("doc_id"),
+      .select(($"id" + 1000000000L).as("doc_id"), docText($"id" + 1000000000L).as("text"))
+      .union(spark.range(q).select(($"id" + 2000000000L).as("doc_id"), docText($"id").as("text")))
+      .union(spark.range(q).select(($"id" + 3000000000L).as("doc_id"),
         concat(docText($"id" + q), lit(" extra")).as("text")))
       .union(spark.range(q / 2).flatMap { i =>
         val base = (0 until 12).map(j => s"p${i}t$j").mkString(" ")
-        Seq((40000000L + i, base), (50000000L + i, base + " tail"))
+        Seq((4000000000L + i, base), (5000000000L + i, base + " tail"))
       }.toDF("doc_id", "text"))
       .cache()
     corpus.count(); delta.count() // materialize outside the timed region

@@ -86,15 +86,18 @@ object Cleaning {
     * of `maxTokens` starting every `maxTokens - overlap` words (the
     * standard stride-with-overlap split of long documents into training
     * sequences). Returns array<struct<idx:int, chunk:string>>; the final
-    * window may be shorter. Pure per-row algebra — `w` must be a plain
-    * column reference. */
+    * window may be shorter but is NEVER fully contained in the previous
+    * one (the window count is ceil((n − maxTokens)/step) + 1, so no text
+    * is emitted twice beyond the intended overlap). Pure per-row algebra —
+    * `w` must be a plain column reference. */
   def chunkWindows(w: Column, maxTokens: Int, overlap: Int): Column = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap")
     val step = maxTokens - overlap
     val s = w.toString
-    expr(s"""transform(sequence(0, (size($s) - 1) div $step),
+    val maxIdx = s"greatest(0, (size($s) - $maxTokens + ${step - 1}) div $step)"
+    expr(s"""transform(sequence(0, $maxIdx),
             |  i -> named_struct('idx', CAST(i AS INT),
             |                    'chunk', array_join(slice($s, i * $step + 1, $maxTokens), ' ')))"""
       .stripMargin)

@@ -129,12 +129,20 @@ object Dedup {
     * LSH banding. `pairs` has (id_a, id_b); returns pairs + jaccard ≥
     * threshold. */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, threshold: Double): DataFrame = {
-    val words = docs.select(col(idCol).as("__id"),
+      pairs: DataFrame, threshold: Double): DataFrame =
+    jaccardVerifyAcross(docs, docs, idCol, textCol, pairs, threshold)
+
+  /** [[jaccardVerify]] over two doc tables: id_a resolves against `docsA`,
+    * id_b against `docsB` — ONE copy of the Jaccard formula serves the
+    * self-join and cross-corpus cases, and an id present in both tables
+    * can never be matched against the wrong side's text. */
+  def jaccardVerifyAcross(docsA: DataFrame, docsB: DataFrame, idCol: String,
+      textCol: String, pairs: DataFrame, threshold: Double): DataFrame = {
+    def words(d: DataFrame) = d.select(col(idCol).as("__id"),
       array_distinct(split(col(textCol), " ")).as("__wset"))
     pairs
-      .join(words.as("wa"), col("id_a") === col("wa.__id"))
-      .join(words.as("wb"), col("id_b") === col("wb.__id"))
+      .join(words(docsA).as("wa"), col("id_a") === col("wa.__id"))
+      .join(words(docsB).as("wb"), col("id_b") === col("wb.__id"))
       .withColumn("inter", size(array_intersect(col("wa.__wset"), col("wb.__wset"))))
       .withColumn("uni", size(array_union(col("wa.__wset"), col("wb.__wset"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -166,7 +174,12 @@ object Dedup {
 
   /** The union buckets [[incrementalDedup]] drops at `maxBucket`, with
     * member counts — the audit/log surface for the incremental hot-bucket
-    * guard (mirror of [[lshOversizeBuckets]]; no silent caps). */
+    * guard (mirror of [[lshOversizeBuckets]]; no silent caps).
+    *
+    * To audit exactly what incrementalDedup's guard saw, feed it the
+    * POST-exact-dedup delta signatures (`minhashSignatures(exactDedup(
+    * delta, ...), ...)`) — the guard runs after the exact pass, so a
+    * raw-delta audit over-counts buckets whose members were exact dups. */
   def lshOversizeBucketsUnion(deltaSigs: DataFrame, corpusSigs: DataFrame,
       idCol: String, bands: Int, maxBucket: Int): DataFrame =
     unionBucketCounts(
@@ -233,17 +246,9 @@ object Dedup {
       .select(col("d.__id").as("id_a"), col("c.__id").as("id_b")).distinct()
     // verify each side against its OWN text table — a delta id that
     // collides with a corpus id can never be checked against the wrong text
-    val dWords = deltaE.select(col(idCol).as("__did"),
-      array_distinct(split(col(textCol), " ")).as("__dw"))
-    val cWords = corpus.select(col(idCol).as("__cid"),
-      array_distinct(split(col(textCol), " ")).as("__cw"))
-    val matched = mat(across
-      .join(dWords, col("id_a") === col("__did"))
-      .join(cWords, col("id_b") === col("__cid"))
-      .withColumn("__j", size(array_intersect(col("__dw"), col("__cw"))).cast("double") /
-        size(array_union(col("__dw"), col("__cw"))))
-      .where(col("__j") >= threshold)
-      .select(col("id_a").as("__mid")).distinct())
+    val matched = mat(
+      jaccardVerifyAcross(deltaE, corpus, idCol, textCol, across, threshold)
+        .select(col("id_a").as("__mid")).distinct())
     // 3. within-delta near-dup clusters (same guarded banding reused); a
     //    corpus match poisons its whole cluster
     val withinCands = gd.as("x").join(gd.as("y"),

@@ -1745,7 +1745,9 @@ object Queries {
            |  FROM documents WHERE doc_id < 150),
            |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
            |    array_to_string(w[i*12+1 : i*12+16], ' ') AS chunk
-           |  FROM (SELECT doc_id, w, unnest(range(0, ((len(w)-1)//12) + 1)) AS i FROM ww))
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(0, greatest(0, (len(w) - 16 + 11)//12) + 1)) AS i
+           |        FROM ww))
            |SELECT doc_id, idx,
            |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tok,
            |  md5(chunk) AS sig

@@ -260,14 +260,18 @@ object EventStream {
   private[graft] def admitBatch(batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String, threshold: Double): Unit = {
     val spark = batch.sparkSession
-    // first-batch detection is an explicit existence check, NOT a broad
-    // exception catch: a transient read failure (permissions, metastore,
-    // storage) must fail the batch — substituting an empty corpus would
-    // skip dedup and permanently admit duplicates
+    // first-batch detection looks for COMMITTED data files, NOT a broad
+    // exception catch and not bare directory existence: a pre-created or
+    // crash-leftover empty dir is still "no corpus yet", while a transient
+    // read failure (permissions, metastore, storage) on a real corpus must
+    // fail the batch — substituting an empty corpus would skip dedup and
+    // permanently admit duplicates
     val path = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
     val corpus =
-      if (fs.exists(path)) spark.read.parquet(corpusDir) else batch.limit(0)
+      if (hasData) spark.read.parquet(corpusDir) else batch.limit(0)
     val admitted = graft.ops.Dedup.incrementalDedup(
       batch, corpus, idCol, textCol, threshold = threshold)
     admitted.write.mode("append").parquet(corpusDir)

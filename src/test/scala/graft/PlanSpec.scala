@@ -206,7 +206,10 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select($"doc_id", $"text")
-    // materialize=false keeps full lineage so the assertion sees every join
+    // materialize=false keeps the candidate/verify/anti-join lineage
+    // visible (resolveClusters checkpoints its fixpoint rounds regardless,
+    // so the star-rewrite joins are asserted by their own OpsSpec/bench,
+    // not here)
     val p = ops.Dedup.incrementalDedup(
         docs.where($"doc_id" >= 200), docs.where($"doc_id" < 200),
         "doc_id", "text", materialize = false)
