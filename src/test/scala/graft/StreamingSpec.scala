@@ -234,6 +234,10 @@ class StreamingSpec extends AnyFunSuite {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
 
+    // a PRE-CREATED empty corpus dir (object-store mkdir convention) must
+    // read as "no corpus yet", not fail the first batch
+    new java.io.File(corpusDir).mkdirs()
+
     // wave 1: 40 natural docs + 10 exact dups + 5 near-dups, one file
     val wave1 = base.where($"doc_id" < 40)
       .union(base.where($"doc_id" < 10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
