@@ -129,6 +129,35 @@ object Cleaning {
     regexp_count(textCol, lit(pattern))
 
   // ------------------------------------------------------------------
+  // Blocklist filtering (domain + content word list)
+  // ------------------------------------------------------------------
+
+  /** Drop rows whose `domainCol` is on the blocklist. Small lists compile
+    * to a literal NOT IN (map-side, no shuffle); large lists (real URL
+    * blocklists run to millions of entries) should come as a DataFrame via
+    * the overload below. */
+  def filterBlockedDomains(df: DataFrame, domainCol: String,
+                           blocklist: Seq[String]): DataFrame =
+    df.where(!col(domainCol).isin(blocklist: _*))
+
+  /** Blocklist as a relation: broadcast LEFT ANTI join — the shape for
+    * lists too large for a plan literal. */
+  def filterBlockedDomains(df: DataFrame, domainCol: String,
+                           blocklist: DataFrame): DataFrame =
+    df.join(broadcast(blocklist.select(col(blocklist.columns.head).as(domainCol))),
+      Seq(domainCol), "left_anti")
+
+  /** Fraction (basis points) of words on a blockword list — the C4-style
+    * content gate (`blockwordFracQ4(w, list) <= threshold`). Integer-exact,
+    * per-row, codegen-friendly. */
+  def blockwordFracQ4(w: Column, blockwords: Seq[String]): Column = {
+    val lits = blockwords.sorted.map("'" + _ + "'").mkString(",")
+    val s = w.toString
+    expr(s"""CAST(floor(CAST(size(filter($s, x -> x in ($lits))) AS DOUBLE)
+            |  / CAST(size($s) AS DOUBLE) * 10000) AS INT)""".stripMargin)
+  }
+
+  // ------------------------------------------------------------------
   // Benchmark decontamination
   // ------------------------------------------------------------------
 

@@ -1724,6 +1724,34 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Blocklist filtering (ops.Cleaning): drop blocked sources (broadcast
+    * anti-join) then gate on blockword content fraction — the C4-style
+    * badlist stage. Sources src3/src7 are blocked; the blockword list
+    * reuses common corpus words so the gate actually fires. */
+  private val qBlocklist = QueryDef(
+    "q_blocklist",
+    (s, dir) => {
+      import s.implicits._
+      val blockwords = Seq("slow", "spam")
+      val blockedSrc = Seq("src3", "src7").toDF("source")
+      val kept = ops.Cleaning.filterBlockedDomains(
+        t(s, dir, "documents").select($"doc_id", $"source", $"text"),
+        "source", blockedSrc)
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .withColumn("bw", ops.Cleaning.blockwordFracQ4($"w", blockwords))
+      kept.where($"bw" <= 400)
+        .select($"doc_id", $"source", $"bw")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH kept AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents WHERE source NOT IN ('src3', 'src7')),
+           |g AS (SELECT doc_id, source,
+           |    CAST(floor(CAST(len(list_filter(w, x -> list_contains(['slow','spam'], x))) AS DOUBLE)
+           |      / CAST(len(w) AS DOUBLE) * 10000) AS INT) AS bw
+           |  FROM kept)
+           |SELECT doc_id, source, bw FROM g WHERE bw <= 400
+           |ORDER BY doc_id""".stripMargin))
+
   /** Context-window chunking (ops.Cleaning.chunkWindows): 16-word windows
     * with 4-word overlap (stride 12), exploded to one row per chunk —
     * the long-document → training-sequence split. */
@@ -2343,6 +2371,7 @@ object Queries {
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
+    qBlocklist,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 

@@ -79,6 +79,23 @@ class CleaningSpec extends AnyFunSuite {
     assert(df.collect().head.getString(0) == "order 12345678901 of 7 items at 3.14 rate")
   }
 
+  // ---- blocklists ----
+
+  test("domain blocklist: literal and broadcast-relation overloads agree; blockword gate is exact") {
+    val df = Seq((1L, "good.com", "fine text here"),
+      (2L, "bad.com", "fine text here"),
+      (3L, "good.com", "spam spam ok ok")).toDF("doc_id", "domain", "text")
+    val lit1 = ops.Cleaning.filterBlockedDomains(df, "domain", Seq("bad.com"))
+      .select($"doc_id").as[Long].collect().toSet
+    val rel = ops.Cleaning.filterBlockedDomains(df, "domain",
+      Seq("bad.com").toDF("d")).select($"doc_id").as[Long].collect().toSet
+    assert(lit1 == Set(1L, 3L) && rel == lit1)
+    val bw = df.withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.blockwordFracQ4($"w", Seq("spam")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bw(1L) == 0 && bw(3L) == 5000) // 2 of 4 words
+  }
+
   // ---- decontamination ----
 
   test("decontaminate drops docs sharing a 5-gram with the benchmark, keeps the rest") {
