@@ -70,6 +70,24 @@ object IncrBench {
     }
     println(f"""{"metric":"incremental_dedup","corpus":$nCorpus,"delta":$nDelta,""" +
       f""""admitted":$admitted,"sec":$sec%.2f,"delta_docs_per_sec":${(nDelta / sec).toLong}}""")
+
+    // index path: the one-time buildIndex cost, then the per-increment
+    // wall with the index AT REST (parquet round trip — the persistence
+    // contract) — this is the row that must stay FLAT in corpus width
+    val ixDir = java.nio.file.Files.createTempDirectory("incr_index_").toString
+    val tIx0 = System.nanoTime()
+    ops.Dedup.buildIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(ixDir)
+    val ixSec = (System.nanoTime() - tIx0) / 1e9
+    val index = spark.read.parquet(ixDir)
+    val (admittedIx, secIx) = timed {
+      ops.Dedup.incrementalDedupIndexed(delta, corpus, index, "doc_id", "text").count()
+    }
+    require(admittedIx == admitted,
+      s"index path admitted $admittedIx != corpus path $admitted")
+    println(f"""{"metric":"incremental_dedup_indexed","corpus":$nCorpus,"delta":$nDelta,""" +
+      f""""admitted":$admittedIx,"build_index_sec":$ixSec%.2f,"sec":$secIx%.2f,""" +
+      f""""delta_docs_per_sec":${(nDelta / secIx).toLong}}""")
     spark.stop()
   }
 }

@@ -42,18 +42,32 @@ object Cleaning {
 
   /** Fraction (in basis points, floor(frac·10000) as int) of words taken
     * by the single most frequent word — Gopher's "fraction of the document
-    * in the top word". O(distinct·n) per row, zero shuffle: at 100 TB this
-    * is pure map-side CPU bounded by document length. `w` must be a plain
-    * column reference (expr-string round-trip). */
-  def topWordFracQ4(w: Column): Column = fracQ4(modeCount(w.toString), w)
+    * in the top word". Zero shuffle, but the mode scan is O(distinct·n)
+    * PER ROW — quadratic-ish on a pathological long document.
+    * PRECONDITION: run after a document length cap (Gopher gates always
+    * do), or use [[topWordFracQ4Capped]] which bakes the cap in. */
+  def topWordFracQ4(w: Column): Column = fracQ4(modeCountCol(w), w)
+
+  /** [[topWordFracQ4]] evaluated over the first `maxWords` words only —
+    * the bounded-cost form for corpora that may contain pathological
+    * 100k-word documents: the statistic (numerator AND denominator) is
+    * computed on the capped prefix, exactly as Gopher computes it on the
+    * length-capped document. Per-row cost is bounded by
+    * O(distinct(prefix)·maxWords) regardless of document length. */
+  def topWordFracQ4Capped(w: Column, maxWords: Int): Column = {
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val capped = slice(w, 1, maxWords)
+    fracQ4(modeCountCol(capped), capped)
+  }
 
   /** Same statistic over adjacent word bigrams (Gopher's top-2-gram rule);
-    * documents shorter than 2 words score 0. */
+    * documents shorter than 2 words score 0. Same O(distinct·n) per-row
+    * cost and length-cap precondition as [[topWordFracQ4]]. */
   def topBigramFracQ4(w: Column): Column = {
-    val s = w.toString
-    val bi = s"transform(sequence(1, size($s) - 1), i -> concat(element_at($s, i), ' ', element_at($s, i + 1)))"
+    val bi = transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
     when(size(w) < 2, 0).otherwise(
-      (floor(expr(modeCountOver(bi)).cast("double") /
+      (floor(modeCountCol(bi).cast("double") /
         (size(w) - 1).cast("double") * 10000)).cast("int"))
   }
 
@@ -73,11 +87,11 @@ object Cleaning {
     s"transform(sequence(0, (size($s) - 1) div $lineLen), " +
       s"i -> array_join(slice($s, i * $lineLen + 1, $lineLen), ' '))"
 
-  private def modeCount(s: String): Column = expr(modeCountOver(s))
-
-  /** Count of the most frequent element of array fragment `arr`. */
-  private def modeCountOver(arr: String): String =
-    s"array_max(transform(array_distinct($arr), x -> size(filter($arr, y -> y = x))))"
+  /** Count of the most frequent element of an array column — pure Column
+    * API (no expr-string round-trip, so any derived column works).
+    * O(distinct·n) per row: see the precondition on [[topWordFracQ4]]. */
+  private def modeCountCol(arr: Column): Column =
+    array_max(transform(array_distinct(arr), x => size(filter(arr, y => y === x))))
 
   private def fracQ4(cnt: Column, w: Column): Column =
     (floor(cnt.cast("double") / size(w).cast("double") * 10000)).cast("int")
@@ -151,10 +165,13 @@ object Cleaning {
     * content gate (`blockwordFracQ4(w, list) <= threshold`). Integer-exact,
     * per-row, codegen-friendly. */
   def blockwordFracQ4(w: Column, blockwords: Seq[String]): Column = {
-    val lits = blockwords.sorted.map("'" + _ + "'").mkString(",")
-    val s = w.toString
-    expr(s"""CAST(floor(CAST(size(filter($s, x -> x in ($lits))) AS DOUBLE)
-            |  / CAST(size($s) AS DOUBLE) * 10000) AS INT)""".stripMargin)
+    // Column API (typedLit + array_contains), never string interpolation:
+    // a blockword containing an apostrophe ("don't") would break a
+    // quoted-literal SQL build, and arbitrary list contents would be
+    // expression injection.
+    val bw = typedLit(blockwords.sorted)
+    floor(size(filter(w, x => array_contains(bw, x))).cast("double")
+      / size(w).cast("double") * 10000).cast("int")
   }
 
   // ------------------------------------------------------------------

@@ -187,6 +187,45 @@ object Dedup {
       bandedSignatures(corpusSigs, idCol, bands))
       .where(col("members") > maxBucket)
 
+  // ------------------------------------------------------------------
+  // Persisted corpus index: the hash + banded-signature relation that
+  // makes increments independent of corpus width. incrementalDedup's
+  // corpus-side cost is one md5 + MinHash/banding pass per increment —
+  // linear in the corpus (IncrBench: ~36 s per 1M docs per increment).
+  // Those two projections are pure functions of the immutable corpus, so
+  // they are computed ONCE here, persisted beside the corpus (plain
+  // parquet, or committed through the snapshot manifest so corpus and
+  // index can never desync — EventStream.runIndexedCorpusStream), and
+  // consumed by incrementalDedupIndexed. Per-increment corpus cost drops
+  // to scanning ~bands narrow rows/doc of hashes — no text, no regex, no
+  // md5 over corpus bytes.
+  // ------------------------------------------------------------------
+
+  /** Build the dedup index of a corpus: one relation with, per document,
+    * `bands` rows (id, h = md5(text), band, bandhash); a document whose
+    * signature is too short to band (< 3 words) carries a single
+    * (band = -1, bandhash = null) row so its hash still participates in
+    * the exact pass. Row width is (id, 32-hex, int, 32-hex) — tiny next
+    * to the corpus text. Select `band <= 0` for the one-row-per-doc hash
+    * table, `band >= 0` for the banded signature table.
+    *
+    * The index of newly admitted delta rows is `buildIndex(admitted, ...)`
+    * with the SAME (k, bands) — append it to keep the index in lockstep
+    * with the corpus. */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val sigs = minhashSignatures(corpus, textCol, k)
+      .select(col(idCol), md5(col(textCol)).as("h"), col("sig"))
+    val banded = sigs.where(size(col("sig")) >= bands)
+      .select(col(idCol), col("h"),
+        posexplode(expr(bandHashExpr(bands))).as(Seq("band", "bandhash")))
+    val short = sigs.where(size(col("sig")) < bands)
+      .select(col(idCol), col("h"),
+        lit(-1).as("band"), lit(null).cast("string").as("bandhash"))
+    banded.unionByName(short)
+  }
+
   /** Incremental dedup — the daily-crawl-increment pattern: admit only the
     * delta rows that survive dedup against an ALREADY-DEDUPED, immutable
     * corpus, without recomputing the corpus. Returns the admitted delta
@@ -222,17 +261,43 @@ object Dedup {
       maxBucket: Int = 4096, maxIters: Int = 50,
       materialize: Boolean = true): DataFrame = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
-    // 1. exact, within delta then vs corpus
-    // (no distinct() on the corpus hashes: left-anti ignores right-side
-    // multiplicity, and distinct would be a corpus-wide shuffle)
+    // delegate to the index path with a just-built (materialized — both
+    // the hash and banding consumers read it) index: ONE signature pass
+    // over the corpus, and the semantics are the index path's by
+    // construction. Callers with a persisted index skip this pass
+    // entirely via incrementalDedupIndexed.
+    incrementalDedupIndexed(delta, corpus,
+      mat(buildIndex(corpus, idCol, textCol, k, bands)),
+      idCol, textCol, k, bands, threshold, maxBucket, maxIters, materialize)
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED corpus index
+    * ([[buildIndex]]) — identical admission decisions (the non-indexed
+    * form delegates here), but the corpus text is never hashed or
+    * signatured: the exact pass anti-joins the index's hash rows, the LSH
+    * pass equi-joins its banded rows. The raw `corpus` is touched only to
+    * resolve the TEXT of near-dup candidate ids for the exact-Jaccard
+    * verify — at production scale store the corpus bucketed by id so that
+    * join prunes to the candidates' buckets. Per-increment cost is
+    * delta-driven + one narrow scan of the index. */
+  def incrementalDedupIndexed(delta: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      maxBucket: Int = 4096, maxIters: Int = 50,
+      materialize: Boolean = true): DataFrame = {
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    // 1. exact, within delta then vs corpus hash rows (band <= 0 selects
+    // exactly one index row per doc; left-anti ignores multiplicity
+    // anyway, the predicate just avoids scanning bands× rows)
     val deltaE = mat(exactDedup(delta, idCol, textCol)
-      .join(corpus.select(md5(col(textCol)).as("__ch")),
+      .join(index.where(col("band") <= 0).select(col("h").as("__ch")),
         md5(col(textCol)) === col("__ch"), "left_anti"))
-    // 2. banded signatures once per side; guard on the UNION bucket size
+    // 2. delta banded signatures; corpus side comes from the index; guard
+    // on the UNION bucket size
     val dBand = mat(bandedSignatures(
       minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig")), idCol, bands))
-    val cBand = mat(bandedSignatures(
-      minhashSignatures(corpus, textCol, k).select(col(idCol), col("sig")), idCol, bands))
+    val cBand = index.where(col("band") >= 0)
+      .select(col(idCol).as("__id"), col("band"), col("bandhash"))
     val (gd, gc) =
       if (maxBucket <= 0) (dBand, cBand)
       else {

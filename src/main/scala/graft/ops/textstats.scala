@@ -9,15 +9,35 @@ import org.apache.spark.sql.functions._
   * [[graft.Queries]] with DuckDB oracle twins. */
 object TextStats {
 
-  /** Characteristic word lists per language class — the seed material the
+  /** Characteristic word lists per language — the seed material the
     * character-trigram profiles are built from (the standard n-gram-profile
     * language-ID construction, Cavnar–Trenkle style, reduced to a fixed
     * deterministic profile table so the score is an exact integer in every
-    * engine). */
+    * engine). Eight real languages, seeded from each language's most
+    * common function words (public-knowledge stopword lists) — enough
+    * profile mass that organic text of any of them wins its own argmax;
+    * accented seeds are deliberate (their trigrams are strong
+    * discriminators and exercise the UTF-8 = character semantics both
+    * engines share). Order matters: it is the deterministic tie-break of
+    * [[langId]], so 'en' first keeps English the default on degenerate
+    * all-tie rows (score 0). */
   val profileWords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "that", "this", "from", "with", "is", "at"),
-    "db" -> Seq("table", "scan", "join", "merge", "hash", "query", "filter", "sort"),
-    "st" -> Seq("stream", "batch", "window", "group", "frame", "row", "value"))
+    "en" -> Seq("the", "and", "of", "to", "that", "this", "from", "with",
+      "have", "not", "are", "was"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "sie",
+      "mit", "auf", "für", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "que", "pas",
+      "pour", "dans", "avec", "sur"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "como",
+      "pero", "más", "este", "qué"),
+    "it" -> Seq("il", "gli", "della", "che", "per", "con", "non", "una",
+      "sono", "come", "anche", "più"),
+    "pt" -> Seq("os", "uma", "para", "com", "não", "por", "mais", "dos",
+      "como", "mas", "foi", "ele"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met",
+      "voor", "zijn", "ook", "maar"),
+    "id" -> Seq("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
+      "tidak", "dari", "akan", "pada", "adalah"))
 
   /** Trigram profile per language: every padded character trigram of the
     * profile words (" th", "the", "he " for "the"), distinct and sorted —
@@ -30,25 +50,72 @@ object TextStats {
   }
 
   /** Count of the text's padded character trigrams that appear in the
-    * profile (with multiplicity) — pure integer column algebra. */
+    * profile (with multiplicity) — pure integer column algebra. Built
+    * entirely in the Column API (typedLit profile + array_contains), never
+    * by interpolating the profile into a SQL string: interpolation breaks
+    * on a quote-bearing entry and is expression injection on an arbitrary
+    * one. (sequence(1, 0) counts DOWN in Spark, so the short-text guard
+    * must stay even though the branch is merely wasteful, not wrong.) */
   def trigramScore(textCol: Column, profile: Seq[String]): Column = {
-    val lits = profile.map("'" + _ + "'").mkString(",")
-    val pad = s"concat(' ', ${textCol.toString()}, ' ')"
-    expr(s"""IF(length($pad) < 3, 0,
-            |  size(filter(transform(sequence(1, length($pad) - 2),
-            |    i -> substring($pad, i, 3)), t -> t in ($lits))))""".stripMargin)
+    val pad = concat(lit(" "), textCol, lit(" "))
+    val prof = typedLit(profile)
+    when(length(pad) < 3, lit(0)).otherwise(
+      size(filter(transform(sequence(lit(1), length(pad) - 2),
+        i => pad.substr(i, lit(3))), t => array_contains(prof, t))))
   }
 
-  /** Predicted language: ordered argmax over the trigram-profile scores
-    * (first profile wins ties — deterministic). */
+  /** Predicted language: ordered argmax over the trigram-profile scores —
+    * the FIRST profile (in [[profileWords]] order) achieving the maximum
+    * wins ties, so 'en' is the deterministic default on all-zero rows.
+    * Each score is computed once (array + array_position), not re-derived
+    * per comparison as a when-cascade would. */
   def langId(textCol: Column): Column = {
-    val scores = trigramProfiles.map { case (name, p) => name -> trigramScore(textCol, p) }
-    scores.dropRight(1).zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((name, score), i), els) =>
-        val laterScores = scores.drop(i + 1).map(_._2)
-        when(laterScores.map(score >= _).reduce(_ && _), name).otherwise(els)
-    }
+    val names = trigramProfiles.map(_._1)
+    val scores = array(trigramProfiles.map { case (_, p) => trigramScore(textCol, p) }: _*)
+    element_at(typedLit(names),
+      array_position(scores, array_max(scores)).cast("int"))
   }
+
+  /** Single-quote-escaped SQL string literal (the only escaping DuckDB
+    * literals need); shared by every profile-table SQL generator so a
+    * quote-bearing entry can never inject. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replay of [[trigramScore]] over SQL fragment `c` — generated
+    * from the same profile constant the Spark expression uses. */
+  def trigramScoreSql(c: String, profile: Seq[String]): String = {
+    val lits = profile.map(sqlLit).mkString(",")
+    s"""CAST(len(list_filter(list_transform(
+       |    range(length(' ' || $c || ' ') - 2),
+       |    i -> substr(' ' || $c || ' ', i + 1, 3)),
+       |    t -> list_contains([$lits], t))) AS INT)""".stripMargin
+  }
+
+  /** DuckDB CASE replaying [[langId]]'s ordered argmax over per-language
+    * score fragments (`scoreOf(lang)` — typically the aliased column):
+    * first-max-wins is expressed as "score ≥ every later score". */
+  def langIdCaseSql(scoreOf: String => String): String = {
+    val names = trigramProfiles.map(_._1)
+    names.init.zipWithIndex.map { case (n, i) =>
+      val conds = names.drop(i + 1).map(l => s"${scoreOf(n)} >= ${scoreOf(l)}")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$n'"
+    }.mkString("CASE ", " ", s" ELSE '${names.last}' END")
+  }
+
+  /** Deterministic planted language fixtures — (id, lang, text): five
+    * rotations of each language's seed-word list. Rotation changes the
+    * cross-word trigrams (the pad spans word boundaries), so the five
+    * texts score differently while staying unambiguous. OpsSpec asserts
+    * [[langId]] recovers `lang` for every row (the accuracy floor); the
+    * oracle-gated q_langid carries them as a VALUES list generated from
+    * this same constant. */
+  val plantedFixtures: Seq[(String, String, String)] =
+    profileWords.flatMap { case (lang, ws) =>
+      (0 until 5).map { j =>
+        val rotated = ws.drop(j) ++ ws.take(j)
+        (s"$lang-$j", lang, rotated.mkString(" "))
+      }
+    }
 
   /** Integer quality score: 4·words + 3·stopwords (the boilerplate
     * classifier's text-density formula, graft.Classify.textScore). */

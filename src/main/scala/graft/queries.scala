@@ -701,22 +701,31 @@ object Queries {
     * which matches the corpus is dropped whole (transitive closure). The
     * oracle replays both LSH passes (8-sig/4-band on each side), the
     * Jaccard verifies, and the recursive component/poisoning logic. */
+  /** Shared corpus/delta fixture of the two incremental-dedup queries
+    * (corpus-path and index-path admission must decide identically, so
+    * they share the fixture AND the oracle). */
+  private def incrFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select($"doc_id", $"text")
+    val corpus = base.where($"doc_id" < 40)
+    val delta = base.where($"doc_id" < 10)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text")
+      .union(base.where($"doc_id" >= 10 && $"doc_id" < 20)
+        .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+      .union(base.where($"doc_id" >= 40 && $"doc_id" < 50)
+        .select(($"doc_id" + 3000).as("doc_id"), $"text"))
+      .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
+        .select(($"doc_id" + 4000).as("doc_id"), concat($"text", lit(" alt")).as("text")))
+      .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
+        .select(($"doc_id" + 5000).as("doc_id"), concat($"text", lit(" alt more")).as("text")))
+    (corpus, delta)
+  }
+
   private val qDedupIncremental = QueryDef(
     "q_dedup_incremental",
     (s, dir) => {
       import s.implicits._
-      val base = t(s, dir, "documents").select($"doc_id", $"text")
-      val corpus = base.where($"doc_id" < 40)
-      val delta = base.where($"doc_id" < 10)
-        .select(($"doc_id" + 1000).as("doc_id"), $"text")
-        .union(base.where($"doc_id" >= 10 && $"doc_id" < 20)
-          .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
-        .union(base.where($"doc_id" >= 40 && $"doc_id" < 50)
-          .select(($"doc_id" + 3000).as("doc_id"), $"text"))
-        .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
-          .select(($"doc_id" + 4000).as("doc_id"), concat($"text", lit(" alt")).as("text")))
-        .union(base.where($"doc_id" >= 50 && $"doc_id" < 55)
-          .select(($"doc_id" + 5000).as("doc_id"), concat($"text", lit(" alt more")).as("text")))
+      val (corpus, delta) = incrFixture(s, dir)
       ops.Dedup.incrementalDedup(delta, corpus, "doc_id", "text", threshold = 0.7)
         .select($"doc_id", md5($"text").as("h"))
         .orderBy($"doc_id")
@@ -786,6 +795,28 @@ object Queries {
          |WHERE doc_id NOT IN (SELECT id FROM drops)
          |ORDER BY doc_id""".stripMargin
     })
+
+  /** Index-path incremental dedup (ops.Dedup.incrementalDedupIndexed over
+    * a PERSISTED ops.Dedup.buildIndex relation staged to parquet and read
+    * back): same fixture and same ORACLE as q_dedup_incremental — the
+    * index path must make identical admission decisions while never
+    * hashing or signaturing the corpus text. */
+  private val qDedupIndexQ = QueryDef(
+    "q_dedup_index",
+    (s, dir) => {
+      import s.implicits._
+      val (corpus, delta) = incrFixture(s, dir)
+      val ixPath = s"$corpusDir/dedup_index_demo"
+      Queries.synchronized {
+        ops.Dedup.buildIndex(corpus, "doc_id", "text")
+          .write.mode("overwrite").parquet(ixPath)
+      }
+      ops.Dedup.incrementalDedupIndexed(delta, corpus, s.read.parquet(ixPath),
+          "doc_id", "text", threshold = 0.7)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    qDedupIncremental.oracle)
 
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
@@ -1324,6 +1355,56 @@ object Queries {
            |  word
            |FROM r ORDER BY doc_id, reading_pos""".stripMargin))
 
+  /** k-column layout reconstruction (ops.Layout.readingOrderK): a THREE-
+    * column interleaved stream; columns are detected per document by
+    * largest-gap clustering of distinct x starts (k−1 largest gaps over
+    * minGap become boundaries), then the same column-major order + region
+    * windows. The oracle replays the gap clustering with the identical
+    * window algebra. */
+  private val qLayoutKcol = QueryDef(
+    "q_layout_kcol",
+    (s, dir) => {
+      import s.implicits._
+      val blocks = t(s, dir, "documents").where($"doc_id" < 30)
+        .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+        .select($"doc_id", $"pos", $"word",
+          (lit(50) + ($"pos" % 3) * 300).as("x"),
+          (expr("pos div 3") * 20 + expr("(pos div 3) div 5") * 100).as("y"))
+      ops.Layout.readingOrderK(blocks, "doc_id", k = 3, gapThreshold = 50,
+          minGap = 100)
+        .select($"doc_id", $"reading_pos", $"col_id", $"region_id", $"pos", $"word")
+        .orderBy($"doc_id", $"reading_pos")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+           |  FROM documents WHERE doc_id < 30),
+           |blk AS (SELECT doc_id, pos, word,
+           |        50 + (pos % 3) * 300 AS x,
+           |        (pos // 3) * 20 + ((pos // 3) // 5) * 100 AS y FROM tok),
+           |dx AS (SELECT DISTINCT doc_id, x FROM blk),
+           |gp AS (SELECT doc_id, x,
+           |         x - lag(x) OVER (PARTITION BY doc_id ORDER BY x) AS gap FROM dx),
+           |bnd AS (SELECT doc_id, x FROM (
+           |    SELECT doc_id, x, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY gap DESC, x) AS r
+           |    FROM gp WHERE gap IS NOT NULL AND gap > 100) WHERE r <= 2),
+           |c AS (SELECT blk.doc_id, blk.pos, blk.word, blk.x, blk.y,
+           |    CAST(count(bnd.x) FILTER (WHERE bnd.x <= blk.x) AS INT) AS col_id
+           |  FROM blk LEFT JOIN bnd ON bnd.doc_id = blk.doc_id
+           |  GROUP BY blk.doc_id, blk.pos, blk.word, blk.x, blk.y),
+           |g AS (SELECT *, CASE WHEN lag(y) OVER w IS NULL OR y - lag(y) OVER w > 50
+           |                     THEN 1 ELSE 0 END AS gap
+           |      FROM c WINDOW w AS (PARTITION BY doc_id, col_id ORDER BY y, x)),
+           |r AS (SELECT *, sum(gap) OVER (PARTITION BY doc_id, col_id ORDER BY y, x
+           |        ROWS UNBOUNDED PRECEDING) AS ric FROM g)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY col_id, y, x) - 1 AS INT) AS reading_pos,
+           |  CAST(col_id AS INT) AS col_id,
+           |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY col_id, ric) - 1 AS INT) AS region_id,
+           |  CAST(pos AS INT) AS pos, word
+           |FROM r ORDER BY doc_id, reading_pos""".stripMargin))
+
   // ------------------------------------------------------------------
   // Training-data pipeline: similarity search
   // ------------------------------------------------------------------
@@ -1379,36 +1460,43 @@ object Queries {
     "q_langid",
     (s, dir) => {
       import s.implicits._
-      val profs = ops.TextStats.trigramProfiles.toMap
-      t(s, dir, "documents")
-        .where($"doc_id" < 200)
-        .select($"doc_id",
-          ops.TextStats.trigramScore($"text", profs("en")).as("s_en"),
-          ops.TextStats.trigramScore($"text", profs("db")).as("s_db"),
-          ops.TextStats.trigramScore($"text", profs("st")).as("s_st"))
-        .withColumn("pred",
-          when($"s_en" >= $"s_db" && $"s_en" >= $"s_st", "en")
-            .when($"s_db" >= $"s_st", "db").otherwise("st"))
-        .orderBy($"doc_id")
+      val profs = ops.TextStats.trigramProfiles
+      val names = profs.map(_._1)
+      val organic = t(s, dir, "documents").where($"doc_id" < 100)
+        .select(concat(lit("doc"), $"doc_id".cast("string")).as("fid"), $"text")
+      val planted = ops.TextStats.plantedFixtures
+        .map { case (fid, _, tx) => (fid, tx) }.toDF("fid", "text")
+      val scored = organic.unionByName(planted)
+        .select(col("fid") +: profs.map { case (n, p) =>
+          ops.TextStats.trigramScore($"text", p).as(s"s_$n") }: _*)
+      // ordered argmax over the ALREADY-computed score columns (each
+      // trigram scan runs once; the when-cascade only compares ints)
+      val pred = names.init.zipWithIndex.foldRight(lit(names.last): Column) {
+        case ((n, i), els) =>
+          when(names.drop(i + 1).map(l => col(s"s_$n") >= col(s"s_$l"))
+            .reduce(_ && _), n).otherwise(els)
+      }
+      scored.withColumn("pred", pred).orderBy($"fid")
     },
     Some {
-      val profs = ops.TextStats.trigramProfiles.toMap
-      def score(lang: String): String = {
-        val lits = profs(lang).map("'" + _ + "'").mkString(",")
-        s"""CAST(len(list_filter(list_transform(
-           |    range(length(' ' || text || ' ') - 2),
-           |    i -> substr(' ' || text || ' ', i + 1, 3)),
-           |    t -> list_contains([$lits], t))) AS INT)""".stripMargin
-      }
-      s"""SELECT doc_id, s_en, s_db, s_st,
-         |  CASE WHEN s_en >= s_db AND s_en >= s_st THEN 'en'
-         |       WHEN s_db >= s_st THEN 'db' ELSE 'st' END AS pred
-         |FROM (SELECT doc_id,
-         |  ${score("en")} AS s_en,
-         |  ${score("db")} AS s_db,
-         |  ${score("st")} AS s_st
-         |  FROM documents WHERE doc_id < 200)
-         |ORDER BY doc_id""".stripMargin
+      val profs = ops.TextStats.trigramProfiles
+      val vals = ops.TextStats.plantedFixtures
+        .map { case (fid, _, tx) =>
+          s"(${ops.TextStats.sqlLit(fid)}, ${ops.TextStats.sqlLit(tx)})" }
+        .mkString(",\n    ")
+      val scoreCols = profs.map { case (n, p) =>
+        s"${ops.TextStats.trigramScoreSql("text", p)} AS s_$n" }.mkString(",\n  ")
+      s"""WITH organic AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS fid, text
+         |    FROM documents WHERE doc_id < 100),
+         |planted AS (SELECT * FROM (VALUES
+         |    $vals) p(fid, text)),
+         |allr AS (SELECT * FROM organic UNION ALL SELECT * FROM planted),
+         |scored AS (SELECT fid,
+         |  $scoreCols
+         |  FROM allr)
+         |SELECT fid, ${profs.map(p => s"s_${p._1}").mkString(", ")},
+         |  ${ops.TextStats.langIdCaseSql(n => s"s_$n")} AS pred
+         |FROM scored ORDER BY fid""".stripMargin
     })
 
   /** Quality scoring — the classifier's integer text-density formula
@@ -1806,24 +1894,24 @@ object Queries {
     },
     Some {
       val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
-      val profs = ops.TextStats.trigramProfiles.toMap
-      def score(lang: String): String = {
-        val lits = profs(lang).map("'" + _ + "'").mkString(",")
-        s"""CAST(len(list_filter(list_transform(
-           |    range(length(' ' || text || ' ') - 2),
-           |    i -> substr(' ' || text || ' ', i + 1, 3)),
-           |    t -> list_contains([$lits], t))) AS INT)""".stripMargin
-      }
+      val profs = ops.TextStats.trigramProfiles
+      // score COLUMNS computed once per row in their own CTE; the argmax
+      // CASE compares plain ints (inlining the trigram scan into every
+      // comparison would re-run it ~50× per row in DuckDB)
+      val scoreCols = profs.map { case (n, p) =>
+        s"${ops.TextStats.trigramScoreSql("text", p)} AS s_$n" }.mkString(",\n    ")
       s"""WITH ww AS (SELECT source, text, string_split(text, ' ') AS w FROM documents),
+         |sc AS (SELECT source, w,
+         |    $scoreCols
+         |  FROM ww),
          |per AS (SELECT source,
          |    CAST(len(w) AS BIGINT) AS tok,
          |    CAST(4*len(w) + 3*len(list_filter(w, x -> list_contains([$stops], x))) AS BIGINT) AS q,
-         |    CASE WHEN ${score("en")} >= ${score("db")} AND ${score("en")} >= ${score("st")} THEN 'en'
-         |         WHEN ${score("db")} >= ${score("st")} THEN 'db' ELSE 'st' END AS pred,
+         |    ${ops.TextStats.langIdCaseSql(n => s"s_$n")} AS pred,
          |    CAST(floor(CAST(list_max(list_transform(list_distinct(w),
          |        x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
          |      / CAST(len(w) AS DOUBLE) * 10000) AS INT) AS tw
-         |  FROM ww)
+         |  FROM sc)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
          |  CAST(sum(q) AS BIGINT) AS sum_quality,
@@ -2299,6 +2387,63 @@ object Queries {
             |SELECT doc_id, pos, kind, text, media_ref FROM outp
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Extraction → layout end-to-end (the adapter the north rule's
+    * "PDF/layout parse" stage plugs into the span pipeline with): real
+    * extraction output spans are typeset into positioned blocks
+    * (ops.Layout.blocksFromSpans — flow cumsum, 60-char lines, 6-line
+    * columns) and the k-column reading-order pass must reproduce the
+    * original span order (reading_pos == pos, which the oracle's
+    * hash-compare enforces column-for-column). The oracle replays the
+    * classifier CTEs, the flow/typeset integer algebra, the gap-clustered
+    * column detection, and the order/region windows. */
+  private val qExtractLayout = QueryDef(
+    "q_extract_layout",
+    (s, _) => {
+      import s.implicits._
+      val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+      val spans = ExtractJob.transform(docs).toDF()
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind".as("kind"), $"span.text".as("text"))
+      val blocks = ops.Layout.blocksFromSpans(spans, "doc_id", "pos", "text",
+        charsPerLine = 60, linesPerCol = 6, colWidth = 300, lineHeight = 10)
+      ops.Layout.readingOrderK(blocks, "doc_id", k = 24, gapThreshold = 15,
+          minGap = 120)
+        .select($"doc_id", $"reading_pos", $"col_id", $"region_id",
+          $"pos", $"kind", md5($"text").as("h"))
+        .orderBy($"doc_id", $"reading_pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")},
+            |flow AS (SELECT doc_id, pos, kind, text,
+            |    coalesce(sum(length(text) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fl
+            |  FROM outp),
+            |blk AS (SELECT doc_id, pos, kind, text,
+            |    CAST(((fl // 60) // 6) * 300 + fl % 60 AS INT) AS x,
+            |    CAST(((fl // 60) % 6) * 10 AS INT) AS y
+            |  FROM flow),
+            |dx AS (SELECT DISTINCT doc_id, x FROM blk),
+            |gp AS (SELECT doc_id, x,
+            |         x - lag(x) OVER (PARTITION BY doc_id ORDER BY x) AS gap FROM dx),
+            |bnd AS (SELECT doc_id, x FROM (
+            |    SELECT doc_id, x, row_number() OVER (
+            |      PARTITION BY doc_id ORDER BY gap DESC, x) AS r
+            |    FROM gp WHERE gap IS NOT NULL AND gap > 120) WHERE r <= 23),
+            |cj AS (SELECT blk.doc_id, blk.pos, blk.kind, blk.text, blk.x, blk.y,
+            |    CAST(count(bnd.x) FILTER (WHERE bnd.x <= blk.x) AS INT) AS col_id
+            |  FROM blk LEFT JOIN bnd ON bnd.doc_id = blk.doc_id
+            |  GROUP BY blk.doc_id, blk.pos, blk.kind, blk.text, blk.x, blk.y),
+            |gw AS (SELECT *, CASE WHEN lag(y) OVER w IS NULL OR y - lag(y) OVER w > 15
+            |                      THEN 1 ELSE 0 END AS gap
+            |       FROM cj WINDOW w AS (PARTITION BY doc_id, col_id ORDER BY y, x)),
+            |rw AS (SELECT *, sum(gap) OVER (PARTITION BY doc_id, col_id ORDER BY y, x
+            |         ROWS UNBOUNDED PRECEDING) AS ric FROM gw)
+            |SELECT doc_id,
+            |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY col_id, y, x) - 1 AS INT) AS reading_pos,
+            |  CAST(col_id AS INT) AS col_id,
+            |  CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY col_id, ric) - 1 AS INT) AS region_id,
+            |  CAST(pos AS INT) AS pos, kind, md5(text) AS h
+            |FROM rw ORDER BY doc_id, reading_pos""".stripMargin))
+
   /** Metrics side table of a real ExtractJob.run (write → manifest commit →
     * manifest-planned at-rest scan), oracled per bucket from the corpus. */
   private val qExtractMetrics = QueryDef(
@@ -2362,11 +2507,11 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
-    qDedupIncremental,
+    qDedupIncremental, qDedupIndexQ,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
-    qLayoutOrder,
+    qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,

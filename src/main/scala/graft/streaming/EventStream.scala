@@ -96,10 +96,19 @@ object EventStream {
 
   /** Stream identity for the exactly-once watermark: micro-batch ids are
     * monotone only within one checkpoint lineage, so a fresh checkpoint
-    * dir (restarting numbering at 0) must get a fresh watermark key. */
-  private[graft] def streamIdFor(checkpointDir: String): String =
+    * dir (restarting numbering at 0) must get a fresh watermark key. The
+    * location is CANONICALIZED first (qualified scheme + absolute path via
+    * the dir's own FileSystem) — the same checkpoint dir spelled
+    * differently across restarts (relative vs absolute, trailing slash,
+    * scheme prefix) must map to the same id, or the re-delivery guard is
+    * silently bypassed for the last batch. */
+  private[graft] def streamIdFor(checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val canonical = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .makeQualified(p).toUri.toString
     "ckpt-" + java.util.UUID.nameUUIDFromBytes(
-      checkpointDir.getBytes("UTF-8")).toString.take(8)
+      canonical.getBytes("UTF-8")).toString.take(8)
+  }
 
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
       tableDir: String, streamId: String = "stream"): Unit = {
@@ -216,10 +225,17 @@ object EventStream {
             // a key with data is never offered hasTimedOut, so expiry of a
             // REAPPEARING key is checked against the stored deadline
             val expired = state.exists && wm >= state.get
+            val suppressed = state.exists && !expired
             val out =
-              if (state.exists && !expired) Iterator.empty
+              if (suppressed) Iterator.empty
               else Iterator.single((key, minPayload))
-            val expiry = maxTs + ttlMs
+            // monotone deadline: a late-arriving duplicate (older event
+            // time, within watermarkDelay) must EXTEND retention, never
+            // shrink it — take the max with the stored deadline when
+            // suppressing, reset only on (re-)admission
+            val expiry =
+              if (suppressed) math.max(state.get, maxTs + ttlMs)
+              else maxTs + ttlMs
             state.update(expiry)
             // the engine rejects timeouts at/behind the watermark
             state.setTimeoutTimestamp(math.max(expiry, wm + 1))
@@ -240,7 +256,13 @@ object EventStream {
     * replays self-cancel. (A production deployment would still commit
     * appends through the snapshot manifest like [[runExtractWithManifest]]
     * so a crash mid-append cannot expose partial files; the dedup
-    * guarantees cover re-delivery, not torn writes.) */
+    * guarantees cover re-delivery, not torn writes.)
+    *
+    * SCALE CAVEAT: this simple form re-reads and re-signatures the whole
+    * accumulated corpus every micro-batch — O(corpus) per batch. The
+    * production path is [[runIndexedCorpusStream]], which admits through
+    * the persisted dedup index and commits corpus + index atomically
+    * through the manifest. */
   def runDedupedCorpusStream(spark: SparkSession, inDir: String,
       corpusDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -275,6 +297,106 @@ object EventStream {
     val admitted = graft.ops.Dedup.incrementalDedup(
       batch, corpus, idCol, textCol, threshold = threshold)
     admitted.write.mode("append").parquet(corpusDir)
+  }
+
+  /** Manifest bucket namespaces of the indexed corpus table: bucket 0
+    * holds the corpus rows, bucket 1 the [[graft.ops.Dedup.buildIndex]]
+    * rows. Readers: `new Manifest(tableDir).readData(spark,
+    * Some(Set(CorpusBucket)))`. */
+  val CorpusBucket = 0
+  val IndexBucket = 1
+
+  /** [[runDedupedCorpusStream]] upgraded with the PERSISTED dedup index
+    * and the snapshot manifest — the production wiring the index exists
+    * for (without it every micro-batch re-hashes and re-signatures the
+    * whole accumulated corpus — O(corpus) per batch on a corpus that
+    * grows forever):
+    *
+    *  - table layout: `<tableDir>/data/bucket=0` = corpus rows,
+    *    `bucket=1` = index rows (content hashes + banded signatures);
+    *  - each micro-batch admits against the COMMITTED corpus through the
+    *    COMMITTED index ([[graft.ops.Dedup.incrementalDedupIndexed]] —
+    *    the corpus text is only touched to resolve near-dup candidates),
+    *    appends the admitted rows AND their index rows, and commits BOTH
+    *    bucket states in ONE snapshot: corpus and index cannot desync
+    *    across any crash. Files written before a crash are unreferenced
+    *    orphans (readData plans from the snapshot, never a listing; GC
+    *    via Manifest.removeOrphans), and the re-delivered batch is
+    *    guarded by the per-stream batch watermark exactly as
+    *    [[runExtractWithManifest]];
+    *  - per-batch corpus-side cost: one narrow index scan (bands hash
+    *    rows/doc) + candidate text resolution — flat in corpus TEXT
+    *    width (IncrBench splits the terms).
+    */
+  def runIndexedCorpusStream(spark: SparkSession, inDir: String,
+      tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.7, k: Int = 8, bands: Int = 4): StreamingQuery = {
+    val streamId = streamIdFor(checkpointDir)
+    spark.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitIndexedBatch(batch, batchId, tableDir, streamId,
+          idCol, textCol, threshold, k, bands)
+      }
+      .start()
+  }
+
+  private[graft] def admitIndexedBatch(batch: DataFrame, batchId: Long,
+      tableDir: String, streamId: String, idCol: String, textCol: String,
+      threshold: Double, k: Int, bands: Int): Unit = {
+    val spark = batch.sparkSession
+    require(!batch.columns.contains("bucket"),
+      "corpus schema must not carry a 'bucket' column (manifest partition name)")
+    val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val prev = table.head()
+    if (prev.exists(_.streamWatermarks.getOrElse(streamId, -1L) >= batchId))
+      return // re-delivered
+    val (corpus, index) = prev match {
+      case Some(_) =>
+        (table.readData(spark, Some(Set(CorpusBucket))).drop("bucket"),
+          table.readData(spark, Some(Set(IndexBucket))).drop("bucket"))
+      case None => // bootstrap: empty corpus with the batch's schema
+        (batch.limit(0),
+          graft.ops.Dedup.buildIndex(batch.limit(0), idCol, textCol, k, bands))
+    }
+    // admitted feeds three consumers (corpus write, index build, stats) —
+    // materialize once, batch-sized
+    val admitted = graft.ops.Dedup.incrementalDedupIndexed(
+      batch, corpus, index, idCol, textCol, k, bands, threshold).localCheckpoint()
+    val idxDelta = graft.ops.Dedup.buildIndex(admitted, idCol, textCol, k, bands)
+      .localCheckpoint()
+
+    val pre0 = table.listBucketFiles(CorpusBucket).toSet
+    val pre1 = table.listBucketFiles(IndexBucket).toSet
+    admitted.write.mode("append").parquet(s"$tableDir/data/bucket=$CorpusBucket")
+    idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$IndexBucket")
+    val new0 = table.listBucketFiles(CorpusBucket).filterNot(pre0)
+    val new1 = table.listBucketFiles(IndexBucket).filterNot(pre1)
+
+    val st = admitted.agg(count(lit(1)), max(col(idCol).cast("string"))).head()
+    val (nAdm, wm) = (st.getLong(0), Option(st.getString(1)).getOrElse(""))
+    val nIdx = idxDelta.count()
+    val prevStates: Map[Int, graft.Manifest.BucketState] =
+      prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
+    def grown(bucket: Int, rows: Long, files: Seq[String]) = {
+      val p = prevStates.get(bucket)
+      graft.Manifest.BucketState(bucket,
+        p.map(_.rows).getOrElse(0L) + rows,
+        Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
+        p.map(_.files).getOrElse(Nil) ++ files)
+    }
+    // ONE commit covers corpus + index + the exactly-once watermark; even
+    // an all-duplicates batch commits (the watermark must advance or the
+    // re-delivery guard would replay it forever)
+    table.commit(f"corpus-batch-$batchId%06d",
+      Seq(grown(CorpusBucket, nAdm, new0), grown(IndexBucket, nIdx, new1)),
+      streamWatermark = Some(streamId -> batchId))
   }
 
   /** Watermarked tumbling-window counts per event_type over a timestamped

@@ -23,6 +23,24 @@ class CleaningSpec extends AnyFunSuite {
     assert(m(2L) == 2500)
   }
 
+  test("topWordFracQ4Capped: statistic computed over exactly the first maxWords words") {
+    // 4 words: "a a b c" — uncapped mode frac = 2/4; capped at 2 words the
+    // prefix is "a a" → 2/2; capped at the boundary (4) equals uncapped;
+    // capped beyond the length (10) also equals uncapped
+    val df = Seq((1L, "a a b c")).toDF("doc_id", "text")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select(
+        ops.Cleaning.topWordFracQ4($"w").as("full"),
+        ops.Cleaning.topWordFracQ4Capped($"w", 2).as("cap2"),
+        ops.Cleaning.topWordFracQ4Capped($"w", 4).as("cap4"),
+        ops.Cleaning.topWordFracQ4Capped($"w", 10).as("cap10"))
+    val r = df.head()
+    assert(r.getAs[Int]("full") == 5000)
+    assert(r.getAs[Int]("cap2") == 10000)
+    assert(r.getAs[Int]("cap4") == 5000)
+    assert(r.getAs[Int]("cap10") == 5000)
+  }
+
   test("topBigramFracQ4: repeated bigram dominates; single-word doc scores 0") {
     val df = textDf(1L -> "a a a a", 2L -> "solo", 3L -> "a b c d e")
       .withColumn("w", ops.Cleaning.wordsOf($"text"))

@@ -443,7 +443,59 @@ class OpsSpec extends AnyFunSuite {
     assert(run(blocks.repartition(1)) == run(blocks.repartition(13)))
   }
 
+  test("layout readingOrderK: 3-column interleaved stream recovered; k=2 matches fixed split") {
+    // three columns at x∈{50,60}, {400,410}, {760}: the two largest gaps
+    // in the distinct-x sequence (340, 350) are the column boundaries
+    val blocks = Seq(
+      ("d1", 50, 0, "A1"), ("d1", 400, 0, "B1"), ("d1", 760, 0, "C1"),
+      ("d1", 60, 20, "A2"), ("d1", 410, 20, "B2"), ("d1", 760, 20, "C2"),
+      ("d1", 50, 200, "A3")
+    ).toDF("doc_id", "x", "y", "word")
+    val out = ops.Layout.readingOrderK(blocks, "doc_id", k = 3, gapThreshold = 50)
+      .orderBy($"reading_pos").collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Int]("col_id"), r.getAs[Int]("region_id")))
+    assert(out.map(_._1).toSeq == Seq("A1", "A2", "A3", "B1", "B2", "C1", "C2"), out.toSeq.toString)
+    assert(out.map(_._2).toSeq == Seq(0, 0, 0, 1, 1, 2, 2))
+    assert(out.map(_._3).toSeq == Seq(0, 0, 1, 2, 2, 3, 3))
+    // k=2 gap clustering agrees with the fixed midline split when the
+    // largest gap IS the midline
+    val two = Seq(
+      ("d2", 50, 0, "L1"), ("d2", 400, 0, "R1"),
+      ("d2", 60, 20, "L2"), ("d2", 410, 20, "R2")
+    ).toDF("doc_id", "x", "y", "word")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"col_id", $"reading_pos").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(norm(ops.Layout.readingOrderK(two, "doc_id", 2, 50)) ==
+      norm(ops.Layout.readingOrder(two, "doc_id", 700, 50)))
+    // degenerate: fewer distinct x than k → single shared column, no error
+    val one = Seq(("d3", 10, 0, "w0"), ("d3", 10, 20, "w1")).toDF("doc_id", "x", "y", "word")
+    assert(ops.Layout.readingOrderK(one, "doc_id", 3, 50)
+      .select("col_id").collect().map(_.getInt(0)).toSet == Set(0))
+  }
+
+  test("layout blocksFromSpans: extraction spans typeset → readingOrderK round-trips span order") {
+    val spans = documents.where($"doc_id" < 40)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "text")))
+    val blocks = ops.Layout.blocksFromSpans(spans, "doc_id", "pos", "text",
+      charsPerLine = 40, linesPerCol = 4, colWidth = 200, lineHeight = 20)
+    // within-column x spacing < charsPerLine (40) < minGap (100) <
+    // inter-column gutter (colWidth - charsPerLine = 160): one k upper
+    // bound serves documents of any real column count
+    val recovered = ops.Layout.readingOrderK(blocks, "doc_id", k = 12,
+      gapThreshold = 25, minGap = 100)
+    assert(recovered.where($"reading_pos" =!= $"pos").count() == 0,
+      "column-major reading order must reproduce the original span order")
+  }
+
   // ---- text stats ----
+
+  test("langId recovers every planted language fixture (accuracy floor)") {
+    val planted = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
+      .withColumn("pred", ops.TextStats.langId($"text"))
+    val wrong = planted.where($"pred" =!= $"lang").collect()
+    assert(wrong.isEmpty, s"mispredicted: ${wrong.mkString(", ")}")
+  }
 
   test("text stats columns: langId deterministic argmax, quality formula, fingerprint order-insensitive") {
     val df = documents.select($"doc_id", $"text")
@@ -451,7 +503,8 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("q", ops.TextStats.qualityScore($"text"))
       .withColumn("fp", ops.TextStats.fingerprint($"text"))
     val rows = df.collect()
-    assert(rows.forall(r => Set("en", "db", "st").contains(r.getAs[String]("lang"))))
+    val names = ops.TextStats.trigramProfiles.map(_._1).toSet
+    assert(rows.forall(r => names.contains(r.getAs[String]("lang"))))
     assert(rows.forall(_.getAs[Int]("q") >= 0))
     // fingerprint ignores word order
     val shuffled = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text")
@@ -722,6 +775,40 @@ class OpsSpec extends AnyFunSuite {
     val fullKept = ops.Dedup.dedupCorpus(fullExact, "doc_id", fullPairs)
       .select($"doc_id").as[Long].collect().toSet
     assert(fullKept.filter(_ > 100L) == admitted)
+  }
+
+  test("incrementalDedupIndexed over a PERSISTED index admits exactly what the corpus path admits") {
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val T = words("t", 40)
+    val corpus = Seq((1L, T), (2L, words("u", 40)), (3L, words("v", 40)),
+      (4L, "a b"))                                       // short doc: hash-only index row
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      101L -> T,                                         // exact copy → drop
+      102L -> s"$T x1",                                  // near-dup of corpus → drop
+      103L -> words("f", 20),                            // fresh → admit
+      104L -> (words("t", 34) + " x1 " + words("z", 5)), // transitively poisoned → drop
+      105L -> words("g", 40),                            // fresh keeper → admit
+      106L -> (words("g", 40) + " x2"),                  // within-delta near-dup → drop
+      107L -> words("f", 20),                            // within-delta exact dup → drop
+      108L -> "a b")                                     // exact copy of the SHORT doc → drop
+      .toDF("doc_id", "text")
+    // write the index to parquet and read it back — the at-rest round trip
+    // IS the persistence contract
+    val dir = java.nio.file.Files.createTempDirectory("dedup_index").toString
+    ops.Dedup.buildIndex(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val viaIndex = ops.Dedup.incrementalDedupIndexed(delta, corpus, index,
+        "doc_id", "text", threshold = 0.75)
+      .select($"doc_id").as[Long].collect().toSet
+    val viaCorpus = ops.Dedup.incrementalDedup(delta, corpus, "doc_id", "text",
+        threshold = 0.75)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaIndex == Set(103L, 105L), s"got $viaIndex")
+    assert(viaIndex == viaCorpus)
+    // the short corpus doc contributed its hash (108 dropped) but no bands
+    assert(index.where($"band" === -1).count() == 1)
+    assert(index.where($"doc_id" === 4L && $"band" >= 0).count() == 0)
   }
 
   test("lshOversizeBucketsUnion flags buckets only the COMBINED sides overflow") {

@@ -276,6 +276,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(ops.Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.7).count() == 0)
   }
 
+  test("indexed corpus stream: manifest-committed corpus+index, admission == batch, crash files stay orphans") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_icorp_in_").toString
+    val tableDir = Files.createTempDirectory("graft_icorp_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_icorp_ckpt_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+
+    // wave 1: naturals + exact dups + near-dups in one file
+    val wave1 = base.where($"doc_id" < 40)
+      .union(base.where($"doc_id" < 10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      .union(base.where($"doc_id" >= 10 && $"doc_id" < 15)
+        .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tableDir, ckpt, base)
+      .awaitTermination()
+    val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
+    def corpusNow() = table.readData(spark,
+      Some(Set(streaming.EventStream.CorpusBucket))).drop("bucket")
+    def indexNow() = table.readData(spark,
+      Some(Set(streaming.EventStream.IndexBucket))).drop("bucket")
+    val exp1 = ops.Dedup.incrementalDedup(wave1, wave1.limit(0), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val c1 = corpusNow().select($"doc_id").as[Long].collect().toSet
+    assert(c1 == exp1, "wave-1 admission must equal the batch operator")
+    // the committed index is exactly the index of the committed corpus
+    val ix1 = indexNow()
+    assert(ix1.select($"doc_id").distinct().as[Long].collect().toSet == c1)
+
+    // crash window: parquet landed in BOTH buckets but the commit never
+    // happened → readers must not see it (manifest-planned scan), and the
+    // files are GC-able orphans
+    val stray = base.where($"doc_id" >= 90 && $"doc_id" < 95)
+    stray.write.mode("append")
+      .parquet(s"$tableDir/data/bucket=${streaming.EventStream.CorpusBucket}")
+    ops.Dedup.buildIndex(stray, "doc_id", "text").write.mode("append")
+      .parquet(s"$tableDir/data/bucket=${streaming.EventStream.IndexBucket}")
+    assert(corpusNow().select($"doc_id").as[Long].collect().toSet == c1,
+      "uncommitted crash files must be invisible to manifest readers")
+    assert(table.orphanFiles().nonEmpty, "crash files are orphans")
+
+    // wave 2: exact re-crawls + fresh docs → only fresh admitted; the
+    // re-crawls are judged against the COMMITTED corpus via the index
+    // (the orphan rows never participate)
+    val wave2 = base.where($"doc_id" < 20)
+      .select(($"doc_id" + 3000).as("doc_id"), $"text")
+      .union(base.where($"doc_id" >= 40 && $"doc_id" < 50))
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tableDir, ckpt, base)
+      .awaitTermination()
+    val c2 = corpusNow().select($"doc_id").as[Long].collect().toSet
+    assert((c2 -- c1) == (40L until 50L).toSet, s"got ${(c2 -- c1).toSeq.sorted}")
+    // index grew in lockstep
+    assert(indexNow().select($"doc_id").distinct().as[Long].collect().toSet == c2)
+    // bucket states carry cumulative rows
+    val head = table.head().get
+    assert(head.buckets.find(_.bucket == 0).get.rows == c2.size.toLong)
+
+    // orphan GC removes exactly the crash files; committed data survives
+    val removed = table.removeOrphans()
+    assert(removed.nonEmpty)
+    assert(corpusNow().select($"doc_id").as[Long].collect().toSet == c2)
+    assert(table.orphanFiles().isEmpty)
+  }
+
   test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
     // the cleaning/mixing stages are stateless column algebra, so the SAME
     // operator objects compose into readStream with no code changes — the
