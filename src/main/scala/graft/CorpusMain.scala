@@ -47,11 +47,24 @@ object CorpusMain {
       .select($"id_a", $"id_b").localCheckpoint()
     val deduped = ops.Dedup.dedupCorpus(exact, "doc_id", pairs).localCheckpoint()
 
-    // 5. mix by domain and pack into token-budget shards
+    // 5. train the tokenizer ON the deduped corpus (batched trainer: each
+    //    Spark round selects up to `batch` disjoint merges — the round
+    //    count, the trainer's scale limit, drops batch-fold) and account
+    //    shards in REAL BPE tokens: the packer's budget and the trained
+    //    tokenizer finally meet (packing on whitespace tokens under- or
+    //    over-fills shards by the merge compression ratio)
+    //    train on a deterministic 10% hash-sample (the standard tokenizer
+    //    practice — merge ranks stabilize long before the full corpus is
+    //    seen, and the sample keeps the per-round pair aggregation small)
+    val merges = ops.Bpe.learnMergesBatched(
+      deduped.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
+      "text", nMerges = 96, minCount = 2L, batch = 32)
+
+    // 6. mix by domain and pack into BPE-token-budget shards
     val mixed = ops.Sampling.mixtureSample(deduped, "doc_id", "domain",
       Map.empty, defaultBp = 10000)
     val packed = ops.Sampling.packShards(mixed, "doc_id", "domain",
-      ops.TextStats.tokenCount($"text").cast("bigint"), budget = 2048)
+      ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
 
     packed.write.mode("overwrite").parquet(s"$outDir/shards")
     // ONE scan of the written shards feeds the profile and both stage
@@ -71,6 +84,7 @@ object CorpusMain {
       "cleaned" -> cleaned.count(),
       "exact_deduped" -> exact.count(),
       "near_deduped" -> deduped.count(),
+      "bpe_merges" -> merges.length.toLong,
       "admitted" -> totals.getLong(0),
       "shards" -> totals.getLong(1))
   }

@@ -149,9 +149,18 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * directory listing. `basePath` re-attaches the `bucket` partition
     * column. Zero-row buckets contribute no files; a selection with no
     * files at all yields an empty frame with the table schema when any data
-    * exists, else fails fast. */
-  def readData(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
-    val snap = head().getOrElse(
+    * exists, else fails fast.
+    *
+    * TIME TRAVEL: `asOf = Some(id)` plans the scan from snapshot `id`
+    * instead of HEAD — a reader can pin a pre-compaction / pre-append
+    * state and scan exactly its files (which is the point of retaining
+    * snapshots, and what the orphan-GC grace period exists to protect:
+    * run [[removeOrphans]] with `olderThanMs` ≥ the longest pinned read).
+    * An expired snapshot id fails loudly (file gone), never silently
+    * falls back to HEAD. */
+  def readData(spark: SparkSession, buckets: Option[Set[Int]] = None,
+      asOf: Option[Int] = None): DataFrame = {
+    val snap = asOf.map(snapshotById).orElse(head()).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
     // a non-empty bucket without file lineage would silently under-read —

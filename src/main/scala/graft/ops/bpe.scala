@@ -107,8 +107,34 @@ object Bpe {
     * Ties break deterministically: highest weight, then lexicographic
     * (left, right). Stops early when no pair occurs at least twice. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 1L): Seq[(String, String)] = {
+      minCount: Long = 1L): Seq[(String, String)] =
+    learnMergesBatched(docs, textCol, nMerges, minCount, batch = 1)
+
+  /** [[learnMerges]] with BATCHED rounds — the driver-latency fix for
+    * production vocabularies: one Spark round (pair-count aggregation +
+    * one small ordered collect) selects up to `batch` merges instead of
+    * one, so a 32k-merge vocabulary costs ~32k/batch sequential jobs
+    * instead of 32k (the round count was the trainer's stated scale
+    * limit).
+    *
+    * Within a round, candidates are taken in (count desc, left, right)
+    * order and a pair is selected only if its SYMBOLS ARE DISJOINT from
+    * every earlier selection of the round (neither side may equal a
+    * symbol another selected pair consumes or produces). Disjointness
+    * makes every selected pair's count exact at application time: merging
+    * (c,d) can neither create nor destroy occurrences of a disjoint
+    * (a,b), so folding the selections in order equals applying each at
+    * its own collected count. The ONLY divergence from the sequential
+    * trainer is that a pair involving a just-created symbol (e.g.
+    * (x, cd)) cannot be selected until the next round — the standard
+    * fast-BPE batching approximation; `batch = 1` reduces EXACTLY to the
+    * classic sequential trainer ([[learnMerges]] delegates here).
+    * Selection remains a pure function of the ordered pair-count table —
+    * fully deterministic. */
+  def learnMergesBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 1L, batch: Int = 100): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var vocab = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
@@ -120,7 +146,10 @@ object Bpe {
     val merges = ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < nMerges && !done) {
-      val best = vocab
+      // over-collect 4× the batch: disjointness filtering skips candidates,
+      // and the skipped ones resurface next round (no recall loss)
+      val want = math.min(batch, nMerges - merges.length)
+      val cands = vocab
         .withColumn("__syms", split(ltrim(col("sym")), " "))
         .select(col("n"), explode(expr(
           // sequence(1, 0) counts DOWN in Spark — guard 1-symbol words
@@ -130,15 +159,25 @@ object Bpe {
             |                element_at(__syms, i + 1) AS r)))"""
             .stripMargin)).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("n")).as("cnt"))
+        .where(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < 2L) done = true
+        .limit(want * 4).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val sel = ArrayBuffer.empty[(String, String)]
+      cands.iterator.takeWhile(_ => sel.length < want).foreach { row =>
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (!used(l) && !used(r) && !used(l + r)) {
+          sel += ((l, r))
+          used ++= Seq(l, r, l + r)
+        }
+      }
+      if (sel.isEmpty) done = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
-        merges += ((l, r))
+        merges ++= sel
         val prev = vocab
         vocab = vocab
-          .withColumn("sym", replace(col("sym"), lit(s" $l $r"), lit(s" $l$r")))
+          .withColumn("sym", sel.foldLeft(col("sym")) { case (acc, (l, r)) =>
+            replace(acc, lit(s" $l $r"), lit(s" $l$r")) })
           .localCheckpoint()
         // release the superseded checkpoint: BPE tables run to 10k+ merges,
         // and one pinned vocab copy per round is a linear storage leak

@@ -95,31 +95,51 @@ object Pq {
   }
 
   /** `iters` Lloyd rounds over all subspaces jointly: broadcast-join
-    * assign, one (subspace, code, dim)-mean aggregation per round; empty
-    * cells keep their previous centroid. The driver holds only the
-    * codebook. */
+    * assign, one (subspace, code, dim)-mean aggregation per round. The
+    * loop is DATAFRAME-side end to end (same discipline as
+    * [[Similarity.refineCentroids]]): the codebook lives as a
+    * (sub, code, centroid) relation between rounds (localCheckpoint'ed —
+    * m·k rows), the per-round means join back onto it (empty cells keep
+    * their previous centroid via the left-join coalesce), and the ONLY
+    * driver collect is the FINAL codebook — which must reach the driver
+    * anyway for LUT construction. No per-round driver transfer scales
+    * with m × k × dims. */
   def trainPq(corpus: DataFrame, vecCol: String, cb0: Codebook,
       iters: Int): Codebook = {
+    if (iters <= 0) return cb0
     val spark = corpus.sparkSession
+    import spark.implicits._
     val (m, k, subdim) = (cb0.length, cb0.head.length, subdimOf(cb0))
-    var cb = cb0
+    var cbDf = cb0.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("__sub", "__code", "__cent").localCheckpoint()
     (0 until iters).foreach { _ =>
+      // rebuild the per-subspace broadcast codebook FROM the relation
+      val cbBySub = cbDf.groupBy(col("__sub"))
+        .agg(expr("transform(array_sort(collect_list(struct(__code, __cent))), s -> s.__cent)")
+          .as("__cents"))
       val means = explodeSubspaces(corpus.select(col(vecCol)), vecCol, m, subdim)
-        .join(codebookDf(spark, cb), "__sub")
+        .join(broadcast(cbBySub), "__sub")
         .withColumn("__code", expr(argminSql(k)))
         .select(col("__sub"), col("__code"),
           posexplode(col("__subv")).as(Seq("__d", "__x")))
         .groupBy(col("__sub"), col("__code"), col("__d"))
-        .agg(avg(col("__x")).as("__mean"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
-      cb = cb.zipWithIndex.map { case (cents, s) =>
-        cents.zipWithIndex.map { case (c, code) =>
-          c.indices.map(d => means.getOrElse((s, code, d), c(d))).toSeq
-        }
-      }
+        .agg(avg(col("__x")).as("__m"))
+      val prevExpl = cbDf.select(col("__sub"), col("__code"),
+        posexplode(col("__cent")).as(Seq("__d", "__pv")))
+      val prev = cbDf
+      cbDf = prevExpl.join(means, Seq("__sub", "__code", "__d"), "left")
+        .select(col("__sub"), col("__code"), col("__d"),
+          coalesce(col("__m"), col("__pv")).as("__v"))
+        .groupBy(col("__sub"), col("__code"))
+        .agg(expr("transform(array_sort(collect_list(struct(__d, __v))), s -> s.__v)")
+          .as("__cent"))
+        .localCheckpoint()
+      prev.unpersist()
     }
-    cb
+    val rows = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    (0 until m).map(s => (0 until k).map(code => rows((s, code))))
   }
 
   /** Encode the corpus: (idCol, codes array<int> of length m). One

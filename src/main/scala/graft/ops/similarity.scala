@@ -195,14 +195,23 @@ object Similarity {
     } else {
       val spark = df.sparkSession
       import spark.implicits._
-      val centsDf = broadcast(
-        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__cid", "__cv"))
+      cellRanksByDf(df, idCol, vecCol,
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__cid", "__cv"),
+        n, maxRank)
+    }
+  }
+
+  /** The broadcast-join assign path of [[cellRanks]], taking the codebook
+    * as a DATAFRAME (__cid, __cv) — the form the DataFrame-side Lloyd loop
+    * feeds so no round ever collects the codebook to the driver. */
+  private[graft] def cellRanksByDf(df: DataFrame, idCol: String, vecCol: String,
+      centsDf: DataFrame, n: Int, maxRank: Int): DataFrame = {
       val sqd = expr(s"""aggregate(zip_with(__cv, $vecCol,
         |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
         |  0D, (acc, v) -> acc + v)""".stripMargin)
       val exploded = df
         .withColumn("__cid", explode(expr(s"sequence(0, ${n - 1})")))
-        .join(centsDf, "__cid")
+        .join(broadcast(centsDf), "__cid")
         .withColumn("__sqd", sqd)
         .drop("__cv")
       if (maxRank == 1) {
@@ -222,7 +231,6 @@ object Similarity {
           .withColumnRenamed("__cid", "__cell")
           .select(df.columns.map(col) :+ col("__cell") :+ col("__rk"): _*)
       }
-    }
   }
 
   /** Deterministic centroid seeds: the `n` corpus vectors first in
@@ -234,27 +242,45 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
   /** `iters` Lloyd refinements of `cents` over the corpus: assign → mean
-    * per (cell, dim) → rebuild. Each iteration is one narrow assign + one
-    * groupBy((cell, dim)) aggregation; the centroid table itself stays
-    * driver-side (nCentroids × dims doubles — config-sized, like the
-    * extractor registry). Empty cells keep their previous centroid. */
+    * per (cell, dim) → rebuild. The loop is DATAFRAME-side end to end:
+    * the centroid table lives as a (cell, vector) relation between
+    * rounds (localCheckpoint'ed — nCentroids rows), the assign is the
+    * broadcast-join [[cellRanksByDf]], the update is one
+    * groupBy(cell, dim) mean joined back onto the previous centroids
+    * (empty cells keep their value via the left-join coalesce), and the
+    * ONLY driver collect is the final codebook — which must reach the
+    * driver anyway (broadcast seed / LUT construction). Nothing
+    * per-round scales with nCentroids × dims through the driver: at the
+    * 65k × 768 production shape each round moves ~50M mean rows
+    * executor-to-executor only. */
   def refineCentroids(corpus: DataFrame, vecCol: String,
       cents: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
-    var cur = cents
+    if (iters <= 0 || cents.isEmpty) return cents
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = cents.length
+    var centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cid", "__cv").localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assigned = cellRanks(
+      val means = cellRanksByDf(
           corpus.select(col(vecCol)).withColumn("__vid", monotonically_increasing_id()),
-          "__vid", vecCol, cur, maxRank = 1)
+          "__vid", vecCol, centsDf, n, maxRank = 1)
         .select(col("__cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
-        .groupBy(col("__cell"), col("__d"))
+        .groupBy(col("__cell").as("__cid"), col("__d"))
         .agg(avg(col("__x")).as("__m"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      cur = cur.zipWithIndex.map { case (c, cell) =>
-        c.indices.map(d => assigned.getOrElse((cell, d), c(d)))
-      }
+      val prevExpl = centsDf
+        .select(col("__cid"), posexplode(col("__cv")).as(Seq("__d", "__pv")))
+      val prev = centsDf
+      centsDf = prevExpl.join(means, Seq("__cid", "__d"), "left")
+        .select(col("__cid"), col("__d"), coalesce(col("__m"), col("__pv")).as("__v"))
+        .groupBy(col("__cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(__d, __v))), s -> s.__v)")
+          .as("__cv"))
+        .localCheckpoint()
+      prev.unpersist()
     }
-    cur
+    centsDf.orderBy(col("__cid"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
   }
 
   /** IVF cosine top-k: corpus assigned to its nearest centroid cell once;

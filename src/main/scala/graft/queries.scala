@@ -398,6 +398,39 @@ object Queries {
            |FROM documents JOIN dims USING (source)
            |GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Hot-key DETECTION + auto-salted join (ops.Skew.detectHotKeys /
+    * saltedJoinAuto): skew is planted (every even doc_id shares one key),
+    * the detector's partial-agg count chooses per-key salt factors
+    * (ceil(n/target), integer math), and the auto-salted join must be
+    * result-identical to the plain join the oracle runs. Output: per-key
+    * joined row count + the detector's chosen salt (1 for cold keys). */
+  private val qSkewDetect = QueryDef(
+    "q_skew_detect",
+    (s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "documents")
+        .select($"doc_id", when($"doc_id" % 2 === 0, "hot").otherwise($"source").as("key"))
+      val det = ops.Skew.detectHotKeys(big, "key", targetRows = 50L)
+      val dims = big.select($"key").distinct()
+        .withColumn("policy", concat(lit("p_"), $"key"))
+      ops.Skew.saltedJoinAuto(big, dims, "key", targetRows = 50L)
+        .groupBy($"key").agg(count(lit(1)).cast("bigint").as("jn"))
+        .join(det.select($"key", $"salt"), Seq("key"), "left")
+        .select($"key", $"jn", coalesce($"salt", lit(1)).cast("int").as("salt"))
+        .orderBy($"key")
+    },
+    Some("""WITH big AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'hot' ELSE source END AS key
+           |  FROM documents),
+           |cnt AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM big GROUP BY key),
+           |det AS (SELECT key, CAST((n + 49) // 50 AS INT) AS salt
+           |        FROM cnt WHERE (n + 49) // 50 > 1),
+           |dims AS (SELECT DISTINCT key, 'p_' || key AS policy FROM big),
+           |j AS (SELECT b.key, CAST(count(*) AS BIGINT) AS jn
+           |      FROM big b JOIN dims d ON b.key = d.key GROUP BY b.key)
+           |SELECT j.key AS key, jn, CAST(coalesce(det.salt, 1) AS INT) AS salt
+           |FROM j LEFT JOIN det ON j.key = det.key ORDER BY j.key""".stripMargin))
+
   /** O13 as a distributed group-by: exploded (pos, word) rows re-assembled
     * into the original document — order carried by data (pos), restored by
     * in-row array_sort after collect_list; exactly the fragment-merge
@@ -2505,7 +2538,7 @@ object Queries {
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar, qApproxQuantile,
-    qSalted, qSaltedJoin, qReassembleGroupBy, qSessionize, qAuthGate,
+    qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qDedupIncremental, qDedupIndexQ,
     qCorpusPipeline,

@@ -54,6 +54,34 @@ class MaintenanceSpec extends AnyFunSuite {
       "file-only rewrites must not trigger downstream reprocessing")
   }
 
+  test("time travel: pinned pre-compaction snapshot reads identical bytes; grace-period GC protects it") {
+    val dir = freshDir()
+    val s0 = ExtractJob.run(spark, DocGen.generate(spark, 400, 8), dir, "tt",
+      resume = false, numPartitions = 32)
+    val m = new Manifest(dir)
+    val golden = tableState(m)
+    val s1 = ExtractJob.compact(spark, dir)
+    assert(s1.id == s0.id + 1)
+    def pinned() = m.readData(spark, asOf = Some(s0.id)).as[ExtractedDoc].collect()
+      .map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
+      .toMap
+    // the pinned read plans from the OLD snapshot's files and sees the
+    // pre-compaction bytes even though HEAD moved
+    assert(pinned() == golden)
+    // grace-period GC (grace ≥ the longest pinned reader) removes nothing
+    // recent → the pin keeps working
+    assert(m.removeOrphans(olderThanMs = 3600L * 1000).isEmpty)
+    assert(pinned() == golden)
+    // full GC deletes the old files: the pinned read fails LOUDLY at scan
+    // time (never silently falls back to HEAD); HEAD itself is intact
+    m.removeOrphans()
+    intercept[Exception](pinned())
+    assert(tableState(m) == golden)
+    // an EXPIRED snapshot id fails loudly too
+    m.expireSnapshots(keepLast = 1)
+    intercept[Exception](m.readData(spark, asOf = Some(s0.id)))
+  }
+
   test("a rerun over fewer docs does not adopt stale files from the previous run") {
     val dir = freshDir()
     // run A fills all 16 buckets

@@ -733,6 +733,30 @@ class OpsSpec extends AnyFunSuite {
     assert(after < before, s"merges must reduce tokens: $before -> $after")
   }
 
+  test("BPE batched trainer: batch=1 == sequential; disjoint-pair rounds equal sequential; deterministic") {
+    // chaining corpus (th → the): batch=1 must reduce EXACTLY to the
+    // sequential trainer — the delegation identity
+    val chain = Seq("the", "the", "the", "then", "there", "that", "this",
+      "other", "rather", "in", "inner", "thin", "thin")
+    val chainDf = chain.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    assert(ops.Bpe.learnMergesBatched(chainDf, "text", 8, batch = 1) == refLearn(chain, 8))
+    // corpus whose top merges are naturally DISJOINT: one batched round
+    // equals three sequential rounds verbatim
+    val disj = Seq("ab", "ab", "ab", "ab", "cd", "cd", "cd", "ef", "ef")
+    val disjDf = disj.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val batched = ops.Bpe.learnMergesBatched(disjDf, "text", 3, batch = 3)
+    assert(batched == refLearn(disj, 3), s"got $batched")
+    // larger batches on the chaining corpus: deterministic across runs,
+    // within-round selections symbol-disjoint by construction, and the
+    // learned table still compresses
+    val b4a = ops.Bpe.learnMergesBatched(chainDf, "text", 8, batch = 4)
+    val b4b = ops.Bpe.learnMergesBatched(chainDf, "text", 8, batch = 4)
+    assert(b4a == b4b)
+    val before = chainDf.select(sum(ops.Bpe.bpeTokenCount($"text", Nil))).head.getLong(0)
+    val after = chainDf.select(sum(ops.Bpe.bpeTokenCount($"text", b4a))).head.getLong(0)
+    assert(after < before)
+  }
+
   test("BPE trainer: minCount prunes the hapax tail; early stop when nothing repeats") {
     val corpus = Seq((1L, "aa aa aa zq"), (2L, "aa bb")).toDF("doc_id", "text")
     // with minCount=2 the hapax words (zq, bb) never enter the vocab

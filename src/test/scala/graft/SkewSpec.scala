@@ -64,6 +64,39 @@ class SkewSpec extends AnyFunSuite {
     assert(spread >= 12, s"hot key should hit most of the 16 salt groups, got $spread")
   }
 
+  test("detector-chosen salting bounds per-task group size on the zipf fixture without manual k") {
+    val big = docs.select($"doc_id", $"domain")
+    val dims = docs.select($"domain").distinct()
+      .withColumn("policy", concat(lit("p_"), $"domain"))
+    val target = 100L
+    // detector: exact counts via partial agg; salts only where needed
+    val hot = ops.Skew.detectHotKeys(big, "domain", target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(hot.nonEmpty && hot.exists(_._1 == "src0"), hot.mkString(","))
+    hot.foreach { case (k, n, s) =>
+      assert(n > target && s == ((n + target - 1) / target).toInt, s"($k,$n,$s)") }
+    // auto-salted join: result identical to the plain join
+    val plain = big.join(dims, Seq("domain"))
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    val auto = ops.Skew.saltedJoinAuto(big, dims, "domain", target)
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    assert(auto == plain)
+    // per-(key, salt) group size is bounded by ~targetRows (hash slack)
+    val saltMap = hot.map(h => h._1 -> h._3).toMap
+    val maxGroup = big
+      .withColumn("__k", coalesce(
+        typedLit(saltMap).getItem($"domain"), lit(1)))
+      .withColumn("__salt", pmod(hash(struct(big.columns.map(col): _*)), $"__k"))
+      .groupBy($"domain", $"__salt").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxGroup <= target * 2,
+      s"detector salting must bound group size: max=$maxGroup target=$target")
+    // sampled estimation finds the same hot head (magnitude, not equality)
+    val sampled = ops.Skew.detectHotKeys(big, "domain", target, sampleBp = 2500)
+      .collect().map(r => r.getString(0)).toSet
+    assert(sampled.contains("src0"))
+  }
+
   test("extraction output is identical with and without domain skew in the input order") {
     // shuffle input rows (skewed domains clumped vs spread) — output set invariant
     val base = ExtractJob.transform(docs.as[RawDoc], 8)
