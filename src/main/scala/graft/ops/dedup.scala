@@ -306,13 +306,21 @@ object Dedup {
           .select(col("band"), col("bandhash"))
         (dBand.join(ok, Seq("band", "bandhash")), cBand.join(ok, Seq("band", "bandhash")))
       }
-    val across = gd.as("d").join(gc.as("c"),
+    val across = mat(gd.as("d").join(gc.as("c"),
         col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
-      .select(col("d.__id").as("id_a"), col("c.__id").as("id_b")).distinct()
+      .select(col("d.__id").as("id_a"), col("c.__id").as("id_b")).distinct())
     // verify each side against its OWN text table — a delta id that
-    // collides with a corpus id can never be checked against the wrong text
+    // collides with a corpus id can never be checked against the wrong
+    // text. The corpus side is SEMI-FILTERED to the candidate ids first
+    // (broadcast — candidates are delta-bounded) so the word-set split
+    // runs only on candidate rows, never as a whole-corpus projection;
+    // the remaining corpus cost is the (id, text) scan of the semi join,
+    // which an id-bucketed corpus table prunes to the candidates' buckets.
+    val candIds = across.select(col("id_b").as("__cid")).distinct()
+    val corpusCands = corpus.join(broadcast(candIds),
+      corpus(idCol) === col("__cid"), "left_semi")
     val matched = mat(
-      jaccardVerifyAcross(deltaE, corpus, idCol, textCol, across, threshold)
+      jaccardVerifyAcross(deltaE, corpusCands, idCol, textCol, across, threshold)
         .select(col("id_a").as("__mid")).distinct())
     // 3. within-delta near-dup clusters (same guarded banding reused); a
     //    corpus match poisons its whole cluster

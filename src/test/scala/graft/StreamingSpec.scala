@@ -115,6 +115,39 @@ class StreamingSpec extends AnyFunSuite {
       "within-TTL duplicates must be suppressed")
   }
 
+  test("firstSeenTtl: a LATE duplicate cannot shrink the retention deadline (monotone)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(m: String) = Timestamp.valueOf(s"2026-01-01 $m:00")
+    val mem = MemoryStream[(String, String, Timestamp)]
+    // 1h TTL, 2h lateness: late duplicates are admissible input
+    val q = streaming.EventStream.firstSeenTtl(mem.toDS(),
+        ttlMs = 60 * 60 * 1000, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("ttl_mono_test")
+      .outputMode("append").start()
+    // k1 first seen at 12:00 → deadline 13:00
+    mem.addData(("k1", "v1", ts("12:00")))
+    q.processAllAvailable()
+    // LATE duplicate at 11:00 (within the 2h lateness): suppressed; a
+    // non-monotone update would overwrite the deadline to 12:00
+    mem.addData(("k1", "v0", ts("11:00")))
+    q.processAllAvailable()
+    // advance the watermark to 12:30 — PAST the shrunken deadline but
+    // before the true one (13:00)
+    mem.addData(("other", "x", ts("14:30")))
+    q.processAllAvailable()
+    // duplicate at 12:40: still inside the original retention window →
+    // must stay suppressed (the buggy shrunken deadline re-emits here)
+    mem.addData(("k1", "v2", ts("12:40")))
+    q.processAllAvailable()
+    val rows = spark.sql("select * from ttl_mono_test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(("k1", "v1"), ("other", "x")),
+      s"late duplicate shrank retention: $rows")
+  }
+
   test("watermark drops late events in append mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
