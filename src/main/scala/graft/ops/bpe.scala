@@ -93,6 +93,81 @@ object Bpe {
        |  length($merged) - length(replace($merged, ' ', ''))
        |  - (length($orig) - length(replace($orig, ' ', ''))) END""".stripMargin
 
+  /** Ordered-merge applier for PRODUCTION-SIZE merge tables: the column
+    * applier ([[bpeTokens]]) folds one literal `replace` per rank into a
+    * single expression — ideal (codegen, engine-portable) up to a few
+    * hundred ranks, but a 32k-merge vocabulary would need a 32k-deep
+    * expression tree, which breaks plan/codegen limits long before
+    * correctness. This realization keeps the EXACT same spec but runs it
+    * as a typed mapPartitions (the operator policy's last-resort tier,
+    * justified by that expression bound):
+    *
+    *  - the merge table reaches executors as ONE broadcast array;
+    *  - each distinct word is tokenized once per partition and MEMOIZED
+    *    (crawl text repeats its vocabulary, so the hit rate ≈ 1 and the
+    *    per-row cost collapses to cache lookups);
+    *  - per word, a present-symbol set skips every rank whose symbols
+    *    cannot occur, so a 32k-rank table costs ~32k hash probes per
+    *    DISTINCT word, not 32k string scans per row;
+    *  - the per-word merge scan is the same left-to-right
+    *    non-overlapping semantics as `replace` (OpsSpec asserts equality
+    *    with the column applier on shared tables).
+    *
+    * Returns (idCol as string `id`, `toks` array<string>). Word
+    * boundaries are exact by construction: tokenization is per
+    * whitespace-word, and no learned merge can contain the boundary
+    * symbol. */
+  def bpeTokensLarge(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val t = table.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val toks =
+            if (text == null || text.isEmpty) Array.empty[String]
+            else text.split(" ", -1).iterator
+              .flatMap(w => cache.getOrElseUpdate(w, applyWord(w, t)))
+              .toArray
+          (id, toks)
+        }
+      }.toDF("id", "toks")
+  }
+
+  /** One word through the ordered merge table — exactly `replace`
+    * semantics per rank (left-to-right, non-overlapping) on the symbol
+    * array. The `present` set is an over-approximation used only to SKIP
+    * ranks that cannot match (symbols are never removed from it); a rank
+    * whose both symbols are present still runs the real scan. */
+  private def applyWord(w: String,
+      table: Array[(String, String)]): Array[String] = {
+    if (w.isEmpty) return Array.empty
+    var syms: Array[String] = w.map(_.toString).toArray
+    val present = scala.collection.mutable.HashSet.empty[String]
+    syms.foreach(present += _)
+    var ti = 0
+    while (ti < table.length) {
+      val (l, r) = table(ti)
+      if (present(l) && present(r)) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        var merged = false
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); merged = true; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        if (merged) { syms = out.toArray; present += (l + r) }
+      }
+      ti += 1
+    }
+    syms
+  }
+
   /** Train an ordered merge table on a corpus — the standard
     * vocabulary-weighted construction, shaped for scale:
     *  1. ONE shuffle builds the weighted vocabulary

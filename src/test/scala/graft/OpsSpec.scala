@@ -733,6 +733,26 @@ class OpsSpec extends AnyFunSuite {
     assert(after < before, s"merges must reduce tokens: $before -> $after")
   }
 
+  test("bpeTokensLarge (mapPartitions applier) == column applier, incl. a learned 100+-rank table") {
+    val docs = documents.where($"doc_id" < 60).select($"doc_id", $"text")
+    def viaColumn(d: org.apache.spark.sql.DataFrame, m: Seq[(String, String)]) = d
+      .select($"doc_id".cast("string").as("id"), ops.Bpe.bpeTokens($"text", m).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def viaLarge(d: org.apache.spark.sql.DataFrame, m: Seq[(String, String)]) =
+      ops.Bpe.bpeTokensLarge(d, "doc_id", "text", m)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaLarge(docs, ops.Bpe.DemoMerges) == viaColumn(docs, ops.Bpe.DemoMerges))
+    // a big LEARNED table — the regime the mapPartitions form exists for
+    // (the column fold's expression depth grows with every rank)
+    val train = documents.where($"doc_id" < 200).select($"doc_id", $"text")
+    val big = ops.Bpe.learnMergesBatched(train, "text", 300, batch = 64)
+    assert(big.length > 60, s"corpus yielded only ${big.length} merges")
+    assert(viaLarge(docs, big) == viaColumn(docs, big))
+    // empty / multi-space / edge-whitespace rows agree too
+    val edge = Seq((1L, ""), (2L, "a  b"), (3L, " the ")).toDF("doc_id", "text")
+    assert(viaLarge(edge, ops.Bpe.DemoMerges) == viaColumn(edge, ops.Bpe.DemoMerges))
+  }
+
   test("BPE batched trainer: batch=1 == sequential; disjoint-pair rounds equal sequential; deterministic") {
     // chaining corpus (th → the): batch=1 must reduce EXACTLY to the
     // sequential trainer — the delegation identity

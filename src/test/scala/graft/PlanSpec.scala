@@ -230,6 +230,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("indexed incremental dedup: candidate text resolution broadcasts, no product joins, no corpus signature compute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val corpus = base.where($"doc_id" < 40)
+    val delta = base.where($"doc_id" >= 40 && $"doc_id" < 60)
+    val index = ops.Dedup.buildIndex(corpus, "doc_id", "text").localCheckpoint()
+    val admitted = ops.Dedup.incrementalDedupIndexed(delta, corpus, index,
+      "doc_id", "text", materialize = false)
+    val p = admitted.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the candidate-id semi filter reaches the corpus as a broadcast join
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // (that the corpus is never re-signatured is evidenced structurally —
+    // the index is a checkpoint leaf here — and empirically by IncrBench's
+    // flat per-increment wall across corpus widths; a plan-string count of
+    // signature operators is meaningless under lineage replication)
+  }
+
+  test("readingOrderK and the extract->layout adapter plan no product joins; boundary join stays per-doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val spans = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" < 50)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "text")))
+    val blocks = ops.Layout.blocksFromSpans(spans, "doc_id", "pos", "text",
+      charsPerLine = 40, linesPerCol = 4, colWidth = 200, lineHeight = 20)
+    val p = ops.Layout.readingOrderK(blocks, "doc_id", k = 12,
+        gapThreshold = 25, minGap = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("repeated-line pruning: hot-line removal is a broadcast anti-join over partial-agg counts") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
