@@ -184,16 +184,27 @@ object ExtractJob {
     * snapshot), so GC is a separate maintenance step: call
     * [[Manifest.removeOrphans]] later, once no reader can still pin the
     * pre-compaction snapshot (a grace period ≥ the longest reader, or a
-    * reader-quiescent window). readData never observes a missing file. */
+    * reader-quiescent window). readData never observes a missing file.
+    *
+    * `only` restricts the rewrite to a bucket subset. One compact() call
+    * reads every bucket it touches in ONE scan, so all touched buckets
+    * must share a schema — for tables whose bucket ids namespace
+    * DIFFERENT relations (the indexed corpus stream: bucket 0 = corpus
+    * rows, bucket 1 = index rows), compact each namespace separately:
+    * `compact(spark, dir, only = Some(Set(0)))` then `Some(Set(1))`.
+    * Every commit (compaction included) carries the per-stream batch
+    * watermarks forward, so the streaming exactly-once guard survives. */
   def compact(
       spark: SparkSession,
       tableDir: String,
-      targetFilesPerBucket: Int = 1): Manifest.Snapshot = {
+      targetFilesPerBucket: Int = 1,
+      only: Option[Set[Int]] = None): Manifest.Snapshot = {
     import spark.implicits._
     val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
     val snap = table.head().getOrElse(
       throw new IllegalStateException(s"nothing to compact at $tableDir"))
-    val fat = snap.buckets.filter(_.files.length > targetFilesPerBucket)
+    val fat = snap.buckets.filter(b => b.files.length > targetFilesPerBucket &&
+      only.forall(_.contains(b.bucket)))
     if (fat.isEmpty) return snap
 
     val fatIds = fat.map(_.bucket)

@@ -374,6 +374,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.orphanFiles().isEmpty)
   }
 
+  test("indexed corpus table compacts per bucket namespace; stream watermark survives compaction") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_ccomp_in_").toString
+    val tableDir = Files.createTempDirectory("graft_ccomp_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_ccomp_ckpt_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // three input files → three micro-batches (maxFilesPerTrigger = 1) →
+    // at least one appended parquet file per bucket per batch
+    base.where($"doc_id" < 30).coalesce(1).write.mode("append").parquet(in)
+    base.where($"doc_id" >= 30 && $"doc_id" < 60)
+      .union(base.where($"doc_id" < 10).select(($"doc_id" + 7000).as("doc_id"), $"text"))
+      .coalesce(1).write.mode("append").parquet(in)
+    base.where($"doc_id" >= 60 && $"doc_id" < 90).coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tableDir, ckpt, base)
+      .awaitTermination()
+    val m = new Manifest(tableDir, spark.sessionState.newHadoopConf())
+    assert(m.head().get.buckets.find(_.bucket == 0).get.files.length >= 3,
+      "per-batch appends must fragment the table (the thing compaction exists for)")
+    def corpus() = m.readData(spark, Some(Set(0))).drop("bucket")
+      .select($"doc_id", md5($"text").as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val golden = corpus()
+    // planted re-crawls (7000+) all dropped; a few organic near-dups
+    // among the 90 naturals may drop too (threshold 0.7)
+    assert(golden.map(_._1).forall(_ < 90L) && golden.size >= 80,
+      s"dups dropped, fresh admitted: ${golden.size}")
+    // bucket namespaces carry DIFFERENT schemas → compact each separately
+    ExtractJob.compact(spark, tableDir, only = Some(Set(0)))
+    ExtractJob.compact(spark, tableDir, only = Some(Set(1)))
+    val headC = m.head().get
+    assert(headC.buckets.forall(_.files.length == 1), headC.buckets.toString)
+    assert(corpus() == golden, "compaction must preserve content byte-for-byte")
+    assert(m.readData(spark, Some(Set(1))).select($"doc_id").distinct()
+      .as[Long].collect().toSet == golden.map(_._1), "index compacts in lockstep")
+    // the exactly-once stream watermark rode through BOTH compaction commits
+    val sid = streaming.EventStream.streamIdFor(ckpt)
+    assert(headC.streamWatermarks.getOrElse(sid, -1L) >= 2L)
+    // …so a re-delivered early batch is still guarded after compaction
+    val beforeId = m.head().get.id
+    streaming.EventStream.admitIndexedBatch(base.where($"doc_id" < 30), 0L,
+      tableDir, sid, "doc_id", "text", 0.7, 8, 4)
+    assert(m.head().get.id == beforeId && corpus() == golden,
+      "re-delivery must be a no-op after compaction")
+  }
+
   test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
     // the cleaning/mixing stages are stateless column algebra, so the SAME
     // operator objects compose into readStream with no code changes — the
