@@ -280,11 +280,23 @@ object Dedup {
     * verify — at production scale store the corpus bucketed by id so that
     * join prunes to the candidates' buckets. Per-increment cost is
     * delta-driven + one narrow scan of the index. */
+  /** Partition pruning for the candidate text resolution: when the corpus
+    * table is stored partitioned by an id-derived bucket column, pass
+    * `pruneBucket = Some((bucketColName, id => bucketExpr(id)))` — the
+    * candidates' bucket VALUES (a handful of ints) are computed and the
+    * corpus scan gets an `IN (buckets...)` partition filter, so only the
+    * partitions actually containing candidates are read. This realizes
+    * the "store the corpus bucketed by id" scale path: at 10⁹ docs the
+    * per-increment corpus I/O shrinks from a full (id, text) scan to the
+    * candidates' partitions. The function must be the SAME one the writer
+    * used to bucket the table (a mismatch silently resolves no text and
+    * would ADMIT near-dups — PlanSpec/OpsSpec pin the contract). */
   def incrementalDedupIndexed(delta: DataFrame, corpus: DataFrame,
       index: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       maxBucket: Int = 4096, maxIters: Int = 50,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      pruneBucket: Option[(String, Column => Column)] = None): DataFrame = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // 1. exact, within delta then vs corpus hash rows (band <= 0 selects
     // exactly one index row per doc; left-anti ignores multiplicity
@@ -317,8 +329,17 @@ object Dedup {
     // the remaining corpus cost is the (id, text) scan of the semi join,
     // which an id-bucketed corpus table prunes to the candidates' buckets.
     val candIds = across.select(col("id_b").as("__cid")).distinct()
-    val corpusCands = corpus.join(broadcast(candIds),
-      corpus(idCol) === col("__cid"), "left_semi")
+    val corpusBase = pruneBucket match {
+      case Some((bcol, bucketOf)) =>
+        // candidate bucket values are few (≤ #partitions) — collect them
+        // and hand the scan a partition-prunable IN filter
+        val bks = candIds.select(bucketOf(col("__cid")).as("__b"))
+          .distinct().collect().map(_.get(0)).toSeq
+        if (bks.isEmpty) corpus.where(lit(false)) else corpus.where(col(bcol).isin(bks: _*))
+      case None => corpus
+    }
+    val corpusCands = corpusBase.join(broadcast(candIds),
+      corpusBase(idCol) === col("__cid"), "left_semi")
     val matched = mat(
       jaccardVerifyAcross(deltaE, corpusCands, idCol, textCol, across, threshold)
         .select(col("id_a").as("__mid")).distinct())

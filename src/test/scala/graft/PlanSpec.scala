@@ -250,6 +250,40 @@ class PlanSpec extends AnyFunSuite {
     // signature operators is meaningless under lineage replication)
   }
 
+  test("pruneBucket: candidate resolution partition-prunes an id-bucketed corpus; decisions unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val corpus0 = base.where($"doc_id" < 40)
+    val bdir = java.nio.file.Files.createTempDirectory("bucketed_corpus").toString
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      pmod(c.cast("bigint"), lit(8)).cast("int")
+    corpus0.withColumn("cb", bucketOf($"doc_id"))
+      .write.partitionBy("cb").mode("overwrite").parquet(bdir)
+    val corpus = spark.read.parquet(bdir)
+    // near-dup re-crawls of corpus docs 0..4 → candidates hit ≤5 buckets
+    val delta = base.where($"doc_id" >= 40 && $"doc_id" < 60)
+      .union(corpus0.where($"doc_id" < 5)
+        .select(($"doc_id" + 9000).as("doc_id"), concat($"text", lit(" zz")).as("text")))
+    val index = ops.Dedup.buildIndex(corpus, "doc_id", "text").localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().toSet
+    val plain = ids(ops.Dedup.incrementalDedupIndexed(
+      delta, corpus, index, "doc_id", "text"))
+    val pruned = ids(ops.Dedup.incrementalDedupIndexed(
+      delta, corpus, index, "doc_id", "text",
+      pruneBucket = Some(("cb", bucketOf))))
+    assert(pruned == plain, s"pruning changed decisions: $pruned vs $plain")
+    // the physical scan of the pruned path carries a cb partition filter
+    val p = ops.Dedup.incrementalDedupIndexed(
+        delta, corpus, index, "doc_id", "text",
+        materialize = false, pruneBucket = Some(("cb", bucketOf)))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cb".r.findFirstIn(p).isDefined,
+      "corpus scan must carry a partition filter on the bucket column:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("readingOrderK and the extract->layout adapter plan no product joins; boundary join stays per-doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
