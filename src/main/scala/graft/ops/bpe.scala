@@ -126,47 +126,58 @@ object Bpe {
       .as[(String, String)]
       .mapPartitions { it =>
         val t = table.value
+        val needs = charMasks(t)
         val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
         it.map { case (id, text) =>
           val toks =
             if (text == null || text.isEmpty) Array.empty[String]
             else text.split(" ", -1).iterator
-              .flatMap(w => cache.getOrElseUpdate(w, applyWord(w, t)))
+              .flatMap(w => cache.getOrElseUpdate(w, applyWord(w, t, needs)))
               .toArray
           (id, toks)
         }
       }.toDF("id", "toks")
   }
 
-  /** One word through the ordered merge table — exactly `replace`
-    * semantics per rank (left-to-right, non-overlapping) on the symbol
-    * array. The `present` set is an over-approximation used only to SKIP
-    * ranks that cannot match (symbols are never removed from it); a rank
-    * whose both symbols are present still runs the real scan. */
-  private def applyWord(w: String,
-      table: Array[(String, String)]): Array[String] = {
-    if (w.isEmpty) return Array.empty
-    var syms: Array[String] = w.map(_.toString).toArray
-    val present = scala.collection.mutable.HashSet.empty[String]
-    syms.foreach(present += _)
-    var ti = 0
-    while (ti < table.length) {
-      val (l, r) = table(ti)
-      if (present(l) && present(r)) {
-        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-        var i = 0
-        var merged = false
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-            out += (l + r); merged = true; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        if (merged) { syms = out.toArray; present += (l + r) }
-      }
-      ti += 1
+  /** 64-bit char-presence masks per rank — the sound skip filter: a rank
+    * whose pattern uses a char absent from the word cannot match. */
+  private[graft] def charMasks(table: Array[(String, String)]): Array[Long] =
+    table.map { case (l, r) =>
+      (l + r).foldLeft(0L)((m, c) => m | (1L << (c % 64)))
     }
-    syms
+
+  /** One word through the ordered merge table — EXACTLY the column
+    * applier's semantics: literal `String.replace` of " l r" with " lr"
+    * per rank on the symbolized string. This includes replace's
+    * prefix-splice behavior (symbols are space-PREFIXED, not delimited on
+    * the right, so the pattern " c c" also matches a following symbol
+    * "ca" and splices it to "cca") — the array-of-symbols formulation is
+    * NOT equivalent; PropertySpec pins this with a composed-merge
+    * counterexample family. Cost per rank is one contains-scan, skipped
+    * when the rank's char mask needs a char the word lacks. */
+  private[graft] def applyWord(w: String, table: Array[(String, String)],
+      needs: Array[Long]): Array[String] = {
+    if (w.isEmpty) return Array.empty
+    val sb = new java.lang.StringBuilder(w.length * 2)
+    var wm = 0L
+    w.foreach { c => sb.append(' ').append(c); wm |= 1L << (c % 64) }
+    var s = sb.toString
+    var i = 0
+    while (i < table.length) {
+      if ((needs(i) & ~wm) == 0L) {
+        val (l, r) = table(i)
+        val pat = " " + l + " " + r
+        if (s.contains(pat)) s = s.replace(pat, " " + l + r)
+      }
+      i += 1
+    }
+    s.substring(1).split(" ")
   }
+
+  /** Test-friendly overload: masks computed inline. */
+  private[graft] def applyWord(w: String,
+      table: Array[(String, String)]): Array[String] =
+    applyWord(w, table, charMasks(table))
 
   /** Train an ordered merge table on a corpus — the standard
     * vocabulary-weighted construction, shaped for scale:

@@ -129,6 +129,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE word-merge scan == String.replace reference on random words × random composed merge tables") {
+    // alphabet {a,b,c} forces heavy symbol collisions; merge tables are
+    // generated COMPOSITIONALLY (each rank may consume symbols produced by
+    // earlier ranks — the chaining regime where ordered semantics bite).
+    // Reference = the exact column-applier spec, driver-side:
+    // symbolize → fold of String.replace(" l r", " lr") → split.
+    def refWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      val sym = w.flatMap(c => s" $c")
+      val merged = merges.foldLeft(sym: String) { case (acc, (l, r)) =>
+        acc.replace(s" $l $r", s" $l$r")
+      }
+      merged.trim.split(" ").toSeq.filter(_.nonEmpty)
+    }
+    val wordGen = Gen.chooseNum(0, 14)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString)
+    val mergesGen: Gen[List[(String, String)]] = for {
+      n <- Gen.chooseNum(0, 10)
+      idx <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 32), Gen.chooseNum(0, 32)))
+    } yield {
+      val pool = scala.collection.mutable.ArrayBuffer("a", "b", "c")
+      idx.map { case (i, j) =>
+        val l = pool(i % pool.length); val r = pool(j % pool.length)
+        pool += (l + r)
+        (l, r)
+      }.toList
+    }
+    checkAll(Gen.zip(wordGen, mergesGen)) { case (w, merges) =>
+      ops.Bpe.applyWord(w, merges.toArray).toSeq == refWord(w, merges)
+    }
+  }
+
   test("mixture sampling is partition-invariant and repartition-stable") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
