@@ -34,11 +34,21 @@ object CorpusMain {
       .localCheckpoint()
 
     // 3. clean: PII scrub, then minimum size + Gopher repetition gate
-    val cleaned = texts
+    val cleaned0 = texts
       .withColumn("text", ops.Cleaning.redactPii($"text"))
       .withColumn("w", ops.Cleaning.wordsOf($"text"))
       .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4($"w") <= 3000)
       .drop("w")
+      .localCheckpoint()
+
+    // 3b. language gate — the BULK realization (explode trigrams →
+    //     broadcast profile join → partial-agg argmax), the shape that
+    //     stays linear at corpus scale where the per-row probe loop does
+    //     not; docs with no profile evidence default to 'en' (kept)
+    val cleaned = cleaned0.join(
+        ops.TextStats.langIdBulk(cleaned0, "doc_id", "text")
+          .where($"pred" === "en").select($"doc_id"),
+        "doc_id")
       .localCheckpoint()
 
     // 4. dedup: exact keep-first, then LSH near-dup cluster resolution
@@ -81,7 +91,8 @@ object CorpusMain {
     Seq(
       "raw" -> nDocs,
       "with_text" -> texts.count(),
-      "cleaned" -> cleaned.count(),
+      "cleaned" -> cleaned0.count(),
+      "lang_en" -> cleaned.count(),
       "exact_deduped" -> exact.count(),
       "near_deduped" -> deduped.count(),
       "bpe_merges" -> merges.length.toLong,

@@ -76,6 +76,41 @@ object TextStats {
       array_position(scores, array_max(scores)).cast("int"))
   }
 
+  /** [[langId]] at CORPUS scale — identical predictions, different plan
+    * shape: the per-row form probes 8 profile arrays per trigram
+    * (O(trigrams × profile) per row — right for a handful of score
+    * columns, wasteful over 10⁹ documents), while this bulk form explodes
+    * each document's padded trigrams once, inner-joins the BROADCAST
+    * (trigram → lang) profile table (overlapping profiles join once per
+    * language — multiplicity preserved, so scores are identical), and
+    * takes a partial-agg argmax with the same first-profile tie-break.
+    * Documents with zero profile hits keep the deterministic default
+    * (first profile). Returns (idCol, pred). */
+  def langIdBulk(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = trigramProfiles.map(_._1)
+    val prof = broadcast(
+      trigramProfiles.flatMap { case (l, ts) => ts.map(t => (t, l)) }
+        .toDF("__t", "__lang"))
+    val pad = concat(lit(" "), col(textCol), lit(" "))
+    val tris = df
+      .select(col(idCol),
+        explode(when(length(pad) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(pad) - 2),
+            i => pad.substr(i, lit(3))))).as("__t"))
+    val rank = array_position(typedLit(names), col("__lang"))
+    val best = tris.join(prof, "__t")
+      .groupBy(col(idCol), col("__lang")).agg(count(lit(1)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("__lang"),
+        struct((-col("__s")).as("a"), rank.as("b"))).as("__p"))
+    df.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__p"), lit(names.head)).as("pred"))
+  }
+
   /** Single-quote-escaped SQL string literal (the only escaping DuckDB
     * literals need); shared by every profile-table SQL generator so a
     * quote-bearing entry can never inject. */

@@ -490,6 +490,23 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- text stats ----
 
+  test("langIdBulk (broadcast-join argmax) == per-row langId on organic docs and planted fixtures") {
+    val organic = documents.where($"doc_id" < 200).select($"doc_id", $"text")
+    def perRow(df: org.apache.spark.sql.DataFrame, id: String) = df
+      .select(col(id).cast("string").as("k"), ops.TextStats.langId($"text").as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def bulk(df: org.apache.spark.sql.DataFrame, id: String) =
+      ops.TextStats.langIdBulk(df, id, "text")
+        .select(col(id).cast("string").as("k"), $"pred")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bulk(organic, "doc_id") == perRow(organic, "doc_id"))
+    val planted = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
+    assert(bulk(planted, "fid") == perRow(planted, "fid"))
+    // zero-hit rows take the deterministic default (first profile)
+    val none = Seq((1L, "zzz qqq"), (2L, "")).toDF("doc_id", "text")
+    assert(bulk(none, "doc_id").values.toSet == Set("en"))
+  }
+
   test("langId recovers every planted language fixture (accuracy floor)") {
     val planted = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
       .withColumn("pred", ops.TextStats.langId($"text"))
