@@ -1532,6 +1532,54 @@ object Queries {
          |FROM scored ORDER BY fid""".stripMargin
     })
 
+  /** CORPUS-SCALE language ID (ops.TextStats.langIdBulk): explode padded
+    * trigrams once → broadcast (trigram, lang) profile join → partial-agg
+    * argmax with the first-profile tie-break — the plan shape that stays
+    * linear at 10⁹ documents. The oracle replays the join/argmax from the
+    * same profile constant; zero-hit docs take the deterministic default. */
+  private val qLangIdBulk = QueryDef(
+    "q_langid_bulk",
+    (s, dir) => {
+      import s.implicits._
+      val organic = t(s, dir, "documents").where($"doc_id" < 300)
+        .select(concat(lit("doc"), $"doc_id".cast("string")).as("fid"), $"text")
+      val planted = ops.TextStats.plantedFixtures
+        .map { case (fid, _, tx) => (fid, tx) }.toDF("fid", "text")
+      ops.TextStats.langIdBulk(organic.unionByName(planted), "fid", "text")
+        .orderBy($"fid")
+    },
+    Some {
+      val names = ops.TextStats.trigramProfiles.map(_._1)
+      val profVals = ops.TextStats.trigramProfiles.flatMap { case (l, ts) =>
+        ts.map(t => s"(${ops.TextStats.sqlLit(t)}, '$l')")
+      }.mkString(",\n    ")
+      val plantedVals = ops.TextStats.plantedFixtures
+        .map { case (fid, _, tx) =>
+          s"(${ops.TextStats.sqlLit(fid)}, ${ops.TextStats.sqlLit(tx)})" }
+        .mkString(",\n    ")
+      val rankCase = names.zipWithIndex
+        .map { case (n, i) => s"WHEN '$n' THEN ${i + 1}" }
+        .mkString("CASE lang ", " ", " END")
+      s"""WITH organic AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS fid, text
+         |    FROM documents WHERE doc_id < 300),
+         |planted AS (SELECT * FROM (VALUES
+         |    $plantedVals) p(fid, text)),
+         |allr AS (SELECT * FROM organic UNION ALL SELECT * FROM planted),
+         |prof AS (SELECT * FROM (VALUES
+         |    $profVals) pr(t, lang)),
+         |tri AS (SELECT fid, unnest(list_transform(
+         |    range(length(' ' || text || ' ') - 2),
+         |    i -> substr(' ' || text || ' ', i + 1, 3))) AS t FROM allr),
+         |sc AS (SELECT fid, lang, count(*) AS s
+         |       FROM tri JOIN prof USING (t) GROUP BY fid, lang),
+         |ranked AS (SELECT fid, lang, row_number() OVER (
+         |    PARTITION BY fid ORDER BY s DESC, $rankCase ASC) AS rn FROM sc),
+         |best AS (SELECT fid, lang FROM ranked WHERE rn = 1)
+         |SELECT a.fid AS fid, coalesce(b.lang, '${names.head}') AS pred
+         |FROM (SELECT fid FROM allr) a LEFT JOIN best b ON a.fid = b.fid
+         |ORDER BY a.fid""".stripMargin
+    })
+
   /** Quality scoring — the classifier's integer text-density formula
     * (4·words + 3·stopwords − 2·punct) exposed on the SQL surface. */
   private val qQuality = QueryDef(
@@ -2545,7 +2593,7 @@ object Queries {
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
-    qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qQuality,
+    qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
