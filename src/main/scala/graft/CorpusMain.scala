@@ -37,7 +37,10 @@ object CorpusMain {
     val cleaned0 = texts
       .withColumn("text", ops.Cleaning.redactPii($"text"))
       .withColumn("w", ops.Cleaning.wordsOf($"text"))
-      .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4($"w") <= 3000)
+      // capped form: the mode scan is O(distinct·n) per row, and a crawl
+      // can contain pathological 100k-word pages — Gopher gates run on the
+      // length-capped document (identical to uncapped for docs under the cap)
+      .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4Capped($"w", 2000) <= 3000)
       .drop("w")
       .localCheckpoint()
 

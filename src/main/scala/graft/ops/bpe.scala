@@ -127,13 +127,24 @@ object Bpe {
       .mapPartitions { it =>
         val t = table.value
         val needs = charMasks(t)
+        // BOUNDED memo: crawl vocab has a heavy head (the cache's point)
+        // and an unbounded long tail (URLs, hex ids) that must not pin
+        // executor memory — cap entries and skip rarely-repeating long
+        // words; applyWord is pure, so a miss only costs recompute
+        val MaxEntries = 1 << 20
+        val MaxWordLen = 64
         val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def word(w: String): Array[String] = cache.get(w) match {
+          case Some(toks) => toks
+          case None =>
+            val toks = applyWord(w, t, needs)
+            if (w.length <= MaxWordLen && cache.size < MaxEntries) cache(w) = toks
+            toks
+        }
         it.map { case (id, text) =>
           val toks =
             if (text == null || text.isEmpty) Array.empty[String]
-            else text.split(" ", -1).iterator
-              .flatMap(w => cache.getOrElseUpdate(w, applyWord(w, t, needs)))
-              .toArray
+            else text.split(" ", -1).iterator.flatMap(word).toArray
           (id, toks)
         }
       }.toDF("id", "toks")

@@ -203,17 +203,22 @@ object Similarity {
 
   /** The broadcast-join assign path of [[cellRanks]], taking the codebook
     * as a DATAFRAME (__cid, __cv) — the form the DataFrame-side Lloyd loop
-    * feeds so no round ever collects the codebook to the driver. */
+    * feeds so no round ever collects the codebook to the driver. The
+    * centroid vector is renamed to a private name before the join: callers
+    * (ivfTopK and friends) legitimately name THEIR vector column "__cv",
+    * and a collision would be an ambiguous-reference crash exactly in the
+    * large-codebook regime this path exists for. */
   private[graft] def cellRanksByDf(df: DataFrame, idCol: String, vecCol: String,
       centsDf: DataFrame, n: Int, maxRank: Int): DataFrame = {
-      val sqd = expr(s"""aggregate(zip_with(__cv, $vecCol,
+      val cents = centsDf.withColumnRenamed("__cv", "__centv")
+      val sqd = expr(s"""aggregate(zip_with(__centv, $vecCol,
         |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
         |  0D, (acc, v) -> acc + v)""".stripMargin)
       val exploded = df
         .withColumn("__cid", explode(expr(s"sequence(0, ${n - 1})")))
-        .join(broadcast(centsDf), "__cid")
+        .join(broadcast(cents), "__cid")
         .withColumn("__sqd", sqd)
-        .drop("__cv")
+        .drop("__centv")
       if (maxRank == 1) {
         // partial aggregation collapses the nCents candidate rows map-side;
         // the shuffle carries one row per vector.

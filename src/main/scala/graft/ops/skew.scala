@@ -67,8 +67,12 @@ object Skew {
     * key — by construction a tiny relation). */
   def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
       targetRows: Long, sampleBp: Int = 0): DataFrame = {
+    // the detector aggregation scans the BIG side — materialize its tiny
+    // result once (one row per hot key) so the two joins below don't each
+    // recompute the scan+shuffle
     val hot = detectHotKeys(big, key, targetRows, sampleBp)
       .select(col(key), col("salt").as("__k"))
+      .localCheckpoint()
     val bigS = big.join(broadcast(hot), Seq(key), "left")
       .withColumn("__k", coalesce(col("__k"), lit(1)))
       .withColumn("__salt", pmod(hash(struct(big.columns.map(col): _*)), col("__k")))

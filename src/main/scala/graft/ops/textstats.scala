@@ -106,9 +106,14 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(min_by(col("__lang"),
         struct((-col("__s")).as("a"), rank.as("b"))).as("__p"))
-    df.select(col(idCol))
+    // null text predicts NULL (matching the per-row form, whose score
+    // expressions propagate null) — only genuine zero-hit TEXT takes the
+    // deterministic first-profile default
+    df.select(col(idCol), col(textCol).isNull.as("__nulltext"))
       .join(best, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("__p"), lit(names.head)).as("pred"))
+      .select(col(idCol),
+        when(col("__nulltext"), lit(null).cast("string"))
+          .otherwise(coalesce(col("__p"), lit(names.head))).as("pred"))
   }
 
   /** Single-quote-escaped SQL string literal (the only escaping DuckDB

@@ -206,6 +206,14 @@ object ExtractJob {
     val fat = snap.buckets.filter(b => b.files.length > targetFilesPerBucket &&
       only.forall(_.contains(b.bucket)))
     if (fat.isEmpty) return snap
+    // fail FAST on mixed schemas: one combined scan over buckets that
+    // namespace different relations would silently null-fill one side and
+    // commit the corruption (then GC deletes the originals). One footer
+    // read per fat bucket; a doc comment is not a guard.
+    val schemas = fat.map(b => b.bucket -> spark.read.parquet(b.files.head).schema)
+    require(schemas.map(_._2).distinct.size <= 1,
+      s"compact: buckets ${schemas.map(_._1).mkString(",")} carry different " +
+        "schemas — compact each namespace separately via only=Some(...)")
 
     val fatIds = fat.map(_.bucket)
     val before = fatIds.map(b => b -> table.listBucketFiles(b).toSet).toMap

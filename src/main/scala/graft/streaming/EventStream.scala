@@ -83,7 +83,7 @@ object EventStream {
   def runExtractWithManifest(
       spark: SparkSession, inDir: String, tableDir: String,
       checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
-    val streamId = streamIdFor(checkpointDir)
+    val streamId = streamIdFor(checkpointDir, spark.sessionState.newHadoopConf())
     extractStreamNative(spark, inDir, schemaFrom).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
@@ -101,11 +101,13 @@ object EventStream {
     * the dir's own FileSystem) — the same checkpoint dir spelled
     * differently across restarts (relative vs absolute, trailing slash,
     * scheme prefix) must map to the same id, or the re-delivery guard is
-    * silently bypassed for the last batch. */
-  private[graft] def streamIdFor(checkpointDir: String): String = {
+    * silently bypassed for the last batch. The SESSION Hadoop conf is
+    * required — a bare Configuration would mis-resolve filesystems that
+    * are configured only through spark.hadoop.* settings. */
+  private[graft] def streamIdFor(checkpointDir: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
-    val canonical = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .makeQualified(p).toUri.toString
+    val canonical = p.getFileSystem(conf).makeQualified(p).toUri.toString
     "ckpt-" + java.util.UUID.nameUUIDFromBytes(
       canonical.getBytes("UTF-8")).toString.take(8)
   }
@@ -332,7 +334,7 @@ object EventStream {
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.7, k: Int = 8, bands: Int = 4): StreamingQuery = {
-    val streamId = streamIdFor(checkpointDir)
+    val streamId = streamIdFor(checkpointDir, spark.sessionState.newHadoopConf())
     spark.readStream.schema(schemaFrom.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)

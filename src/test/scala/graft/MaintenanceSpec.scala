@@ -82,6 +82,36 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[Exception](m.readData(spark, asOf = Some(s0.id)))
   }
 
+  test("default compact FAILS FAST on mixed-schema bucket namespaces instead of corrupting one") {
+    import org.apache.spark.sql.functions._
+    val dir = freshDir() + "/t"
+    val m = new Manifest(dir)
+    // bucket 0: (doc_id, text) ×2 files; bucket 1: (doc_id, h) ×2 files —
+    // the indexed-corpus-table shape, built directly through the manifest
+    import spark.implicits._
+    def writeTwice(bucket: Int, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.coalesce(1).write.mode("append").parquet(s"$dir/data/bucket=$bucket")
+      df.coalesce(1).write.mode("append").parquet(s"$dir/data/bucket=$bucket")
+      m.listBucketFiles(bucket)
+    }
+    val f0 = writeTwice(0, Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    val f1 = writeTwice(1, Seq((1L, "h1"), (2L, "h2")).toDF("doc_id", "h"))
+    m.commit("mixed", Seq(
+      Manifest.BucketState(0, 4, "2", f0), Manifest.BucketState(1, 4, "2", f1)))
+    // one combined rewrite would null-fill one namespace and then GC the
+    // originals — the guard must refuse before any write happens
+    val e = intercept[IllegalArgumentException](ExtractJob.compact(spark, dir))
+    assert(e.getMessage.contains("different"), e.getMessage)
+    // per-namespace compaction is the supported path
+    ExtractJob.compact(spark, dir, only = Some(Set(0)))
+    ExtractJob.compact(spark, dir, only = Some(Set(1)))
+    val head = m.head().get
+    assert(head.buckets.forall(_.files.length == 1))
+    assert(m.readData(spark, Some(Set(0))).drop("bucket")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "alpha"), (1L, "alpha"), (2L, "beta"), (2L, "beta")).sorted)
+  }
+
   test("a rerun over fewer docs does not adopt stale files from the previous run") {
     val dir = freshDir()
     // run A fills all 16 buckets

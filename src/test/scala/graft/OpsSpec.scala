@@ -505,6 +505,34 @@ class OpsSpec extends AnyFunSuite {
     // zero-hit rows take the deterministic default (first profile)
     val none = Seq((1L, "zzz qqq"), (2L, "")).toDF("doc_id", "text")
     assert(bulk(none, "doc_id").values.toSet == Set("en"))
+    // NULL text predicts null in BOTH forms (the per-row scores propagate
+    // null; the bulk form must not default it to 'en')
+    val withNull = Seq((1L, "the cat"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bulkNull = ops.TextStats.langIdBulk(withNull, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val rowNull = withNull
+      .select($"doc_id", ops.TextStats.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bulkNull == rowNull && bulkNull(2L).isEmpty, s"$bulkNull vs $rowNull")
+  }
+
+  test("ivfTopK works above CodebookLiteralMax centroids (broadcast path); exact at nProbe == nCells") {
+    // 65 centroids forces the broadcast-join assign — the regime that
+    // crashed on the __cv name collision; nProbe == nCentroids makes IVF
+    // an exact search, so it must reproduce brute-force top-k
+    val emb = embeddings.where($"vec_id" < 200)
+      .select($"vec_id", $"embedding")
+    val probes = emb.where($"vec_id" < 2)
+    val n = 65
+    val ivf = ops.Similarity.ivfTopK(emb, probes, "vec_id", "embedding",
+        k = 5, nCentroids = n, nProbe = n, lloydIters = 1)
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = ops.Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(ivf == brute, s"exact IVF must equal brute force")
   }
 
   test("langId recovers every planted language fixture (accuracy floor)") {

@@ -226,7 +226,7 @@ class StreamingSpec extends AnyFunSuite {
     // compaction moves HEAD past the stream's snapshots, expireSnapshots
     // deletes them — the per-stream batch watermark carried forward in
     // every snapshot must STILL recognize a re-delivered batch id
-    val sid = streaming.EventStream.streamIdFor(ckpt)
+    val sid = streaming.EventStream.streamIdFor(ckpt, spark.sessionState.newHadoopConf())
     val lastBatchId = h2.runId.stripPrefix("stream-batch-").toLong
     assert(h2.streamWatermarks.get(sid).contains(lastBatchId), h2.streamWatermarks.toString)
     ExtractJob.compact(spark, tbl, targetFilesPerBucket = 1)
@@ -410,7 +410,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.readData(spark, Some(Set(1))).select($"doc_id").distinct()
       .as[Long].collect().toSet == golden.map(_._1), "index compacts in lockstep")
     // the exactly-once stream watermark rode through BOTH compaction commits
-    val sid = streaming.EventStream.streamIdFor(ckpt)
+    val sid = streaming.EventStream.streamIdFor(ckpt, spark.sessionState.newHadoopConf())
     assert(headC.streamWatermarks.getOrElse(sid, -1L) >= 2L)
     // …so a re-delivered early batch is still guarded after compaction
     val beforeId = m.head().get.id
