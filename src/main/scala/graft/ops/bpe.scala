@@ -142,8 +142,12 @@ object Bpe {
             toks
         }
         it.map { case (id, text) =>
+          // NULL text yields NULL toks — parity with the column applier
+          // bpeTokens, whose expressions propagate null (the two appliers
+          // must be swappable on a nullable text column)
           val toks =
-            if (text == null || text.isEmpty) Array.empty[String]
+            if (text == null) null
+            else if (text.isEmpty) Array.empty[String]
             else text.split(" ", -1).iterator.flatMap(word).toArray
           (id, toks)
         }
@@ -218,10 +222,16 @@ object Bpe {
     * order and a pair is selected only if its SYMBOLS ARE DISJOINT from
     * every earlier selection of the round (neither side may equal a
     * symbol another selected pair consumes or produces). Disjointness
-    * makes every selected pair's count exact at application time: merging
-    * (c,d) can neither create nor destroy occurrences of a disjoint
-    * (a,b), so folding the selections in order equals applying each at
-    * its own collected count. The ONLY divergence from the sequential
+    * keeps every selected pair's count exact at application time up to
+    * one residual splice case: symbols are space-PREFIXED (not
+    * right-delimited), so applying a selected (a,b) can splice a NEW
+    * occurrence of another selected (x, abc…) whose multi-char right
+    * side string-starts with "ab" — counts for such a pair can drift
+    * upward between collection and application. Output stays
+    * deterministic either way (the fold order is fixed); only merge-rank
+    * quality vs the sequential trainer can drift slightly in that corner,
+    * on top of the divergence below. The main divergence from the
+    * sequential
     * trainer is that a pair involving a just-created symbol (e.g.
     * (x, cd)) cannot be selected until the next round — the standard
     * fast-BPE batching approximation; `batch = 1` reduces EXACTLY to the

@@ -117,6 +117,41 @@ object Cleaning {
       .stripMargin)
   }
 
+  /** Sliding windows over an ARBITRARY array column — the pure-Column
+    * twin of [[chunkWindows]] (which interpolates `w.toString` into an
+    * expr and therefore requires a plain column reference): works on any
+    * DERIVED array, e.g. a BPE token array. Returns
+    * array<struct<idx:int, toks:array<...>>> — chunks stay token ARRAYS
+    * (re-joining BPE symbols with spaces would not reconstruct text). Same
+    * window invariants as chunkWindows: windows of `maxTokens` every
+    * `maxTokens − overlap`, the final window may be shorter but is never
+    * fully contained in the previous one. */
+  def chunkWindowsCol(arr: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    // ceil((n - maxTokens) / step) in Column algebra; values are row-local
+    // ints so the double division is exact
+    val maxIdx = greatest(lit(0),
+      floor((size(arr) - lit(maxTokens) + lit(step - 1)).cast("double") / lit(step))
+        .cast("int"))
+    transform(sequence(lit(0), maxIdx), i =>
+      struct(i.cast("int").as("idx"),
+        slice(arr, i * lit(step) + 1, lit(maxTokens)).as("toks")))
+  }
+
+  /** BPE-TOKEN chunking — context-window preparation in the SAME unit the
+    * shard packer budgets ([[graft.ops.Bpe.bpeTokenCount]]): chunk the
+    * document's BPE token array (column applier — for production 32k-rank
+    * tables run [[graft.ops.Bpe.bpeTokensLarge]] first and pass its `toks`
+    * column to [[chunkWindowsCol]]). A whitespace-word chunker and a
+    * BPE-token packer measure different things; this aligns chunk budget
+    * with token budget. */
+  def chunkBpeWindows(textCol: Column, merges: Seq[(String, String)],
+      maxTokens: Int, overlap: Int): Column =
+    chunkWindowsCol(graft.ops.Bpe.bpeTokens(textCol, merges), maxTokens, overlap)
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

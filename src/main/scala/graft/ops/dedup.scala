@@ -296,7 +296,30 @@ object Dedup {
       k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       maxBucket: Int = 4096, maxIters: Int = 50,
       materialize: Boolean = true,
-      pruneBucket: Option[(String, Column => Column)] = None): DataFrame = {
+      pruneBucket: Option[(String, Column => Column)] = None): DataFrame =
+    incrementalDedupIndexedOutcome(delta, corpus, index, idCol, textCol,
+      k, bands, threshold, maxBucket, maxIters, materialize, pruneBucket).admitted
+
+  /** The admission breakdown of one [[incrementalDedupIndexedOutcome]]
+    * call — the observability surface an ingest operator watches:
+    *  - `admitted`: the delta rows that survived (original columns);
+    *  - `exactSurvivors`: delta rows after the exact pass (within-delta
+    *    keep-first + corpus-hash anti-join) — `input − count(exactSurvivors)`
+    *    is the exact-drop count;
+    *  - `directDrops`: one `__drop` id per exact-survivor dropped for a
+    *    DIRECT near-dup reason (corpus Jaccard match, or within-delta
+    *    cluster loser) — `count(exactSurvivors) − count(admitted) −
+    *    count(directDrops)` is therefore the POISONED count (members
+    *    dropped only because a clustermate matched the corpus). */
+  private[graft] final case class IncrementalOutcome(
+      admitted: DataFrame, exactSurvivors: DataFrame, directDrops: DataFrame)
+
+  private[graft] def incrementalDedupIndexedOutcome(delta: DataFrame,
+      corpus: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      maxBucket: Int = 4096, maxIters: Int = 50,
+      materialize: Boolean = true,
+      pruneBucket: Option[(String, Column => Column)] = None): IncrementalOutcome = {
     def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // 1. exact, within delta then vs corpus hash rows (band <= 0 selects
     // exactly one index row per doc; left-anti ignores multiplicity
@@ -355,13 +378,17 @@ object Dedup {
     val poisoned = clusters
       .join(matched, col("id") === col("__mid"))
       .select(col("cluster_id").as("__pc")).distinct()
+    val directDrops = clusters.where(!col("keep")).select(col("id").as("__drop"))
+      .union(matched.select(col("__mid").as("__drop")))
+      .distinct()
     val clusterDrops = clusters
       .join(poisoned, col("cluster_id") === col("__pc"), "left_semi")
       .select(col("id").as("__drop"))
-      .union(clusters.where(!col("keep")).select(col("id").as("__drop")))
-      .union(matched.select(col("__mid").as("__drop")))
+      .union(directDrops)
       .distinct()
-    deltaE.join(clusterDrops, deltaE(idCol) === col("__drop"), "left_anti")
+    IncrementalOutcome(
+      deltaE.join(clusterDrops, deltaE(idCol) === col("__drop"), "left_anti"),
+      deltaE, directDrops)
   }
 
   /** 60-bit SimHash per row: explode words, md5→60-bit int, per-bit signed
@@ -538,5 +565,27 @@ object Dedup {
       .where(!col("keep"))
       .select(col("id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Semantic dedup at cluster granularity — the SemDeDup operator a
+    * pretraining pipeline actually runs (Abbas et al. 2023): assign every
+    * embedding to an IVF centroid cell, pair within-cell above the cosine
+    * threshold ([[graft.ops.Similarity.semanticNearDupPairs]] — pure
+    * equi-join on the cell id, hot cells guarded), resolve the pair graph
+    * to connected components ([[resolveClusters]]) and keep ONE document
+    * per semantic cluster (the minimum id — same keeper rule as every
+    * other dedup path). Documents in no pair pass through untouched.
+    *
+    * Recall is bounded by the cell assignment (a pair split across a cell
+    * boundary is missed — the standard SemDeDup trade); `maxCell` drops
+    * degenerate cells from pairing, audit via
+    * [[graft.ops.Similarity.semanticOversizeCells]]. */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int, lloydIters: Int = 0,
+      maxCell: Int = 4096, maxIters: Int = 50): DataFrame = {
+    val pairs = Similarity.semanticNearDupPairs(docs, idCol, vecCol,
+      threshold, nCentroids, lloydIters, maxCell)
+      .select(col("id_a"), col("id_b"))
+    dedupCorpus(docs, idCol, pairs, maxIters = maxIters)
   }
 }

@@ -139,6 +139,61 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup-style within-cell near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public construction): assign every vector to its
+    * nearest IVF centroid cell ONCE, then pair only within a cell by exact
+    * cosine ≥ threshold. The cell assignment bounds the pair search — the
+    * join is a pure equi-join on the cell id, never an all-pairs product —
+    * at the standard SemDeDup recall trade: a near-dup pair split across a
+    * cell boundary is missed by construction (raise nCentroids for purity,
+    * lower for recall; the paper runs k-means cells the same way).
+    *
+    * `maxCell` guards degenerate cells exactly like the LSH hot-bucket
+    * guard (a cell of identical embeddings would self-join quadratically):
+    * cells larger than it are DROPPED from pairing — audit what was
+    * dropped via [[semanticOversizeCells]]; 0 disables. The guard counter
+    * is a partial-agg groupBy joined back, never a window. */
+  def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCentroids: Int, lloydIters: Int = 0,
+      maxCell: Int = 4096): DataFrame = {
+    val assigned0 = assignCells(corpus, idCol, vecCol, nCentroids, lloydIters)
+    val assigned =
+      if (maxCell <= 0) assigned0
+      else {
+        val small = assigned0.groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
+          .where(col("__cn") <= maxCell)
+          .select(col("__cell"))
+        assigned0.join(small, Seq("__cell"))
+      }
+    assigned.as("x").join(assigned.as("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
+      .withColumn("cosine", dot("x.__v", "y.__v") / (col("x.__n") * col("y.__n")))
+      .where(col("cosine") >= threshold)
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"), col("cosine"))
+      .distinct()
+  }
+
+  /** The cells [[semanticNearDupPairs]] would drop at `maxCell`, with
+    * member counts — the audit/log surface (no silent caps). */
+  def semanticOversizeCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, lloydIters: Int, maxCell: Int): DataFrame =
+    assignCells(corpus, idCol, vecCol, nCentroids, lloydIters)
+      .groupBy(col("__cell").as("cell")).agg(count(lit(1)).as("members"))
+      .where(col("members") > maxCell)
+
+  /** One IVF cell per vector: (__id, __v, __n = L2 norm, __cell), seeds
+    * deterministic ([[seedCentroids]]), optionally Lloyd-refined. */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, lloydIters: Int): DataFrame = {
+    val cents = refineCentroids(corpus, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), lloydIters)
+    cellRanks(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+        "__id", "__v", cents, maxRank = 1)
+      .withColumn("__n", norm("__v"))
+      .drop("__rk")
+  }
+
   // ------------------------------------------------------------------
   // IVF (inverted-file) ANN — the second scale path beside SRP-LSH: a
   // coarse quantizer assigns every corpus vector to its nearest centroid

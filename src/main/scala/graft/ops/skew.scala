@@ -40,14 +40,29 @@ object Skew {
     * `sampleBp > 0` counts only a deterministic hash-sample of rows
     * (xxhash64 row hash mod 10⁴ < sampleBp) and scales the estimate —
     * the cheap pass when the big side is scanned for nothing else; the
-    * salt factor only needs the right magnitude, not an exact count. */
+    * salt factor only needs the right magnitude, not an exact count.
+    *
+    * COST of the sampled default on a WIDE table: hashing the full row
+    * struct forces the scan to read every column, defeating column
+    * pruning — the expensive pass the sampling mode exists to avoid. Pass
+    * `sampleCol = Some(c)` naming a row-unique column (a primary key, or
+    * the key plus a disambiguator) and the sample hashes ONLY that column:
+    * the detector scan then reads two columns (key + c) regardless of
+    * table width. The column must be row-unique (or at least uncorrelated
+    * with the key) for the sample to stay uniform — hashing a LOW-
+    * CARDINALITY column would sample whole value-groups in or out and
+    * skew every estimate. */
   def detectHotKeys(big: DataFrame, key: String, targetRows: Long,
-      sampleBp: Int = 0): DataFrame = {
+      sampleBp: Int = 0, sampleCol: Option[String] = None): DataFrame = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(sampleBp >= 0 && sampleBp <= 10000, s"sampleBp in [0,10000], got $sampleBp")
+    val rowHash = sampleCol match {
+      case Some(c) => xxhash64(col(c))
+      case None => xxhash64(struct(big.columns.map(col): _*))
+    }
     val base =
       if (sampleBp == 0) big
-      else big.where(pmod(xxhash64(struct(big.columns.map(col): _*)), lit(10000)) < sampleBp)
+      else big.where(pmod(rowHash, lit(10000)) < sampleBp)
     val est =
       if (sampleBp == 0) col("__n0")
       else col("__n0") * 10000L / sampleBp
@@ -66,11 +81,12 @@ object Skew {
     * partitioning changes. The salt map is broadcast (one row per HOT
     * key — by construction a tiny relation). */
   def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String,
-      targetRows: Long, sampleBp: Int = 0): DataFrame = {
+      targetRows: Long, sampleBp: Int = 0,
+      sampleCol: Option[String] = None): DataFrame = {
     // the detector aggregation scans the BIG side — materialize its tiny
     // result once (one row per hot key) so the two joins below don't each
     // recompute the scan+shuffle
-    val hot = detectHotKeys(big, key, targetRows, sampleBp)
+    val hot = detectHotKeys(big, key, targetRows, sampleBp, sampleCol)
       .select(col(key), col("salt").as("__k"))
       .localCheckpoint()
     val bigS = big.join(broadcast(hot), Seq(key), "left")

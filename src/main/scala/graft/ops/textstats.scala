@@ -37,7 +37,23 @@ object TextStats {
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met",
       "voor", "zijn", "ook", "maar"),
     "id" -> Seq("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
-      "tidak", "dari", "akan", "pada", "adalah"))
+      "tidak", "dari", "akan", "pada", "adalah"),
+    // Non-Latin scripts — the trigram machinery is script-agnostic (both
+    // engines share UTF-8 = character semantics for length/substr):
+    // Cyrillic and Arabic are space-separated, so function-word seeds work
+    // exactly like the Latin rows. Chinese is NOT space-separated, so its
+    // seeds are common MULTI-character sequences whose INNER trigrams
+    // carry no space and therefore match continuous (unsegmented) text —
+    // a single-character seed would only produce space-bound trigrams that
+    // continuous CJK never contains. (Hand-authored seeds are the fixed
+    // deterministic baseline; derive corpus-specific profiles with
+    // [[trainProfiles]].)
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "как", "его",
+      "она", "они", "для", "был"),
+    "ar" -> Seq("في", "من", "على", "هذا", "التي", "الذي", "إلى", "كان",
+      "لا", "ما", "هو", "عن"),
+    "zh" -> Seq("我们的", "他们的", "这是一", "中国人", "可以说", "没有人",
+      "什么是", "一个人", "就是说", "因为他", "所以我", "现在是"))
 
   /** Trigram profile per language: every padded character trigram of the
     * profile words (" th", "the", "he " for "the"), distinct and sorted —
@@ -69,11 +85,51 @@ object TextStats {
     * wins ties, so 'en' is the deterministic default on all-zero rows.
     * Each score is computed once (array + array_position), not re-derived
     * per comparison as a when-cascade would. */
-  def langId(textCol: Column): Column = {
-    val names = trigramProfiles.map(_._1)
-    val scores = array(trigramProfiles.map { case (_, p) => trigramScore(textCol, p) }: _*)
+  def langId(textCol: Column): Column = langIdWith(textCol, trigramProfiles)
+
+  /** [[langId]] over an ARBITRARY profile table — the hand-authored
+    * [[trigramProfiles]] and a [[trainProfiles]]-derived table share one
+    * scorer. Profile ORDER is the deterministic tie-break (first max
+    * wins; the first profile is the all-zero default). */
+  def langIdWith(textCol: Column,
+      profiles: Seq[(String, Seq[String])]): Column = {
+    val names = profiles.map(_._1)
+    val scores = array(profiles.map { case (_, p) => trigramScore(textCol, p) }: _*)
     element_at(typedLit(names),
       array_position(scores, array_max(scores)).cast("int"))
+  }
+
+  /** TRAIN trigram profiles from a labeled sample — the derived (not
+    * hand-picked) counterpart of [[trigramProfiles]]: per language, the
+    * `topN` most frequent padded character trigrams of the labeled texts,
+    * ties broken (count desc, trigram asc) so the result is a pure
+    * function of the sample. Languages come out sorted by name — a
+    * deterministic tie-break order for [[langIdWith]] (document which
+    * language wins all-zero rows when you wire it into a gate).
+    *
+    * Scale shape: one explode → partial-agg count per (lang, trigram); the
+    * top-N window partitions by LANGUAGE over the distinct-trigram counts
+    * (bounded by the trigram space, never by corpus rows). The collect is
+    * profile-sized: #languages × topN rows. */
+  def trainProfiles(labeled: org.apache.spark.sql.DataFrame, langCol: String,
+      textCol: String, topN: Int): Seq[(String, Seq[String])] = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val pad = concat(lit(" "), col(textCol), lit(" "))
+    val tris = labeled.select(col(langCol).as("__lang"),
+      explode(when(length(pad) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(pad) - 2),
+          i => pad.substr(i, lit(3))))).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__lang")).orderBy(col("__n").desc, col("__t").asc)
+    tris.groupBy(col("__lang"), col("__t")).agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rk") <= topN)
+      .select(col("__lang"), col("__t"), col("__rk"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(2)).map(_.getString(1)).toSeq }
+      .toSeq.sortBy(_._1)
   }
 
   /** [[langId]] at CORPUS scale — identical predictions, different plan
@@ -87,12 +143,20 @@ object TextStats {
     * Documents with zero profile hits keep the deterministic default
     * (first profile). Returns (idCol, pred). */
   def langIdBulk(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String): org.apache.spark.sql.DataFrame =
+    langIdBulkWith(df, idCol, textCol, trigramProfiles)
+
+  /** [[langIdBulk]] over an arbitrary profile table (e.g. a
+    * [[trainProfiles]] result) — same broadcast-join argmax plan, profile
+    * order = tie-break order, first profile = zero-hit default. */
+  def langIdBulkWith(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      profiles: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val names = trigramProfiles.map(_._1)
+    val names = profiles.map(_._1)
     val prof = broadcast(
-      trigramProfiles.flatMap { case (l, ts) => ts.map(t => (t, l)) }
+      profiles.flatMap { case (l, ts) => ts.map(t => (t, l)) }
         .toDF("__t", "__lang"))
     val pad = concat(lit(" "), col(textCol), lit(" "))
     val tris = df

@@ -217,12 +217,17 @@ object ExtractJob {
 
     val fatIds = fat.map(_.bucket)
     val before = fatIds.map(b => b -> table.listBucketFiles(b).toSet).toMap
-    // (bucket, doc-hash mod target) partitioning → exactly ≤ target output
+    // (bucket, row-hash mod target) partitioning → exactly ≤ target output
     // files per bucket; with target=1 each bucket lands in one task. At
     // 100 TB pick target so bucket/target ≈ one task's worth of rows.
-    table.readData(spark, Some(fatIds.toSet))
+    // The split hash covers all data columns — compaction is schema-
+    // agnostic (corpus, index and metrics namespaces all compact), and
+    // the rewrite reads full width regardless.
+    val data = table.readData(spark, Some(fatIds.toSet))
+    val splitCols = data.columns.filterNot(_ == "bucket").map(col)
+    data
       .repartition(fatIds.length * targetFilesPerBucket, $"bucket",
-        pmod(hash($"doc_id"), lit(targetFilesPerBucket)))
+        pmod(hash(splitCols: _*), lit(targetFilesPerBucket)))
       .write.mode("append")
       .partitionBy("bucket")
       .parquet(s"$tableDir/data")

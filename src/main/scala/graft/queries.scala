@@ -1264,6 +1264,68 @@ object Queries {
            |FROM pc JOIN cells USING (cell) WHERE probe <> cand
            |GROUP BY probe ORDER BY probe""".stripMargin))
 
+  /** SemDeDup at cluster granularity (ops.Dedup.semanticDedup): IVF cell
+    * assignment (4 deterministic md5-ordered seed centroids, exact integer
+    * squared-L2 argmin with index tie-break) → within-cell cosine pairs ≥
+    * threshold (pure equi-join on the cell id) → connected components →
+    * keep the minimum id per semantic cluster. Planted exact-copy and
+    * perturbed-copy families make every stage decide something; the oracle
+    * replays seeding, assignment, cosine and the recursive component
+    * resolution over the same integer-quantized vectors. */
+  private val qSemanticDedup = QueryDef(
+    "q_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings").where($"vec_id" < 150)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      val corpus = base
+        .union(base.where($"vec_id" < 10).select(($"vec_id" + 1000).as("vec_id"), $"qv"))
+        .union(base.where($"vec_id" < 5).select(($"vec_id" + 2000).as("vec_id"),
+          expr("concat(array(qv[0] + 100L), slice(qv, 2, size(qv) - 1))").as("qv")))
+      ops.Dedup.semanticDedup(corpus, "vec_id", "qv",
+          threshold = 0.99, nCentroids = 4)
+        .select($"vec_id").orderBy($"vec_id")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 150),
+           |corpus AS (
+           |  SELECT vec_id, qv FROM base
+           |  UNION ALL SELECT vec_id + 1000, qv FROM base WHERE vec_id < 10
+           |  UNION ALL SELECT vec_id + 2000, list_concat([qv[1] + 100], qv[2:len(qv)])
+           |    FROM base WHERE vec_id < 5),
+           |cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           |    qv AS cv
+           |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
+           |d AS (SELECT corpus.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(corpus.qv)),
+           |      j -> (cents.cv[j+1] - corpus.qv[j+1]) * (cents.cv[j+1] - corpus.qv[j+1]))) AS sqd
+           |  FROM corpus, cents),
+           |asg AS (SELECT vec_id, cid AS cell FROM
+           |  (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+           |   FROM d) WHERE rk = 1),
+           |qn AS (SELECT c.vec_id, a.cell, c.qv,
+           |    CAST(list_sum(list_transform(c.qv, x -> x*x)) AS BIGINT) AS nrm
+           |  FROM corpus c JOIN asg a ON a.vec_id = c.vec_id),
+           |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM qn x JOIN qn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |  WHERE CAST(list_sum(list_transform(range(len(x.qv)),
+           |          j -> x.qv[j+1] * y.qv[j+1])) AS DOUBLE)
+           |        / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= 0.99),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+           |SELECT vec_id FROM corpus
+           |WHERE vec_id NOT IN (SELECT id FROM losers)
+           |ORDER BY vec_id""".stripMargin))
+
   /** Product quantization ANN (ops.Pq): m=4 subspaces × k=8 codes over
     * integer-quantized embeddings; codebook = the subvectors of the eight
     * vec_id%32==0 corpus rows (code = vec_id/32 — deterministic, so the
@@ -1575,9 +1637,52 @@ object Queries {
          |ranked AS (SELECT fid, lang, row_number() OVER (
          |    PARTITION BY fid ORDER BY s DESC, $rankCase ASC) AS rn FROM sc),
          |best AS (SELECT fid, lang FROM ranked WHERE rn = 1)
-         |SELECT a.fid AS fid, coalesce(b.lang, '${names.head}') AS pred
-         |FROM (SELECT fid FROM allr) a LEFT JOIN best b ON a.fid = b.fid
+         |SELECT a.fid AS fid,
+         |  CASE WHEN a.text IS NULL THEN NULL
+         |       ELSE coalesce(b.lang, '${names.head}') END AS pred
+         |FROM (SELECT fid, text FROM allr) a LEFT JOIN best b ON a.fid = b.fid
          |ORDER BY a.fid""".stripMargin
+    })
+
+  /** TRAINED language profiles (ops.TextStats.trainProfiles): derive each
+    * language's top-N padded trigrams from the labeled fixture sample
+    * (count desc, trigram asc — a pure function of the sample), then
+    * classify the sample with the TRAINED profiles via the shared scorer.
+    * The oracle replays the training window and the argmax in SQL; the
+    * trained tie-break order is lexicographic language name. */
+  private val qLangIdTrain = QueryDef(
+    "q_langid_train",
+    (s, dir) => {
+      import s.implicits._
+      val labeled = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
+      val trained = ops.TextStats.trainProfiles(labeled, "lang", "text", topN = 40)
+      labeled
+        .select($"fid", ops.TextStats.langIdWith($"text", trained).as("pred"))
+        .orderBy($"fid")
+    },
+    Some {
+      val plantedVals = ops.TextStats.plantedFixtures
+        .map { case (fid, lang, tx) =>
+          s"(${ops.TextStats.sqlLit(fid)}, '$lang', ${ops.TextStats.sqlLit(tx)})" }
+        .mkString(",\n    ")
+      val default = ops.TextStats.profileWords.map(_._1).sorted.head
+      s"""WITH planted AS (SELECT * FROM (VALUES
+         |    $plantedVals) p(fid, lang, text)),
+         |tri AS (SELECT fid, lang, unnest(list_transform(
+         |    range(length(' ' || text || ' ') - 2),
+         |    i -> substr(' ' || text || ' ', i + 1, 3))) AS t FROM planted),
+         |cnt AS (SELECT lang, t, count(*) AS n FROM tri GROUP BY 1, 2),
+         |prof AS (SELECT lang, t FROM
+         |  (SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY n DESC, t ASC) AS rk
+         |   FROM cnt) WHERE rk <= 40),
+         |sc AS (SELECT d.fid, p.lang, count(*) AS s
+         |       FROM tri d JOIN prof p ON d.t = p.t GROUP BY 1, 2),
+         |best AS (SELECT fid, lang FROM
+         |  (SELECT fid, lang, row_number() OVER (PARTITION BY fid ORDER BY s DESC, lang ASC) AS rn
+         |   FROM sc) WHERE rn = 1)
+         |SELECT p.fid AS fid, coalesce(b.lang, '$default') AS pred
+         |FROM planted p LEFT JOIN best b ON b.fid = p.fid
+         |ORDER BY p.fid""".stripMargin
     })
 
   /** Quality scoring — the classifier's integer text-density formula
@@ -1949,6 +2054,40 @@ object Queries {
            |  CAST(len(string_split(chunk, ' ')) AS INT) AS n_tok,
            |  md5(chunk) AS sig
            |FROM ch ORDER BY doc_id, idx""".stripMargin))
+
+  /** BPE-TOKEN chunking (ops.Cleaning.chunkBpeWindows): context windows
+    * measured in the SAME unit the shard packer budgets — the document's
+    * BPE token array under the shared merge table, windowed 24-wide every
+    * 18 (overlap 6). The oracle replays the merge chain (mergedSql), the
+    * boundary-filtered token split, and the window slicing in SQL. */
+  private val qChunkBpe = QueryDef(
+    "q_chunk_bpe",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where($"doc_id" < 120)
+        .select($"doc_id",
+          posexplode(ops.Cleaning.chunkBpeWindows($"text", ops.Bpe.DemoMerges, 24, 6))
+            .as(Seq("pos", "c")))
+        .select($"doc_id", $"c.idx".as("idx"),
+          size($"c.toks").cast("int").as("n_tok"),
+          md5(array_join($"c.toks", " ")).as("sig"))
+        .orderBy($"doc_id", $"idx")
+    },
+    Some(s"""WITH m AS (SELECT doc_id,
+            |    ${ops.Bpe.mergedSql("text", ops.Bpe.DemoMerges)} AS merged
+            |  FROM documents WHERE doc_id < 120),
+            |tk AS (SELECT doc_id,
+            |    list_filter(string_split(ltrim(merged), ' '),
+            |      s -> s <> chr(1) AND s <> '') AS toks FROM m),
+            |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+            |    toks[i*18+1 : i*18+24] AS c
+            |  FROM (SELECT doc_id, toks,
+            |          unnest(range(0, greatest(0, (len(toks) - 24 + 17)//18) + 1)) AS i
+            |        FROM tk))
+            |SELECT doc_id, idx, CAST(len(c) AS INT) AS n_tok,
+            |  md5(array_to_string(c, ' ')) AS sig
+            |FROM ch ORDER BY doc_id, idx""".stripMargin))
 
   /** Corpus profile — the per-source report a data engineer runs before
     * training: doc/token/quality mass, language-ID distribution, and the
@@ -2592,11 +2731,14 @@ object Queries {
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
+    qSemanticDedup,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
-    qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk, qQuality,
+    qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
+    qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
+    qChunkBpe,
     qBlocklist,
     qMediaMeta, qMediaFeatures,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)

@@ -84,12 +84,13 @@ object EventStream {
       spark: SparkSession, inDir: String, tableDir: String,
       checkpointDir: String, schemaFrom: DataFrame): StreamingQuery = {
     val streamId = streamIdFor(checkpointDir, spark.sessionState.newHadoopConf())
+    val legacyId = legacyStreamIdFor(checkpointDir)
     extractStreamNative(spark, inDir, schemaFrom).writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        commitBatch(batch, batchId, tableDir, streamId)
+        commitBatch(batch, batchId, tableDir, streamId, legacyId)
       }
       .start()
   }
@@ -112,8 +113,29 @@ object EventStream {
       canonical.getBytes("UTF-8")).toString.take(8)
   }
 
+  /** The PRE-canonicalization watermark key (raw checkpoint string) — kept
+    * so tables committed by the older derivation upgrade without a replay
+    * window: the exactly-once guard accepts EITHER key; new commits write
+    * only the canonical one. (Without this, restarting over an old table
+    * re-keys the stream and the last committed batch would be re-admitted
+    * once — the old key's watermark would be ignored.) */
+  private[graft] def legacyStreamIdFor(checkpointDir: String): String =
+    "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString.take(8)
+
+  /** Exactly-once re-delivery guard over the snapshot's per-stream
+    * watermarks, checking the canonical key and (for tables last written
+    * by the pre-canonicalization derivation) the legacy raw-path key. */
+  private[graft] def isRedelivered(prev: Option[graft.Manifest.Snapshot],
+      streamId: String, legacyStreamId: String, batchId: Long): Boolean =
+    prev.exists { s =>
+      s.streamWatermarks.getOrElse(streamId,
+        s.streamWatermarks.getOrElse(legacyStreamId, -1L)) >= batchId
+    }
+
   private[graft] def commitBatch(batch: DataFrame, batchId: Long,
-      tableDir: String, streamId: String = "stream"): Unit = {
+      tableDir: String, streamId: String = "stream",
+      legacyStreamId: String = ""): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val runId = f"stream-batch-$batchId%06d"
@@ -124,7 +146,7 @@ object EventStream {
     // compaction) carries the map forward, so the guard survives both
     // HEAD moving past the batch's snapshot AND snapshot expiry deleting
     // it, at O(1) cost per batch (vs O(#snapshots) file reads)
-    if (prev.exists(_.streamWatermarks.getOrElse(streamId, -1L) >= batchId))
+    if (isRedelivered(prev, streamId, legacyStreamId, batchId))
       return // re-delivered
     val t0 = System.nanoTime()
     val buckets = 0 until graft.DocGen.NumBuckets
@@ -301,12 +323,59 @@ object EventStream {
     admitted.write.mode("append").parquet(corpusDir)
   }
 
-  /** Manifest bucket namespaces of the indexed corpus table: bucket 0
-    * holds the corpus rows, bucket 1 the [[graft.ops.Dedup.buildIndex]]
-    * rows. Readers: `new Manifest(tableDir).readData(spark,
-    * Some(Set(CorpusBucket)))`. */
+  /** Manifest bucket namespaces of the indexed corpus table, parameterized
+    * by `corpusBuckets` (N):
+    *
+    *  - buckets `0 .. N-1`: corpus rows, sharded by [[corpusBucketOf]]
+    *    (a deterministic md5 hash of the id) — the id-sub-bucketed layout
+    *    that lets per-batch candidate TEXT resolution partition-prune to
+    *    the candidates' buckets instead of scanning the whole corpus;
+    *  - bucket `N` ([[indexBucketFor]]): the [[graft.ops.Dedup.buildIndex]]
+    *    rows (hashes + banded signatures — ONE namespace: the index is
+    *    narrow and read whole every batch by design);
+    *  - bucket `N+1` ([[metricsBucketFor]]): one admission-metrics row per
+    *    committed micro-batch (batch_id, input_rows, admitted,
+    *    exact_dropped, near_dropped, poisoned) — committed in the SAME
+    *    snapshot as the data, so metrics can never claim a batch whose
+    *    rows are not visible (the O14 analog for ingestion).
+    *
+    * `corpusBuckets = 1` (the default) reproduces the original layout:
+    * corpus in bucket 0, index in bucket 1. Readers:
+    * [[readCorpus]] / [[readIndex]] / [[readAdmissionMetrics]], or
+    * `new Manifest(tableDir).readData(spark, Some(Set(...)))` directly. */
   val CorpusBucket = 0
   val IndexBucket = 1
+  def indexBucketFor(corpusBuckets: Int): Int = corpusBuckets
+  def metricsBucketFor(corpusBuckets: Int): Int = corpusBuckets + 1
+
+  /** The id→corpus-bucket function of the sub-bucketed layout — md5-based
+    * (portable, partition-invariant, no seed state; same hash family as
+    * [[graft.ops.Sampling.hashBp]]). This SAME function must be used by
+    * writer and candidate-pruning reader — the contract pinned at
+    * [[graft.ops.Dedup.incrementalDedupIndexed]]'s `pruneBucket` doc. */
+  def corpusBucketOf(corpusBuckets: Int)(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("bigint"),
+      lit(corpusBuckets)).cast("int")
+
+  /** Committed corpus rows across all corpus sub-buckets (bucket column
+    * dropped). */
+  def readCorpus(spark: SparkSession, tableDir: String,
+      corpusBuckets: Int = 1): DataFrame =
+    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+      .readData(spark, Some((0 until corpusBuckets).toSet)).drop("bucket")
+
+  /** Committed dedup-index rows. */
+  def readIndex(spark: SparkSession, tableDir: String,
+      corpusBuckets: Int = 1): DataFrame =
+    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+      .readData(spark, Some(Set(indexBucketFor(corpusBuckets)))).drop("bucket")
+
+  /** Per-micro-batch admission metrics (batch_id, input_rows, admitted,
+    * exact_dropped, near_dropped, poisoned), one row per committed batch. */
+  def readAdmissionMetrics(spark: SparkSession, tableDir: String,
+      corpusBuckets: Int = 1): DataFrame =
+    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+      .readData(spark, Some(Set(metricsBucketFor(corpusBuckets)))).drop("bucket")
 
   /** [[runDedupedCorpusStream]] upgraded with the PERSISTED dedup index
     * and the snapshot manifest — the production wiring the index exists
@@ -333,8 +402,10 @@ object EventStream {
   def runIndexedCorpusStream(spark: SparkSession, inDir: String,
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      threshold: Double = 0.7, k: Int = 8, bands: Int = 4): StreamingQuery = {
+      threshold: Double = 0.7, k: Int = 8, bands: Int = 4,
+      corpusBuckets: Int = 1): StreamingQuery = {
     val streamId = streamIdFor(checkpointDir, spark.sessionState.newHadoopConf())
+    val legacyId = legacyStreamIdFor(checkpointDir)
     spark.readStream.schema(schemaFrom.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
@@ -344,45 +415,96 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitIndexedBatch(batch, batchId, tableDir, streamId,
-          idCol, textCol, threshold, k, bands)
+          idCol, textCol, threshold, k, bands, corpusBuckets, legacyId)
       }
       .start()
   }
 
+  /** The admission plan of one micro-batch against the COMMITTED table —
+    * factored out so tests can assert its physical shape (the corpus scan
+    * must carry the sub-bucket partition `IN` filter) on exactly the plan
+    * the stream runs. Returns the full [[graft.ops.Dedup]] outcome; the
+    * corpus text is only reached through the candidates' sub-buckets. */
+  private[graft] def admissionOutcome(spark: SparkSession, batch: DataFrame,
+      table: graft.Manifest, bootstrap: Boolean, idCol: String, textCol: String,
+      threshold: Double, k: Int, bands: Int, corpusBuckets: Int,
+      materialize: Boolean = true): graft.ops.Dedup.IncrementalOutcome = {
+    val (corpus, index, prune) =
+      if (!bootstrap) {
+        // the corpus keeps its `bucket` partition column: pruneBucket
+        // computes the candidates' bucket values with the SAME hash the
+        // writer used and the scan gets a partition IN filter — per-batch
+        // candidate text resolution reads only the candidates' sub-buckets
+        (table.readData(spark, Some((0 until corpusBuckets).toSet)),
+          table.readData(spark, Some(Set(indexBucketFor(corpusBuckets)))).drop("bucket"),
+          Some(("bucket", corpusBucketOf(corpusBuckets) _)))
+      } else // bootstrap: empty corpus with the batch's schema, no pruning
+        (batch.limit(0),
+          graft.ops.Dedup.buildIndex(batch.limit(0), idCol, textCol, k, bands),
+          None)
+    graft.ops.Dedup.incrementalDedupIndexedOutcome(
+      batch, corpus, index, idCol, textCol, k, bands, threshold,
+      materialize = materialize, pruneBucket = prune)
+  }
+
   private[graft] def admitIndexedBatch(batch: DataFrame, batchId: Long,
       tableDir: String, streamId: String, idCol: String, textCol: String,
-      threshold: Double, k: Int, bands: Int): Unit = {
+      threshold: Double, k: Int, bands: Int, corpusBuckets: Int = 1,
+      legacyStreamId: String = ""): Unit = {
     val spark = batch.sparkSession
+    require(corpusBuckets >= 1, s"corpusBuckets must be >= 1, got $corpusBuckets")
     require(!batch.columns.contains("bucket"),
       "corpus schema must not carry a 'bucket' column (manifest partition name)")
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
-    if (prev.exists(_.streamWatermarks.getOrElse(streamId, -1L) >= batchId))
+    if (isRedelivered(prev, streamId, legacyStreamId, batchId))
       return // re-delivered
-    val (corpus, index) = prev match {
-      case Some(_) =>
-        (table.readData(spark, Some(Set(CorpusBucket))).drop("bucket"),
-          table.readData(spark, Some(Set(IndexBucket))).drop("bucket"))
-      case None => // bootstrap: empty corpus with the batch's schema
-        (batch.limit(0),
-          graft.ops.Dedup.buildIndex(batch.limit(0), idCol, textCol, k, bands))
-    }
+    // bootstrap when the corpus is EMPTY, not merely when no snapshot
+    // exists: a first batch that admitted zero rows commits a snapshot
+    // whose corpus buckets carry no files, and a manifest read of a
+    // fileless selection cannot produce the corpus schema
+    val bootstrap = prev.forall(
+      _.buckets.filter(_.bucket < corpusBuckets).map(_.rows).sum == 0L)
+    val outcome = admissionOutcome(spark, batch, table, bootstrap,
+      idCol, textCol, threshold, k, bands, corpusBuckets)
     // admitted feeds three consumers (corpus write, index build, stats) —
     // materialize once, batch-sized
-    val admitted = graft.ops.Dedup.incrementalDedupIndexed(
-      batch, corpus, index, idCol, textCol, k, bands, threshold).localCheckpoint()
+    val admitted = outcome.admitted.localCheckpoint()
     val idxDelta = graft.ops.Dedup.buildIndex(admitted, idCol, textCol, k, bands)
       .localCheckpoint()
 
-    val pre0 = table.listBucketFiles(CorpusBucket).toSet
-    val pre1 = table.listBucketFiles(IndexBucket).toSet
-    admitted.write.mode("append").parquet(s"$tableDir/data/bucket=$CorpusBucket")
-    idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$IndexBucket")
-    val new0 = table.listBucketFiles(CorpusBucket).filterNot(pre0)
-    val new1 = table.listBucketFiles(IndexBucket).filterNot(pre1)
+    val ixBucket = indexBucketFor(corpusBuckets)
+    val mBucket = metricsBucketFor(corpusBuckets)
+    val cBuckets = 0 until corpusBuckets
 
+    // admission metrics — all counts over batch-sized checkpointed frames
+    // (poisoned falls out of the outcome identity; see IncrementalOutcome)
+    val nInput = batch.count()
+    val nExactSurv = outcome.exactSurvivors.count()
+    val nDirect = outcome.directDrops.count()
     val st = admitted.agg(count(lit(1)), max(col(idCol).cast("string"))).head()
     val (nAdm, wm) = (st.getLong(0), Option(st.getString(1)).getOrElse(""))
+    val metricsRow = {
+      import spark.implicits._
+      Seq((batchId, nInput, nAdm, nInput - nExactSurv, nDirect,
+        nExactSurv - nAdm - nDirect))
+        .toDF("batch_id", "input_rows", "admitted", "exact_dropped",
+          "near_dropped", "poisoned")
+    }
+
+    val pre: Map[Int, Set[String]] = (cBuckets :+ ixBucket :+ mBucket)
+      .map(b => b -> table.listBucketFiles(b).toSet).toMap
+    admitted.withColumn("bucket", corpusBucketOf(corpusBuckets)(col(idCol)))
+      .write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
+    idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$ixBucket")
+    metricsRow.coalesce(1).write.mode("append")
+      .parquet(s"$tableDir/data/bucket=$mBucket")
+    def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
+
+    val admPerBucket: Map[Int, Long] = admitted
+      .groupBy(corpusBucketOf(corpusBuckets)(col(idCol)).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nIdx = idxDelta.count()
     val prevStates: Map[Int, graft.Manifest.BucketState] =
       prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
@@ -393,11 +515,16 @@ object EventStream {
         Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
         p.map(_.files).getOrElse(Nil) ++ files)
     }
-    // ONE commit covers corpus + index + the exactly-once watermark; even
-    // an all-duplicates batch commits (the watermark must advance or the
-    // re-delivery guard would replay it forever)
+    // ONE commit covers corpus sub-buckets + index + metrics + the
+    // exactly-once watermark; even an all-duplicates batch commits (the
+    // watermark must advance or the re-delivery guard would replay it
+    // forever — and its metrics row records the all-dropped decision).
+    // Untouched corpus sub-buckets are still committed (rows += 0, no new
+    // files) so bucket states never go stale relative to the watermark.
     table.commit(f"corpus-batch-$batchId%06d",
-      Seq(grown(CorpusBucket, nAdm, new0), grown(IndexBucket, nIdx, new1)),
+      cBuckets.map(b => grown(b, admPerBucket.getOrElse(b, 0L), newFiles(b))) ++
+        Seq(grown(ixBucket, nIdx, newFiles(ixBucket)),
+          grown(mBucket, 1L, newFiles(mBucket))),
       streamWatermark = Some(streamId -> batchId))
   }
 

@@ -77,6 +77,49 @@ class CleaningSpec extends AnyFunSuite {
     assert(chunks(0).takeRight(3) == chunks(1).take(3))
   }
 
+  test("chunkWindowsCol == chunkWindows on word arrays; works on DERIVED arrays; boundary cases") {
+    val words = (1 to 20).map("w" + _)
+    val base = textDf(1L -> words.mkString(" "))
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+    def viaCol(max: Int, ov: Int) = base
+      .select(explode(ops.Cleaning.chunkWindowsCol($"w", max, ov)).as("c"))
+      .select($"c.idx", $"c.toks")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSeq).toMap
+    // identical windows to the string-chunk form
+    val viaStr = base
+      .select(explode(ops.Cleaning.chunkWindows($"w", 8, 3)).as("c"))
+      .collect().map(r => r.getStruct(0).getInt(0) ->
+        r.getStruct(0).getString(1).split(" ").toSeq).toMap
+    assert(viaCol(8, 3) == viaStr)
+    // boundary: array shorter than the window → exactly one (short) chunk
+    val short = textDf(1L -> "a b c")
+      .select(explode(ops.Cleaning.chunkWindowsCol(
+        ops.Cleaning.wordsOf($"text"), 8, 3)).as("c"))
+      .collect()
+    assert(short.length == 1 &&
+      short.head.getStruct(0).getSeq[String](1) == Seq("a", "b", "c"))
+    // boundary: exact multiple of the stride — final window not contained
+    val exact = viaCol(5, 0)
+    assert(exact.keySet == Set(0, 1, 2, 3) && exact(3) == words.slice(15, 20))
+    // DERIVED array (the thing chunkWindows cannot take): BPE token chunks
+    val bpe = textDf(1L -> "the cat and the hat and the rat and the bat sat")
+      .select(explode(ops.Cleaning.chunkBpeWindows(
+        $"text", ops.Bpe.DemoMerges, 6, 2)).as("c"))
+      .select($"c.idx", $"c.toks")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toSeq).toMap
+    // reference: tokens via the column applier, windowed in plain Scala
+    val toks = textDf(1L -> "the cat and the hat and the rat and the bat sat")
+      .select(ops.Bpe.bpeTokens($"text", ops.Bpe.DemoMerges).as("t"))
+      .collect().head.getSeq[String](0).toSeq
+    val step = 4
+    val nWin = math.max(0, (toks.length - 6 + step - 1) / step) + 1
+    val ref = (0 until nWin).map(i => i -> toks.slice(i * step, i * step + 6)).toMap
+    assert(bpe == ref, s"bpe chunks $bpe vs $ref")
+    // chunk budget == packer budget: every full window counts exactly
+    // maxTokens BPE tokens (the unit bpeTokenCount packs in)
+    bpe.toSeq.sortBy(_._1).init.foreach { case (_, c) => assert(c.length == 6) }
+  }
+
   // ---- PII redaction ----
 
   test("redactPii scrubs email, ipv4, and long digit runs in order") {

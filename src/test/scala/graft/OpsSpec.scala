@@ -535,6 +535,37 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute, s"exact IVF must equal brute force")
   }
 
+  test("trainProfiles: derived profiles recover every fixture the hand-authored ones do; continuous CJK detected") {
+    val labeled = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
+    val trained = ops.TextStats.trainProfiles(labeled, "lang", "text", topN = 40)
+    assert(trained.map(_._1).toSet == ops.TextStats.profileWords.map(_._1).toSet,
+      "one trained profile per labeled language")
+    trained.foreach { case (l, p) =>
+      assert(p.nonEmpty && p.size <= 40 && p.distinct.size == p.size, s"profile $l") }
+    assert(trained.map(_._1) == trained.map(_._1).sorted, "deterministic lang order")
+    val handOk = labeled
+      .select($"fid", $"lang", ops.TextStats.langId($"text").as("p")).collect()
+      .filter(r => r.getString(2) == r.getString(1)).map(_.getString(0)).toSet
+    val byTrained = labeled
+      .select($"fid", $"lang", ops.TextStats.langIdWith($"text", trained).as("p"))
+      .collect()
+    byTrained.foreach { r =>
+      if (handOk(r.getString(0)))
+        assert(r.getString(2) == r.getString(1),
+          s"trained profiles must recover ${r.getString(0)}") }
+    // the bulk (broadcast-join) form is prediction-identical on the
+    // trained table, exactly as it is on the hand-authored one
+    val bulk = ops.TextStats.langIdBulkWith(labeled, "fid", "text", trained)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    byTrained.foreach(r => assert(bulk(r.getString(0)) == r.getString(2)))
+    // continuous (unsegmented) CJK — the case the multi-char zh seeds
+    // exist for: a space-free run still hits the inner space-free trigrams
+    val cont = Seq(("zc", ops.TextStats.profileWords.toMap.apply("zh").mkString("")))
+      .toDF("fid", "text")
+    assert(cont.select(ops.TextStats.langId($"text")).head().getString(0) == "zh")
+    assert(cont.select(ops.TextStats.langIdWith($"text", trained)).head().getString(0) == "zh")
+  }
+
   test("langId recovers every planted language fixture (accuracy floor)") {
     val planted = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
       .withColumn("pred", ops.TextStats.langId($"text"))
@@ -796,6 +827,13 @@ class OpsSpec extends AnyFunSuite {
     // empty / multi-space / edge-whitespace rows agree too
     val edge = Seq((1L, ""), (2L, "a  b"), (3L, " the ")).toDF("doc_id", "text")
     assert(viaLarge(edge, ops.Bpe.DemoMerges) == viaColumn(edge, ops.Bpe.DemoMerges))
+    // NULL text: both appliers propagate null (swappable on nullable cols)
+    val withNull = Seq((1L, Some("the cat")), (2L, None))
+      .toDF("doc_id", "text")
+    def nullsOf(rows: Map[String, Seq[String]]) = rows.filter(_._2 == null).keySet
+    val lc = viaLarge(withNull, ops.Bpe.DemoMerges)
+    val cc = viaColumn(withNull, ops.Bpe.DemoMerges)
+    assert(lc == cc && nullsOf(lc) == Set("2"), s"null parity: $lc vs $cc")
   }
 
   test("BPE batched trainer: batch=1 == sequential; disjoint-pair rounds equal sequential; deterministic") {
@@ -916,6 +954,79 @@ class OpsSpec extends AnyFunSuite {
   }
 
   // ---- hashing-trick embeddings ----
+
+  test("semanticDedup: within-cell pairs == brute-force ground truth; one keeper per planted family") {
+    // integer-quantized corpus + planted semantic families: exact vector
+    // copies (cos = 1) and one-component perturbations (cos ≈ 1)
+    val base = embeddings.where($"vec_id" < 120)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+    val corpus = base
+      .union(base.where($"vec_id" < 10).select(($"vec_id" + 1000).as("vec_id"), $"qv"))
+      .union(base.where($"vec_id" < 5).select(($"vec_id" + 2000).as("vec_id"),
+        expr("concat(array(qv[0] + 100L), slice(qv, 2, size(qv) - 1))").as("qv")))
+      .localCheckpoint()
+    val t = 0.99
+    val pairs = ops.Similarity.semanticNearDupPairs(corpus, "vec_id", "qv",
+        threshold = t, nCentroids = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    // ground truth: brute-force cosine over pairs sharing the SAME cell
+    // (recall is defined within-cell — the documented SemDeDup trade)
+    val rows = corpus.select($"vec_id", $"qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val cents = ops.Similarity.seedCentroids(corpus, "vec_id", "qv", 4)
+    def cellOf(v: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i) }.min._2
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => (x * y).toDouble }.sum
+      dot / (math.sqrt(a.map(x => (x * x).toDouble).sum) *
+        math.sqrt(b.map(x => (x * x).toDouble).sum))
+    }
+    val byCell = rows.toSeq.groupBy { case (_, v) => cellOf(v) }
+    val expected: Set[(Long, Long)] = byCell.values.flatMap { members =>
+      for {
+        (ia, va) <- members; (ib, vb) <- members
+        if ia < ib && cos(va, vb) >= t
+      } yield (ia, ib)
+    }.toSet
+    assert(pairs == expected, s"pairs diff: ${pairs.diff(expected)} / ${expected.diff(pairs)}")
+    // planted exact copies MUST pair (identical vector → same cell, cos 1)
+    (0L until 10L).foreach(i => assert(pairs.contains((i, i + 1000)), s"exact family $i"))
+
+    // the dedup keeps exactly one id per component, the minimum
+    val kept = ops.Dedup.semanticDedup(corpus, "vec_id", "qv",
+        threshold = t, nCentroids = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    (0L until 10L).foreach(i => assert(!kept.contains(i + 1000), s"copy $i+1000 must drop"))
+    // keeper rule spot check via resolveClusters
+    val res = ops.Dedup.resolveClusters(
+        pairs.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    res.foreach { case (id, cl, keep) => assert(keep == (id == cl)) }
+    assert(kept.size == corpus.count() - res.count(!_._3))
+  }
+
+  test("semanticNearDupPairs: hot-cell guard drops oversize cells; audit surface reports them") {
+    val base = embeddings.where($"vec_id" < 60)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+    // 40 copies of one vector → its cell exceeds maxCell = 32
+    val hot = base.where($"vec_id" === 0)
+    val flood = (1 to 40).map(i => hot.select(($"vec_id" + 5000 + i).as("vec_id"), $"qv"))
+      .reduce(_ union _)
+    val corpus = base.union(flood).localCheckpoint()
+    val audited = ops.Similarity.semanticOversizeCells(
+      corpus, "vec_id", "qv", nCentroids = 4, lloydIters = 0, maxCell = 32)
+    assert(audited.count() >= 1, "flooded cell must be reported")
+    val guarded = ops.Similarity.semanticNearDupPairs(corpus, "vec_id", "qv",
+      threshold = 0.99, nCentroids = 4, maxCell = 32)
+    // no pair from the flooded cell survives the guard; audit names it
+    val floodIds = (1 to 40).map(i => 5000L + i).toSet + 0L
+    assert(guarded.where($"id_a".isin(floodIds.toSeq: _*) ||
+      $"id_b".isin(floodIds.toSeq: _*)).count() == 0)
+  }
 
   test("hashEmbed: word-order invariant, duplicate docs identical, L1 bounded by word count") {
     val df = Seq(

@@ -284,6 +284,21 @@ class PlanSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("semanticNearDupPairs plans a cell equi-join, never a cartesian product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"vec_id" < 80)
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      .localCheckpoint()
+    val p = ops.Similarity.semanticNearDupPairs(corpus, "vec_id", "qv",
+        threshold = 0.99, nCentroids = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("readingOrderK and the extract->layout adapter plan no product joins; boundary join stays per-doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -97,6 +97,45 @@ class SkewSpec extends AnyFunSuite {
     assert(sampled.contains("src0"))
   }
 
+  test("sampleCol-keyed sampling finds the hot head reading ONLY two columns of a wide table") {
+    // a WIDE table (key + unique id + fat payload columns): the default
+    // full-row sample hash forces the scan to read every column; keying
+    // the sample on the row-unique id keeps the scan at (key, id)
+    val dir = java.nio.file.Files.createTempDirectory("skew_wide_").toString
+    docs.select($"doc_id", $"domain",
+        expr("transform(spans, s -> s.text)").as("fat1"),
+        expr("transform(spans, s -> s.media_ref)").as("fat2"))
+      .write.mode("overwrite").parquet(dir)
+    val wide = spark.read.parquet(dir)
+    val target = 100L
+    val byId = ops.Skew.detectHotKeys(wide, "domain", target,
+      sampleBp = 2500, sampleCol = Some("doc_id"))
+    assert(byId.collect().map(_.getString(0)).toSet.contains("src0"))
+    // plan: the scan of the sampleCol-keyed detector reads exactly
+    // (domain, doc_id) — column pruning survives the sample predicate
+    val p = byId.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("domain") &&
+      !readSchema.contains("fat1") && !readSchema.contains("fat2"),
+      s"sampleCol detector must not read payload columns: $readSchema")
+    // the full-row default, by contrast, drags the payload into the scan
+    val pFull = ops.Skew.detectHotKeys(wide, "domain", target, sampleBp = 2500)
+      .queryExecution.executedPlan.toString
+    val fullSchema = pFull.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(fullSchema.contains("fat1"),
+      s"control: full-row hash reads the payload: $fullSchema")
+    // saltedJoinAuto passes the knob through — results stay identical to
+    // the plain join (salting never changes semantics)
+    val dims = wide.select($"domain").distinct()
+      .withColumn("policy", concat(lit("p_"), $"domain"))
+    val plain = wide.join(dims, Seq("domain"))
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    val auto = ops.Skew.saltedJoinAuto(wide, dims, "domain", target,
+        sampleBp = 2500, sampleCol = Some("doc_id"))
+      .select($"doc_id", $"policy").as[(String, String)].collect().toSet
+    assert(auto == plain)
+  }
+
   test("extraction output is identical with and without domain skew in the input order") {
     // shuffle input rows (skewed domains clumped vs spread) — output set invariant
     val base = ExtractJob.transform(docs.as[RawDoc], 8)

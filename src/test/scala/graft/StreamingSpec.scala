@@ -374,6 +374,130 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.orphanFiles().isEmpty)
   }
 
+  test("sub-bucketed corpus stream: admissions == single-bucket layout; candidate scan partition-prunes; metrics commit with the data") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // wave 1: naturals + exact dups + near-dups; wave 2: exact re-crawls
+    // + fresh docs (same fixture family as the single-bucket test)
+    val wave1 = base.where($"doc_id" < 40)
+      .union(base.where($"doc_id" < 10).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      .union(base.where($"doc_id" >= 10 && $"doc_id" < 15)
+        .select(($"doc_id" + 2000).as("doc_id"), concat($"text", lit(" extra")).as("text")))
+    val wave2 = base.where($"doc_id" < 20)
+      .select(($"doc_id" + 3000).as("doc_id"), $"text")
+      .union(base.where($"doc_id" >= 40 && $"doc_id" < 50))
+
+    def runLayout(buckets: Int): String = {
+      val in = Files.createTempDirectory(s"graft_sb${buckets}_in_").toString
+      val tbl = Files.createTempDirectory(s"graft_sb${buckets}_tbl_").toString + "/t"
+      val ck = Files.createTempDirectory(s"graft_sb${buckets}_ck_").toString
+      wave1.coalesce(1).write.mode("append").parquet(in)
+      wave2.coalesce(1).write.mode("append").parquet(in)
+      streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base,
+        corpusBuckets = buckets).awaitTermination()
+      tbl
+    }
+    val t1 = runLayout(1)
+    val t4 = runLayout(4)
+    def ids(tbl: String, n: Int) =
+      streaming.EventStream.readCorpus(spark, tbl, n)
+        .select($"doc_id").as[Long].collect().toSet
+    val ids1 = ids(t1, 1)
+    val ids4 = ids(t4, 4)
+    assert(ids4 == ids1, "sub-bucketed layout must admit exactly the single-bucket set")
+    assert(ids4.nonEmpty && (40L until 50L).forall(ids4.contains))
+
+    // writer/pruner contract: every committed corpus row sits in the
+    // bucket corpusBucketOf assigns its id (a mismatch would silently
+    // resolve no candidate text and ADMIT near-dups)
+    val m4 = new Manifest(t4, spark.sessionState.newHadoopConf())
+    val placed = m4.readData(spark, Some((0 until 4).toSet))
+    assert(placed.where($"bucket" =!=
+      streaming.EventStream.corpusBucketOf(4)($"doc_id")).count() == 0)
+
+    // the admission plan of a NEXT batch (near-dup re-crawls → few
+    // candidate buckets) carries the partition IN filter on the corpus scan
+    val next = base.where($"doc_id" < 5)
+      .select(($"doc_id" + 9000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val plan = streaming.EventStream.admissionOutcome(spark, next, m4,
+        bootstrap = false, "doc_id", "text", 0.7, 8, 4, 4, materialize = false)
+      .admitted.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      "corpus candidate-text scan must carry a bucket partition filter:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+
+    // admission metrics: one row per committed batch, counts a full
+    // partition of the input, identical across layouts
+    for ((tbl, n) <- Seq((t1, 1), (t4, 4))) {
+      val mx = streaming.EventStream.readAdmissionMetrics(spark, tbl, n)
+        .orderBy($"batch_id").collect()
+      assert(mx.length == 2, s"one metrics row per batch, got ${mx.length}")
+      mx.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5),
+          s"input_rows must equal admitted+exact+near+poisoned: $r")
+      }
+      // wave 2: the 20 re-crawls all drop (exactly, or as near-dups when
+      // their wave-1 original lost an organic near-dup cluster), 10 fresh
+      // docs admitted
+      val w2 = mx(1)
+      assert(w2.getLong(1) == 30 && w2.getLong(2) == 10 &&
+        w2.getLong(3) + w2.getLong(4) + w2.getLong(5) == 20,
+        s"wave-2 metrics: $w2")
+      assert(w2.getLong(3) > 0, s"most re-crawls drop in the exact pass: $w2")
+    }
+  }
+
+  test("all-duplicate batch commits a zero-admission metrics row; legacy watermark key still guards re-delivery") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_zadm_in_").toString
+    val tbl = Files.createTempDirectory("graft_zadm_tbl_").toString + "/t"
+    val ck = Files.createTempDirectory("graft_zadm_ck_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    base.where($"doc_id" < 20).coalesce(1).write.mode("append").parquet(in)
+    // all-dup wave: exact copies under new ids
+    base.where($"doc_id" < 10).select(($"doc_id" + 6000).as("doc_id"), $"text")
+      .coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base)
+      .awaitTermination()
+    val mx = streaming.EventStream.readAdmissionMetrics(spark, tbl)
+      .orderBy($"batch_id").collect()
+    assert(mx.length == 2)
+    assert(mx(1).getLong(1) == 10 && mx(1).getLong(2) == 0,
+      s"all-dup batch must record (input=10, admitted=0): ${mx(1)}")
+    val golden = streaming.EventStream.readCorpus(spark, tbl)
+      .select($"doc_id").as[Long].collect().toSet
+
+    // a table whose LAST commit wrote only the legacy (raw-path) watermark
+    // key must still guard re-delivery after the canonical-key upgrade
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val legacy = streaming.EventStream.legacyStreamIdFor(ck)
+    val canon = streaming.EventStream.streamIdFor(ck, spark.sessionState.newHadoopConf())
+    assert(legacy != canon, "fixture needs distinct keys (raw path is relative-ish)")
+    // simulate the old derivation: strip the canonical key, keep legacy
+    val head = m.head().get
+    m.commit("legacy-rekey", Nil, streamWatermark = Some(legacy -> 1L))
+    val before = m.head().get.id
+    // rebuild a HEAD whose map has ONLY the legacy key for this stream by
+    // committing under a fresh table? simpler: the guard must accept the
+    // canonical key being ABSENT when the legacy key covers the batch —
+    // exercised via isRedelivered directly on a synthetic snapshot
+    val synthetic = head.copy(streamWatermarks = Map(legacy -> 1L))
+    assert(streaming.EventStream.isRedelivered(Some(synthetic), canon, legacy, 1L),
+      "legacy-key watermark must guard re-delivery")
+    assert(!streaming.EventStream.isRedelivered(Some(synthetic), canon, legacy, 2L),
+      "a NEW batch id past the legacy watermark must run")
+    // and the real path: admitIndexedBatch against the legacy-keyed table
+    // is a no-op for a covered batch id
+    streaming.EventStream.admitIndexedBatch(
+      base.where($"doc_id" < 20), 1L, tbl, canon, "doc_id", "text",
+      0.7, 8, 4, 1, legacy)
+    assert(m.head().get.id == before, "covered batch must not commit")
+    assert(streaming.EventStream.readCorpus(spark, tbl)
+      .select($"doc_id").as[Long].collect().toSet == golden)
+  }
+
   test("indexed corpus table compacts per bucket namespace; stream watermark survives compaction") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_ccomp_in_").toString
@@ -404,6 +528,7 @@ class StreamingSpec extends AnyFunSuite {
     // bucket namespaces carry DIFFERENT schemas → compact each separately
     ExtractJob.compact(spark, tableDir, only = Some(Set(0)))
     ExtractJob.compact(spark, tableDir, only = Some(Set(1)))
+    ExtractJob.compact(spark, tableDir, only = Some(Set(2)))
     val headC = m.head().get
     assert(headC.buckets.forall(_.files.length == 1), headC.buckets.toString)
     assert(corpus() == golden, "compaction must preserve content byte-for-byte")
