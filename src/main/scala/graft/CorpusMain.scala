@@ -11,94 +11,177 @@ import org.apache.spark.sql.functions._
   * profile. What a user of the reference would actually run to turn a
   * crawl into training data.
   *
+  * RESUMABLE: every stage output is a manifest-committed table under
+  * `<outDir>/stages/<name>` (the same snapshot/lineage layer the extract
+  * job uses — the north rule's resume contract extended to the corpus
+  * pipeline). A stage whose manifest HEAD records its own completion is
+  * READ BACK, never recomputed, so a crash at stage 8 of a multi-day run
+  * resumes at stage 8: parquet files written by a crashed attempt are
+  * unreferenced orphans (the commit happens strictly after the write),
+  * and the rerun's append converges exactly like the extract job's
+  * per-bucket overwrite. Stage row counts come from the committed
+  * BucketStates — the pipeline no longer runs per-stage count() actions.
+  *
   * Usage: graft.CorpusMain <outDir> [nDocs]
   */
 object CorpusMain {
 
-  /** Stage counts keyed by stage name, in pipeline order. */
+  /** Resumable stage store over the snapshot manifest: one single-bucket
+    * manifest table per stage. `apply(name)(compute)` returns the
+    * committed stage table, computing it only when no completed snapshot
+    * exists. `failAt` injects a crash AFTER the stage's data write but
+    * BEFORE its commit — the crash-sim hook ResumeSpec drives. */
+  final class StageStore(spark: SparkSession, stagesDir: String,
+      failAt: Option[String] = None) {
+    /** Stage names computed (not resumed) by THIS run — the audit surface
+      * the resume tests assert on. */
+    val computed = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val rows = scala.collection.mutable.HashMap.empty[String, Long]
+
+    /** Committed row count of a completed stage (from its BucketState —
+      * no count() action). */
+    def rowsOf(name: String): Long = rows(name)
+
+    def apply(name: String)(compute: => DataFrame): DataFrame = {
+      val tdir = s"$stagesDir/$name"
+      val m = new Manifest(tdir, spark.sessionState.newHadoopConf())
+      val snap = m.head().filter(_.runId == name).getOrElse {
+        computed += name
+        val df = compute
+        val pre = m.listBucketFiles(0).toSet
+        df.write.mode("append").parquet(s"$tdir/data/bucket=0")
+        if (failAt.contains(name))
+          throw new IllegalStateException(s"injected crash at stage $name")
+        var files = m.listBucketFiles(0).filterNot(pre)
+        if (files.isEmpty) {
+          // an empty result can write zero part files; the manifest read
+          // needs at least one file to carry the schema
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+            .coalesce(1).write.mode("append").parquet(s"$tdir/data/bucket=0")
+          files = m.listBucketFiles(0).filterNot(pre)
+        }
+        // row count from the WRITTEN files (parquet footers — no recompute
+        // of the stage lineage), recorded once in the commit
+        val n = spark.read.parquet(files: _*).count()
+        m.commit(name, Seq(Manifest.BucketState(0, n, "", files)))
+      }
+      rows(name) = snap.buckets.headOption.map(_.rows).getOrElse(0L)
+      m.readData(spark, Some(Set(0))).drop("bucket")
+    }
+  }
+
+  /** Manifest-planned read of a committed pipeline stage (e.g. "shards",
+    * "profile") — the consumer API: plans the scan from the stage's
+    * snapshot, so crash-orphan files are never read. */
+  def readStage(spark: SparkSession, outDir: String, name: String): DataFrame =
+    new Manifest(s"$outDir/stages/$name", spark.sessionState.newHadoopConf())
+      .readData(spark, Some(Set(0))).drop("bucket")
+
+  /** Stage counts keyed by stage name, in pipeline order. `failAt` is the
+    * ResumeSpec crash hook; production callers leave it None. */
   def run(spark: SparkSession, nDocs: Long, outDir: String,
-          parallelism: Int): Seq[(String, Long)] = {
+          parallelism: Int, failAt: Option[String] = None,
+          saltTarget: Long = 2000L): Seq[(String, Long)] = {
     import spark.implicits._
-    val raw = DocGen.generate(spark, nDocs, parallelism)
+    val stage = new StageStore(spark, s"$outDir/stages", failAt)
 
-    // 1. extraction: the native extract_spans expression (the fast path;
-    //    span-for-span equal to the typed engine — SpanEqualitySpec)
-    val extracted = plans.GraftFunctions.extractColumnar(raw.toDF())
-
-    // 2. reassemble document text from kept non-media spans, offset order
-    val texts = extracted.select($"doc_id", $"domain",
-        array_join(expr(
-          "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
-            "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
-      .where(length($"text") > 0)
-      .localCheckpoint()
+    // 1+2. extraction (native extract_spans — span-for-span equal to the
+    //      typed engine, SpanEqualitySpec) + reassembly of document text
+    //      from kept non-media spans in offset order
+    val texts = stage("texts") {
+      val raw = DocGen.generate(spark, nDocs, parallelism)
+      plans.GraftFunctions.extractColumnar(raw.toDF())
+        .select($"doc_id", $"domain",
+          array_join(expr(
+            "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
+              "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
+        .where(length($"text") > 0)
+    }
 
     // 3. clean: PII scrub, then minimum size + Gopher repetition gate
-    val cleaned0 = texts
-      .withColumn("text", ops.Cleaning.redactPii($"text"))
-      .withColumn("w", ops.Cleaning.wordsOf($"text"))
-      // capped form: the mode scan is O(distinct·n) per row, and a crawl
-      // can contain pathological 100k-word pages — Gopher gates run on the
-      // length-capped document (identical to uncapped for docs under the cap)
-      .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4Capped($"w", 2000) <= 3000)
-      .drop("w")
-      .localCheckpoint()
+    //    (capped form: the mode scan is O(distinct·n) per row, and a crawl
+    //    can contain pathological 100k-word pages)
+    val cleaned0 = stage("cleaned") {
+      texts
+        .withColumn("text", ops.Cleaning.redactPii($"text"))
+        .withColumn("w", ops.Cleaning.wordsOf($"text"))
+        .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4Capped($"w", 2000) <= 3000)
+        .drop("w")
+    }
 
     // 3b. language gate — the BULK realization (explode trigrams →
-    //     broadcast profile join → partial-agg argmax), the shape that
-    //     stays linear at corpus scale where the per-row probe loop does
-    //     not; docs with no profile evidence default to 'en' (kept)
-    val cleaned = cleaned0.join(
+    //     broadcast profile join → partial-agg argmax); docs with no
+    //     profile evidence default to 'en' (kept)
+    val cleaned = stage("lang_en") {
+      cleaned0.join(
         ops.TextStats.langIdBulk(cleaned0, "doc_id", "text")
           .where($"pred" === "en").select($"doc_id"),
         "doc_id")
-      .localCheckpoint()
+    }
 
     // 4. dedup: exact keep-first, then LSH near-dup cluster resolution
-    val exact = ops.Dedup.exactDedup(cleaned, "doc_id", "text").localCheckpoint()
-    val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
-      .select($"id_a", $"id_b").localCheckpoint()
-    val deduped = ops.Dedup.dedupCorpus(exact, "doc_id", pairs).localCheckpoint()
+    val exact = stage("exact") {
+      ops.Dedup.exactDedup(cleaned, "doc_id", "text")
+    }
+    val deduped = stage("deduped") {
+      val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)
+        .select($"id_a", $"id_b").localCheckpoint()
+      ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
+    }
 
-    // 5. train the tokenizer ON the deduped corpus (batched trainer: each
-    //    Spark round selects up to `batch` disjoint merges — the round
-    //    count, the trainer's scale limit, drops batch-fold) and account
-    //    shards in REAL BPE tokens: the packer's budget and the trained
-    //    tokenizer finally meet (packing on whitespace tokens under- or
-    //    over-fills shards by the merge compression ratio)
-    //    train on a deterministic 10% hash-sample (the standard tokenizer
-    //    practice — merge ranks stabilize long before the full corpus is
-    //    seen, and the sample keeps the per-round pair aggregation small)
-    val merges = ops.Bpe.learnMergesBatched(
-      deduped.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
-      "text", nMerges = 96, minCount = 2L, batch = 32)
+    // 5. train the tokenizer ON the deduped corpus (batched trainer) over
+    //    a deterministic 10% hash-sample; the merge table is itself a
+    //    committed stage so a resumed run never retrains
+    val mergesDf = stage("bpe_merges") {
+      val m = ops.Bpe.learnMergesBatched(
+        deduped.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
+        "text", nMerges = 96, minCount = 2L, batch = 32)
+      m.zipWithIndex.map { case ((l, r), i) => (i, l, r) }.toDF("rank", "l", "r")
+    }
+    val merges: Seq[(String, String)] = mergesDf.orderBy($"rank")
+      .select($"l", $"r").as[(String, String)].collect().toSeq
 
-    // 6. mix by domain and pack into BPE-token-budget shards
-    val mixed = ops.Sampling.mixtureSample(deduped, "doc_id", "domain",
-      Map.empty, defaultBp = 10000)
-    val packed = ops.Sampling.packShards(mixed, "doc_id", "domain",
-      ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
+    // 6. per-domain mixture config — a genuinely dimension-sized relation
+    //    joined onto the zipf-skewed corpus through the AUTO-SALTED join:
+    //    the hot-key detector measures the corpus' own domain skew (src0
+    //    is hot by construction) and salts exactly the keys that need it;
+    //    result-identical to the plain join, only the partitioning changes
+    val cfg = stage("domain_cfg") {
+      deduped.select($"domain").distinct()
+        .withColumn("rate_bp",
+          when($"domain" === "src0", 8000).otherwise(10000))
+    }
+    val mixed = stage("mixed") {
+      ops.Skew.saltedJoinAuto(deduped, cfg, "domain", targetRows = saltTarget,
+          sampleBp = 2500, sampleCol = Some("doc_id"))
+        .where(ops.Sampling.hashBp($"doc_id") < $"rate_bp")
+        .drop("rate_bp")
+    }
 
-    packed.write.mode("overwrite").parquet(s"$outDir/shards")
-    // ONE scan of the written shards feeds the profile and both stage
-    // counts; countDistinct(shard) is exact even when an over-budget doc
-    // makes shard ids skip (max(shard)+1 would overcount there)
-    val profile = spark.read.parquet(s"$outDir/shards")
-      .groupBy($"domain")
-      .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
-        countDistinct($"shard").as("shards"))
-      .localCheckpoint()
-    profile.write.mode("overwrite").parquet(s"$outDir/profile")
+    // 7. pack into BPE-token-budget shards — the packer's budget and the
+    //    trained tokenizer meet (whitespace packing mis-fills shards by
+    //    the merge compression ratio)
+    val packed = stage("shards") {
+      ops.Sampling.packShards(mixed, "doc_id", "domain",
+        ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
+    }
+    val profile = stage("profile") {
+      packed.groupBy($"domain")
+        .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
+          countDistinct($"shard").as("shards"))
+    }
 
     val totals = profile.agg(sum($"docs"), sum($"shards")).head()
     Seq(
       "raw" -> nDocs,
-      "with_text" -> texts.count(),
-      "cleaned" -> cleaned0.count(),
-      "lang_en" -> cleaned.count(),
-      "exact_deduped" -> exact.count(),
-      "near_deduped" -> deduped.count(),
-      "bpe_merges" -> merges.length.toLong,
+      "with_text" -> stage.rowsOf("texts"),
+      "cleaned" -> stage.rowsOf("cleaned"),
+      "lang_en" -> stage.rowsOf("lang_en"),
+      "exact_deduped" -> stage.rowsOf("exact"),
+      "near_deduped" -> stage.rowsOf("deduped"),
+      "bpe_merges" -> stage.rowsOf("bpe_merges"),
+      "mixed" -> stage.rowsOf("mixed"),
       "admitted" -> totals.getLong(0),
       "shards" -> totals.getLong(1))
   }

@@ -88,6 +88,97 @@ object IncrBench {
     println(f"""{"metric":"incremental_dedup_indexed","corpus":$nCorpus,"delta":$nDelta,""" +
       f""""admitted":$admittedIx,"build_index_sec":$ixSec%.2f,"sec":$secIx%.2f,""" +
       f""""delta_docs_per_sec":${(nDelta / secIx).toLong}}""")
+
+    // ------------------------------------------------------------------
+    // Pruned candidate resolution over an id-bucketed AT-REST corpus —
+    // the sub-bucket layout runIndexedCorpusStream writes. Buckets are
+    // FIXED-SIZE (≈8k docs → the bucket COUNT grows with the corpus, the
+    // production layout), so the candidate text resolution's corpus I/O
+    // is bounded by (candidate buckets × bucket size): FLAT in corpus
+    // width at a fixed daily candidate load, where the unpruned scan
+    // reads the whole corpus (id, text) every increment. Measured as
+    // actual task input bytes via a SparkListener, same decisions
+    // asserted.
+    // ------------------------------------------------------------------
+    // realistic TEXT width for the I/O question (the 12-word docs above
+    // keep the wall sections fast but make corpus text as narrow as the
+    // index, hiding the term pruning removes): 36 words/doc here
+    def docTextWide(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 36).map(j => concat(lit("w"), idc, lit(s"t$j"))): _*)
+    val bucketDocs = 1024
+    val nB = math.max(1, nCorpus / bucketDocs)
+    val bucketOf = (c: org.apache.spark.sql.Column) =>
+      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("bigint"),
+        lit(nB)).cast("int")
+    val bdir = java.nio.file.Files.createTempDirectory("incr_bucketed_").toString
+    spark.range(nCorpus)
+      .select($"id".as("doc_id"), docTextWide($"id").as("text"))
+      .withColumn("cb", bucketOf($"doc_id"))
+      .write.partitionBy("cb").mode("overwrite").parquet(bdir)
+    val corpusB = spark.read.parquet(bdir)
+    val ix2Dir = java.nio.file.Files.createTempDirectory("incr_index2_").toString
+    ops.Dedup.buildIndex(corpusB, "doc_id", "text")
+      .write.mode("overwrite").parquet(ix2Dir)
+    val index2 = spark.read.parquet(ix2Dir)
+    // realistic daily load: mostly fresh docs, few (50) near-dup
+    // re-crawls of stride-sampled corpus pages — candidates touch ≤50
+    // of the nB sub-buckets, so the pruned text read is candidate-bounded
+    val stride = math.max(1, nCorpus / 50)
+    val delta2 = spark.range(20000)
+      .select(($"id" + 6000000000L).as("doc_id"),
+        docTextWide($"id" + 6000000000L).as("text"))
+      .union(spark.range(50).select(($"id" * stride + 7000000000L).as("doc_id"),
+        concat(docTextWide($"id" * stride), lit(" extra")).as("text")))
+      .cache()
+    delta2.count()
+    // bytes attributed to the CORPUS scan specifically: the planned
+    // post-pruning file size of every FileSourceScan over the bucketed
+    // corpus dir, summed across the executed plan (AQE-aware). This
+    // isolates the term pruning targets — the candidate text resolution —
+    // from the (deliberately whole) narrow index scans.
+    def walkCorpusScan(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => walkCorpusScan(a.executedPlan)
+        // AQE hides materialized stages behind QueryStageExec.plan (not
+        // children); ReusedExchange re-references an already-counted stage
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walkCorpusScan(q.plan)
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(bdir)) =>
+          s.metrics.get("filesSize").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      here + p.children.map(walkCorpusScan).sum + p.subqueries.map(walkCorpusScan).sum
+    }
+    // the operator materializes its stage outputs (localCheckpoint), so
+    // the corpus scan lives in an INTERMEDIATE execution, not the final
+    // count's plan — accumulate across every execution via the listener
+    val corpusBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        corpusBytes.addAndGet(walkCorpusScan(qe.executedPlan))
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    def measured(prune: Option[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
+        : (Long, Long, Double) = {
+      Thread.sleep(2000); corpusBytes.set(0)
+      val t0 = System.nanoTime()
+      val n = ops.Dedup.incrementalDedupIndexed(delta2, corpusB, index2,
+        "doc_id", "text", pruneBucket = prune).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // the execution-listener bus is async — drain
+      (n, corpusBytes.get(), sec)
+    }
+    val (nPlain, bPlain, sPlain) = measured(None)
+    val (nPruned, bPruned, sPruned) = measured(Some(("cb", bucketOf)))
+    require(nPruned == nPlain, s"pruning changed admissions: $nPruned != $nPlain")
+    println(f"""{"metric":"incremental_dedup_pruned","corpus":$nCorpus,"buckets":$nB,""" +
+      f""""delta":20200,"admitted":$nPruned,"corpus_scan_bytes_unpruned":$bPlain,""" +
+      f""""corpus_scan_bytes_pruned":$bPruned,"sec_unpruned":$sPlain%.2f,"sec_pruned":$sPruned%.2f}""")
     spark.stop()
   }
 }

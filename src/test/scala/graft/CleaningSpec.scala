@@ -193,17 +193,28 @@ class CleaningSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft_cmain_").toString
     val stages = graft.CorpusMain.run(spark, 2000, out, 4).toMap
     // the funnel only narrows, and every stage emits something
-    val order = Seq("raw", "with_text", "cleaned", "exact_deduped", "near_deduped", "admitted")
+    val order = Seq("raw", "with_text", "cleaned", "exact_deduped", "near_deduped",
+      "mixed", "admitted")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(stages(a) >= stages(b), s"$a=${stages(a)} < $b=${stages(b)}")
     }
     assert(stages("admitted") > 0 && stages("shards") > 0)
-    val shards = spark.read.parquet(s"$out/shards")
+    val shards = graft.CorpusMain.readStage(spark, out, "shards")
     assert(shards.count() == stages("admitted"))
     assert(shards.columns.toSet.intersect(Set("doc_id", "text", "tokens", "shard")).size == 4)
     // profile accounts for every admitted doc
-    val prof = spark.read.parquet(s"$out/profile")
+    val prof = graft.CorpusMain.readStage(spark, out, "profile")
     assert(prof.agg(sum($"docs")).head().getLong(0) == stages("admitted"))
+    // the auto-salted config join changed partitioning, never content:
+    // mixed == deduped ⋈ cfg filtered by the per-domain rate
+    val deduped = graft.CorpusMain.readStage(spark, out, "deduped")
+    val expectMixed = deduped
+      .where(ops.Sampling.hashBp($"doc_id") <
+        when($"domain" === "src0", 8000).otherwise(10000))
+      .select($"doc_id".cast("string")).as[String].collect().toSet
+    val gotMixed = graft.CorpusMain.readStage(spark, out, "mixed")
+      .select($"doc_id".cast("string")).as[String].collect().toSet
+    assert(gotMixed == expectMixed, "salted config join must be result-identical")
   }
 
   test("pruneRepeatedLines keeps lines under the doc-count threshold") {

@@ -109,6 +109,66 @@ class ResumeSpec extends AnyFunSuite {
     assert(s1.id == s0.id, "complete sparse table must be a no-op on rerun")
   }
 
+  test("CorpusMain crash-resume: completed stages not recomputed, crash files orphaned, shards content-identical") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.sessionState.newHadoopConf()
+    def stageHead(out: String, name: String) =
+      new Manifest(s"$out/stages/$name", conf).head()
+    def shardsOf(out: String) = CorpusMain.readStage(spark, out, "shards")
+      .select($"doc_id".cast("string"), $"domain", $"tokens", $"shard", md5($"text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getString(4))).toSet
+
+    // golden: one uninterrupted run
+    val golden = freshDir()
+    val gStages = CorpusMain.run(spark, 2000, golden, 4)
+
+    // crashy: injected crash at stage "deduped" AFTER its data write but
+    // BEFORE its commit — the worst window (files on disk, no lineage)
+    val crashy = freshDir()
+    val boom = intercept[IllegalStateException] {
+      CorpusMain.run(spark, 2000, crashy, 4, failAt = Some("deduped"))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    // stages before the crash committed exactly once
+    for (s <- Seq("texts", "cleaned", "lang_en", "exact")) {
+      val h = stageHead(crashy, s)
+      assert(h.exists(_.runId == s), s"stage $s must be committed")
+      assert(h.get.id == 0, s"stage $s: exactly one snapshot")
+    }
+    // the crashed stage has parquet on disk but NO commit → orphans
+    val dm = new Manifest(s"$crashy/stages/deduped", conf)
+    assert(dm.head().isEmpty, "crashed stage must not be committed")
+    assert(new java.io.File(s"$crashy/stages/deduped/data/bucket=0").exists)
+
+    // rerun: completes; prior stages resumed (snapshot ids unchanged —
+    // a recompute would append snapshot 1), crashed stage recomputed
+    val cStages = CorpusMain.run(spark, 2000, crashy, 4)
+    for (s <- Seq("texts", "cleaned", "lang_en", "exact"))
+      assert(stageHead(crashy, s).get.id == 0, s"stage $s must not recompute")
+    assert(stageHead(crashy, "deduped").exists(_.runId == "deduped"))
+    // the crashed attempt's files are unreferenced orphans; GC removes
+    // them and the committed read is untouched
+    val before = shardsOf(crashy)
+    assert(dm.orphanFiles().nonEmpty, "crashed write must be orphaned")
+    dm.removeOrphans()
+    assert(shardsOf(crashy) == before)
+
+    // content identical to the uninterrupted run, stage counts too
+    assert(shardsOf(crashy) == shardsOf(golden))
+    assert(cStages == gStages, s"$cStages vs $gStages")
+
+    // a third run over the COMPLETED pipeline recomputes nothing at all:
+    // every stage keeps the snapshot id it had after the resume run
+    val allStages = Seq("texts", "cleaned", "lang_en", "exact", "deduped",
+      "bpe_merges", "domain_cfg", "mixed", "shards", "profile")
+    val idsAfterResume = allStages.map(s => s -> stageHead(crashy, s).get.id).toMap
+    val dStages = CorpusMain.run(spark, 2000, crashy, 4)
+    assert(dStages == gStages)
+    allStages.foreach(s => assert(stageHead(crashy, s).get.id == idsAfterResume(s),
+      s"stage $s grew a snapshot on a no-op rerun"))
+  }
+
   test("manifest-planned read scans exactly the snapshot's files, pruned by bucket") {
     val dir = freshDir()
     val docs = DocGen.generate(spark, 400, 4)
