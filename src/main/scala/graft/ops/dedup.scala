@@ -588,4 +588,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     dedupCorpus(docs, idCol, pairs, maxIters = maxIters)
   }
+
+  /** Exact substring dedup — the Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better") operator, re-expressed for Spark:
+    * every word-`k`-gram that occurs MORE THAN ONCE in the corpus is
+    * removed from every occurrence except the globally first one
+    * (min (id, position) — the same keep-first rule as every other dedup
+    * path), and each document's text is rebuilt without the cut tokens.
+    * A duplicated substring of length L ≥ k is covered by its L−k+1
+    * duplicated k-gram starts, so maximal duplicated regions are removed
+    * without ever materializing intervals: the cut unit is the token
+    * POSITION (union of [p, p+k−1] over cut starts), not the span.
+    *
+    * This is deliberately NOT the suffix-array construction the paper
+    * uses: a distributed suffix array needs global sorts of the whole
+    * corpus, while the k-gram formulation is (a) one narrow explode
+    * (n_tokens rows/doc — the same shape as [[graft.ops.Cleaning.decontaminate]]'s
+    * shingles), (b) one partial hash-agg per gram hash — `(count,
+    * min(struct(id, p)))` both partial-aggregable, so a boilerplate gram
+    * repeated 10⁶ times collapses map-side instead of flooding one
+    * reducer the way a `row_number() over (partition by hash)` window
+    * would — and (c) one equi-join back on the hash. The semantic
+    * difference vs suffix arrays (duplicates shorter than k are missed;
+    * duplicates are detected at k-token granularity) is the standard
+    * trade and is documented at the call site by the choice of k
+    * (Lee et al. use 50 tokens).
+    *
+    * Returns one row per input document: (idCol, n_tokens, n_removed,
+    * new_text). `n_removed` counts distinct removed token positions;
+    * documents shorter than k tokens pass through unchanged.
+    *
+    * Reference semantics: qetch has no corpus-level dedup; this extends
+    * SURVEY.md §2C's training-data additions. */
+  def exactSubstringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val withW = docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+    // gram starts: 0-based p, hash of tokens [p, p+k). sequence() steps
+    // DOWNWARD when stop < start, so short docs need the explicit guard.
+    val occ = withW
+      .select(col(idCol).as("__id"), explode(expr(
+        s"""IF(size(__w) < $k, array(),
+           |  transform(sequence(0, size(__w) - $k),
+           |    p -> struct(p AS p,
+           |      md5(array_join(slice(__w, p + 1, $k), ' ')) AS h)))"""
+          .stripMargin)).as("__o"))
+      .select(col("__id"), col("__o.p").as("__p"), col("__o.h").as("__h"))
+    // one row per duplicated hash, with its canonical first occurrence —
+    // both aggregates partial-aggregable (no per-hash windows)
+    val dups = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("__id").as("id"), col("__p").as("p"))).as("__first"))
+      .where(col("__cnt") > 1)
+      .select(col("__h"), col("__first"))
+    // every non-canonical occurrence of a duplicated gram is cut
+    val cuts = occ.join(dups, "__h")
+      .where(!(col("__id") === col("__first.id") &&
+               col("__p") === col("__first.p")))
+    // removed token positions per doc (distinct union of [p, p+k-1]);
+    // bounded by the doc's own token count, so collect_set is safe
+    val removed = cuts
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + lit(k - 1))).as("__rp"))
+      .groupBy(col("__id")).agg(collect_set(col("__rp")).as("__rm"))
+    // rebuild: array_except over the position sequence keeps order and is
+    // one hash-probe pass per doc (never O(n·removed) array_contains)
+    withW
+      .join(removed, withW(idCol) === removed("__id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"), expr("array()").cast("array<int>")))
+      .select(col(idCol),
+        size(col("__w")).as("n_tokens"),
+        size(col("__rm")).as("n_removed"),
+        expr("""array_join(transform(
+               |  array_except(sequence(0, size(__w) - 1), __rm),
+               |  i -> element_at(__w, i + 1)), ' ')""".stripMargin).as("new_text"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet-style gate
+  * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data"): score every document by its per-token
+  * log-probability under a small LM trained on a high-quality reference
+  * sample, then keep/bucket by score. CCNet uses a KenLM 5-gram; this is
+  * the same pipeline shape with an add-one-smoothed word BIGRAM model —
+  * the model that trains and scores as pure relational algebra.
+  *
+  * Scale design: the trained model is DIMENSION-sized (observed bigrams of
+  * a bounded reference sample — ~10⁵–10⁷ rows even for large references)
+  * and is BROADCAST to both scoring joins; the corpus side explodes to
+  * narrow (doc, prev, word) rows and aggregates per document with partial
+  * aggregation. Nothing about the corpus is ever shuffled except the final
+  * per-doc sum — the exact shape of [[TextStats.langIdBulk]].
+  *
+  * Determinism: log-probabilities are quantized to integer MICRO-NATS at
+  * TRAIN time (`floor(ln(p)·1e6)`), so the model — and therefore every
+  * score — is a pure integer relation. Scoring never touches floating
+  * point, which makes scores exactly reproducible across engines, runs,
+  * and partitionings (sums of bigints commute; sums of doubles do not).
+  *
+  * Reference semantics: qetch has no corpus analytics; this extends
+  * SURVEY.md §2C's training-data additions.
+  */
+object Lm {
+
+  /** Word-bigram counts of a reference corpus with per-prev totals:
+    * (prev, word, cnt, tot) where `tot` = Σ cnt over the prev. The start
+    * of each document contributes a (^, firstWord) bigram so single-word
+    * docs still train. Pure integers — the oracle-checkable half of
+    * training. */
+  def bigramCounts(ref: DataFrame, textCol: String): DataFrame = {
+    val pairs = ref
+      .select(explode(expr(
+        s"""transform(split($textCol, ' '),
+           |  (w, i) -> struct(
+           |    IF(i = 0, '^', element_at(split($textCol, ' '), i)) AS prev,
+           |    w AS word))""".stripMargin)).as("__b"))
+      .select(col("__b.prev").as("prev"), col("__b.word").as("word"))
+    val cnts = pairs.groupBy(col("prev"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val tots = cnts.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
+    cnts.join(tots, "prev").select(col("prev"), col("word"), col("cnt"), col("tot"))
+  }
+
+  /** Train the add-one bigram LM. Returns the model as ONE relation:
+    * (prev, word, logp_q) in integer micro-nats, where rows with
+    * `word IS NULL` carry the per-prev UNSEEN-word probability
+    * (add-one mass: 1/(tot+V)) and the single row with `prev IS NULL`
+    * carries the unseen-PREV fallback (1/V). p(word|prev) =
+    * (cnt+1)/(tot+V) over observed vocabulary size V.
+    *
+    * The ln runs exactly once per model row at train time; everything
+    * downstream is integer. */
+  def trainBigramLm(ref: DataFrame, textCol: String): DataFrame = {
+    // three consumers (vocab count, seen rows, per-prev unseen rows) —
+    // materialize the counts once instead of re-scanning the reference
+    val counts = bigramCounts(ref, textCol).localCheckpoint()
+    val vocab = counts.select(col("word")).distinct().count()
+    val q = (p: Column) => floor(log(p) * lit(1e6)).cast("bigint")
+    val seen = counts.select(col("prev"), col("word"),
+      q((col("cnt") + 1).cast("double") / (col("tot") + lit(vocab))).as("logp_q"))
+    val unseenW = counts.select(col("prev"), col("tot")).distinct()
+      .select(col("prev"), lit(null).cast("string").as("word"),
+        q(lit(1.0) / (col("tot") + lit(vocab))).as("logp_q"))
+    val unseenP = ref.sparkSession.range(1)
+      .select(lit(null).cast("string").as("prev"),
+        lit(null).cast("string").as("word"),
+        q(lit(1.0) / lit(vocab.toDouble)).as("logp_q"))
+    seen.unionByName(unseenW).unionByName(unseenP)
+  }
+
+  /** Score documents under a trained model: per-doc sum of bigram
+    * log-probs in micro-nats plus the bigram count, and `score_q` =
+    * average micro-nats per bigram (the CCNet ranking statistic; more
+    * negative = less reference-like). Unseen (prev, word) falls back to
+    * the prev's add-one mass; unseen prev to the global fallback —
+    * resolved by TWO broadcast left joins and a coalesce, never a scan
+    * of the model per row.
+    *
+    * Empty text still scores (split('') yields one '' token → one
+    * ('^', '') bigram); docs with NULL text are ABSENT from the output
+    * (explode of a null array drops the row), matching langIdBulk's
+    * null handling. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val seen = model.where(col("word").isNotNull)
+      .select(col("prev").as("__sp"), col("word").as("__sw"),
+        col("logp_q").as("__slq"))
+    val unseenW = model.where(col("word").isNull && col("prev").isNotNull)
+      .select(col("prev").as("__up"), col("logp_q").as("__ulq"))
+    val fallback = model.where(col("prev").isNull)
+      .select(col("logp_q")).head().getLong(0)
+    val grams = docs
+      .select(col(idCol).as("__id"), explode(expr(
+        s"""transform(split($textCol, ' '),
+           |  (w, i) -> struct(
+           |    IF(i = 0, '^', element_at(split($textCol, ' '), i)) AS prev,
+           |    w AS word))""".stripMargin)).as("__b"))
+      .select(col("__id"), col("__b.prev").as("__p"), col("__b.word").as("__w"))
+    grams
+      .join(broadcast(seen),
+        col("__p") === col("__sp") && col("__w") === col("__sw"), "left")
+      .join(broadcast(unseenW), col("__p") === col("__up"), "left")
+      .withColumn("__lq",
+        coalesce(col("__slq"), col("__ulq"), lit(fallback)))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lq")).as("logp_sum_q"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("logp_sum_q"),
+        floor(col("logp_sum_q") / col("n_bigrams")).cast("bigint").as("score_q"))
+  }
+}

@@ -851,6 +851,124 @@ object Queries {
     },
     qDedupIncremental.oracle)
 
+  /** Exact substring dedup (ops.Dedup.exactSubstringDedup — the Lee et al.
+    * 2021 operator): every word-15-gram occurring more than once in the
+    * corpus is cut from all but its globally-first occurrence and each
+    * document is rebuilt without the cut tokens. Fixture plants cross-doc
+    * duplicates (the first 20 words of docs 0–9 copied into fresh docs
+    * 9000–9009 with unique tails), so the planted copies lose their head
+    * while the originals keep theirs. The oracle replays gram hashing,
+    * global first-occurrence ranking, position-union removal, and the
+    * token-level rebuild in SQL. */
+  private val qSubstrDedup = QueryDef(
+    "q_substr_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+        .where($"doc_id" < 300)
+      val planted = base
+        .where($"doc_id" < 10 && size(split($"text", " ")) >= 20)
+        .select(($"doc_id" + 9000).as("doc_id"),
+          concat(array_join(slice(split($"text", " "), 1, 20), " "),
+            lit(" planted"), $"doc_id".cast("string"), lit(" tail")).as("text"))
+      ops.Dedup.exactSubstringDedup(base.union(planted), "doc_id", "text", k = 15)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+           |planted AS (SELECT doc_id + 9000 AS doc_id,
+           |    array_to_string((string_split(text, ' '))[1:20], ' ') ||
+           |      ' planted' || CAST(doc_id AS VARCHAR) || ' tail' AS text
+           |  FROM base WHERE doc_id < 10 AND len(string_split(text, ' ')) >= 20),
+           |fix AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM fix),
+           |occ AS (SELECT doc_id, p, md5(array_to_string(w[p+1:p+15], ' ')) AS h
+           |  FROM (SELECT doc_id, w, unnest(range(len(w) - 14)) AS p FROM w)),
+           |marked AS (SELECT doc_id, p,
+           |    count(*) OVER (PARTITION BY h) AS cnt,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |  FROM occ),
+           |cuts AS (SELECT doc_id, p FROM marked WHERE cnt > 1 AND rn > 1),
+           |rm AS (SELECT DISTINCT doc_id, p + pp AS rp
+           |  FROM (SELECT doc_id, p, unnest(range(15)) AS pp FROM cuts)),
+           |rmagg AS (SELECT doc_id, list(rp) AS rm FROM rm GROUP BY doc_id)
+           |SELECT w.doc_id AS doc_id, CAST(len(w.w) AS INT) AS n_tokens,
+           |  CAST(coalesce(len(r.rm), 0) AS INT) AS n_removed,
+           |  coalesce(array_to_string(list_transform(
+           |    list_filter(range(len(w.w)),
+           |      i -> NOT list_contains(coalesce(r.rm, CAST([] AS BIGINT[])), i)),
+           |    i -> w.w[i+1]), ' '), '') AS new_text
+           |FROM w LEFT JOIN rmagg r ON w.doc_id = r.doc_id
+           |ORDER BY w.doc_id""".stripMargin))
+
+  /** Bigram-LM training counts (ops.Lm.bigramCounts — the oracle-exact
+    * integer half of the CCNet-style quality gate): word bigrams of a
+    * reference slice with per-prev totals, document starts contributing a
+    * ('^', first-word) row. */
+  private val qLmTrain = QueryDef(
+    "q_lm_train",
+    (s, dir) => {
+      import s.implicits._
+      ops.Lm.bigramCounts(
+          t(s, dir, "documents").where($"doc_id" < 200).select($"text"), "text")
+        .orderBy($"prev", $"word")
+    },
+    Some("""WITH ref AS (SELECT text FROM documents WHERE doc_id < 200),
+           |w AS (SELECT string_split(text, ' ') AS w FROM ref),
+           |pairs AS (SELECT CASE WHEN i = 0 THEN '^' ELSE w[i] END AS prev,
+           |    w[i+1] AS word
+           |  FROM (SELECT w, unnest(range(len(w))) AS i FROM w)),
+           |cnts AS (SELECT prev, word, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM pairs GROUP BY 1, 2),
+           |tots AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tot
+           |  FROM cnts GROUP BY 1)
+           |SELECT c.prev, c.word, c.cnt, t.tot
+           |FROM cnts c JOIN tots t USING (prev)
+           |ORDER BY prev, word""".stripMargin))
+
+  /** CCNet-style LM quality scoring (ops.Lm.lmScore under a model trained
+    * by ops.Lm.trainBigramLm): per-doc bigram log-prob sum and average in
+    * integer micro-nats. The ln quantization runs exactly once at train
+    * time; the model is staged to parquet and the oracle replays the
+    * SCORING relational algebra (two left joins + fallback coalesce +
+    * per-doc sum) over the identical staged integers — so scoring is
+    * bit-exact across engines by construction. */
+  private val qLmScore = QueryDef(
+    "q_lm_score", {
+      val modelPath = s"$corpusDir/lm_model"
+      (s, dir) => {
+        import s.implicits._
+        Queries.synchronized {
+          ops.Lm.trainBigramLm(
+              t(s, dir, "documents").where($"doc_id" < 200).select($"text"), "text")
+            .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        }
+        ops.Lm.lmScore(
+            t(s, dir, "documents").where($"doc_id" >= 200 && $"doc_id" < 400)
+              .select($"doc_id", $"text"),
+            "doc_id", "text", s.read.parquet(modelPath))
+          .orderBy($"doc_id")
+      }
+    },
+    Some(s"""WITH model AS (SELECT prev, word, logp_q
+           |    FROM '$corpusDir/lm_model/*.parquet'),
+           |seen AS (SELECT prev, word, logp_q FROM model WHERE word IS NOT NULL),
+           |unseenw AS (SELECT prev, logp_q AS ulq FROM model
+           |  WHERE word IS NULL AND prev IS NOT NULL),
+           |fb AS (SELECT logp_q AS flq FROM model WHERE prev IS NULL),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE doc_id >= 200 AND doc_id < 400),
+           |grams AS (SELECT doc_id, CASE WHEN i = 0 THEN '^' ELSE w[i] END AS prev,
+           |    w[i+1] AS word
+           |  FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM docs)),
+           |scored AS (SELECT doc_id,
+           |    coalesce(s.logp_q, u.ulq, (SELECT flq FROM fb)) AS lq
+           |  FROM grams g LEFT JOIN seen s ON g.prev = s.prev AND g.word = s.word
+           |  LEFT JOIN unseenw u ON g.prev = u.prev)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(lq) AS BIGINT) AS logp_sum_q,
+           |  CAST(floor(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS score_q
+           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -2727,7 +2845,8 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
-    qDedupIncremental, qDedupIndexQ,
+    qDedupIncremental, qDedupIndexQ, qSubstrDedup,
+    qLmTrain, qLmScore,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,

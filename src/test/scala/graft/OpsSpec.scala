@@ -1058,4 +1058,112 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("cand_id") == 7L)
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
+
+  // ---- exact substring dedup (Lee et al.) ----
+
+  test("exactSubstringDedup: cross-doc run cut from the later doc, within-doc repeat cut once, short docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // first occurrence of the shared run
+      (2L, "x y a b c d q"),        // shares 4-token run "a b c d" with doc 1
+      (3L, "m n o p m n o p z"),    // within-doc repeat of "m n o p"
+      (4L, "short text")            // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.exactSubstringDedup(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6, 0, "a b c d e f")), "globally-first occurrence keeps everything")
+    // doc 2: duplicated 3-gram starts p=2 ("a b c"), p=3 ("b c d") →
+    // removed positions 2..5, text rebuilt without the shared run
+    assert(out(2L) == ((7, 4, "x y q")))
+    // doc 3: second "m n o p" (starts p=4, p=5) cut; first kept
+    assert(out(3L) == ((9, 4, "m n o p z")))
+    assert(out(4L) == ((2, 0, "short text")))
+  }
+
+  test("exactSubstringDedup: planted 20-token copies lose exactly the copied head, originals unchanged") {
+    val k = 15
+    val base = documents.select($"doc_id", $"text").where($"doc_id" < 40)
+    val planted = base.where($"doc_id" < 10 && size(split($"text", " ")) >= 20)
+      .select(($"doc_id" + 9000).as("doc_id"),
+        concat(array_join(slice(split($"text", " "), 1, 20), " "),
+          lit(" planted"), $"doc_id".cast("string"), lit(" tail")).as("text"))
+    val nPlanted = planted.count()
+    assert(nPlanted > 0, "fixture must plant at least one copy")
+    val out = ops.Dedup.exactSubstringDedup(base.union(planted), "doc_id", "text", k)
+    // duplicated 15-gram starts inside the copied 20-token head are p=0..5
+    // → removed positions 0..19: the entire head, and nothing else
+    val plantedOut = out.where($"doc_id" >= 9000).collect()
+    assert(plantedOut.length == nPlanted)
+    plantedOut.foreach { r =>
+      assert(r.getInt(2) == 20, s"planted ${r.getLong(0)}: removed ${r.getInt(2)}")
+      assert(r.getString(3) == s"planted${r.getLong(0) - 9000} tail")
+    }
+    // originals hold the first occurrences, so adding the planted copies
+    // changes NOTHING for them: per-doc removals identical to a run over
+    // the base slice alone (organic duplicates inside the slice — e.g. an
+    // exact-dup pair — are cut identically in both runs)
+    def rmMap(df: org.apache.spark.sql.DataFrame) =
+      df.where($"doc_id" < 40).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(rmMap(out) == rmMap(ops.Dedup.exactSubstringDedup(base, "doc_id", "text", k)))
+  }
+
+  // ---- bigram LM quality scoring (CCNet-style) ----
+
+  test("bigramCounts/trainBigramLm: hand-checked add-one model over a two-doc reference") {
+    val ref = Seq("a b a", "a b").toDF("text")
+    val counts = ops.Lm.bigramCounts(ref, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // bigrams: (^,a)×2, (a,b)×2, (b,a)×1 ; totals ^:2 a:2 b:1
+    assert(counts == Map(
+      ("^", "a") -> ((2L, 2L)), ("a", "b") -> ((2L, 2L)), ("b", "a") -> ((1L, 1L))))
+    val model = ops.Lm.trainBigramLm(ref, "text").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    // V = |{a, b}| = 2 ; seen p = (cnt+1)/(tot+V)
+    assert(model((Some("^"), Some("a"))) == q(3.0 / 4))
+    assert(model((Some("a"), Some("b"))) == q(3.0 / 4))
+    assert(model((Some("b"), Some("a"))) == q(2.0 / 3))
+    // per-prev unseen mass 1/(tot+V), global fallback 1/V
+    assert(model((Some("^"), None)) == q(1.0 / 4))
+    assert(model((Some("b"), None)) == q(1.0 / 3))
+    assert(model((None, None)) == q(1.0 / 2))
+  }
+
+  test("lmScore: seen/unseen-word/unseen-prev fallbacks resolve exactly, reference-like text outranks noise") {
+    val ref = Seq("a b a", "a b").toDF("text")
+    val model = ops.Lm.trainBigramLm(ref, "text")
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "z z")).toDF("doc_id", "text")
+    val out = ops.Lm.lmScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val in = q(3.0 / 4)
+    // doc 1: (^,a) + (a,b), both seen
+    assert(out(1L)._1 == 2L && out(1L)._2 == in + in)
+    // doc 2: (^,a) seen + (a,c) → prev 'a' unseen-word mass 1/(2+2)
+    assert(out(2L)._2 == in + q(1.0 / 4))
+    // doc 3: (^,z) → '^' unseen mass; (z,z) → prev unseen → global 1/V
+    assert(out(3L)._2 == q(1.0 / 4) + q(1.0 / 2))
+    // score_q = floor(sum / n)
+    assert(out(2L)._3 == math.floorDiv(out(2L)._2, 2))
+    // the CCNet ranking: reference-like text above noise
+    assert(out(1L)._3 > out(3L)._3)
+  }
+
+  test("lmScore over the documents corpus: reference slice outscores shuffled-vocabulary noise docs") {
+    val ref = documents.where($"doc_id" < 100).select($"text")
+    val model = ops.Lm.trainBigramLm(ref, "text")
+    // noise: reverse each doc's tokens — same unigrams, broken bigrams
+    val probe = documents.where($"doc_id" >= 100 && $"doc_id" < 140)
+      .select($"doc_id", $"text")
+    val noise = probe.select(($"doc_id" + 5000).as("doc_id"),
+      array_join(reverse(split($"text", " ")), " ").as("text"))
+    val out = ops.Lm.lmScore(probe.union(noise), "doc_id", "text", model)
+    val real = out.where($"doc_id" < 5000).agg(avg($"score_q")).head().getDouble(0)
+    val rev = out.where($"doc_id" >= 5000).agg(avg($"score_q")).head().getDouble(0)
+    assert(real > rev,
+      s"reference-like avg $real must beat reversed-text avg $rev")
+  }
 }
