@@ -2455,7 +2455,10 @@ object Queries {
     * driver's DuckDB replay always reads the parquet bytes this process
     * wrote. Set GRAFT_CORPUS_DIR to pin a shared dir (single-process runs
     * only). */
-  private[graft] val corpusDir: String =
+  // LAZY: referenced during object init by QueryDef oracles defined ABOVE
+  // this line (a strict val would interpolate as "null" there — Scala
+  // object vals initialize in declaration order)
+  private[graft] lazy val corpusDir: String =
     sys.env.getOrElse("GRAFT_CORPUS_DIR",
       sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
         s"/graft_corpus_v3_${ProcessHandle.current().pid()}")
