@@ -83,10 +83,43 @@ object CleanBench {
         .agg(countDistinct($"source", $"shard")).head().getLong(0)
     }
 
+    // 4. exact substring scrub (Lee et al., k=12): 20% of docs embed one
+    //    of 200 shared 16-word boilerplate runs (each run recurs in
+    //    nDocs/1000 documents — a HOT duplicated substring whose gram
+    //    hashes collapse in the partial agg), every doc keeps a unique
+    //    12-word body. Correct outcome: each run survives only in its
+    //    globally-first doc — removed mass ≈ 16 · (0.2·nDocs − 200).
+    val runTail = concat_ws(" ",
+      (0 until 16).map(j => concat(lit("r"), ($"id" % 200), lit(s"w$j"))): _*)
+    val body = concat_ws(" ",
+      (0 until 12).map(j => concat(lit("u"), $"id", lit(s"b$j"))): _*)
+    val sdocs = spark.range(nDocs).select($"id".as("doc_id"),
+        when($"id" % 5 === 0, concat(body, lit(" "), runTail))
+          .otherwise(body).as("text"))
+      .cache()
+    sdocs.count()
+    val (removedTokens, tSubstr) = timed {
+      ops.Dedup.exactSubstringDedup(sdocs, "doc_id", "text", k = 12)
+        .agg(sum($"n_removed".cast("bigint"))).head().getLong(0)
+    }
+
+    // 5. CCNet LM gate: train the bigram model on a 1% hash-sample
+    //    (unique id-words make most sampled bigrams singletons — a
+    //    realistically heavy model, broadcast), then score the FULL
+    //    corpus through the seen/unseen-word/unseen-prev join cascade
+    val (scoreSum, tLm) = timed {
+      val model = ops.Lm.trainBigramLm(
+        docs.where(ops.Sampling.hashBp($"doc_id".cast("string")) < 100), "text")
+      ops.Lm.lmScore(docs, "doc_id", "text", model)
+        .agg(sum($"score_q")).head().getLong(0)
+    }
+
     println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
       f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
       f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
-      f""""shards":$shards,"mix_pack_sec":$tMix%.2f}""")
+      f""""shards":$shards,"mix_pack_sec":$tMix%.2f,""" +
+      f""""substr_removed_tokens":$removedTokens,"substr_sec":$tSubstr%.2f,""" +
+      f""""lm_score_sum":$scoreSum,"lm_sec":$tLm%.2f}""")
     spark.stop()
   }
 }

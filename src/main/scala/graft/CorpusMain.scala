@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
   * of this library composed into one runnable artifact: extraction
   * (registry dispatch → boilerplate classify → ordered spans) feeding
   * corpus preparation (reassemble → redact → filter → dedup → resolve →
-  * mix → pack) and writing a training-ready shard table plus a per-domain
-  * profile. What a user of the reference would actually run to turn a
-  * crawl into training data.
+  * substring scrub → LM quality gate → mix → pack) and writing a
+  * training-ready shard table plus a per-domain profile. What a user of
+  * the reference would actually run to turn a crawl into training data.
   *
   * RESUMABLE: every stage output is a manifest-committed table under
   * `<outDir>/stages/<name>` (the same snapshot/lineage layer the extract
@@ -130,12 +130,46 @@ object CorpusMain {
       ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
     }
 
-    // 5. train the tokenizer ON the deduped corpus (batched trainer) over
+    // 4b. exact substring scrub (Lee et al.): cut every word-12-gram that
+    //     still occurs >1x after document-level dedup (cross-doc
+    //     boilerplate runs), keep docs that retain >= 8 words. On this
+    //     synthetic corpus the duplicated-run mass is already gone after
+    //     exact+LSH dedup, so the stage removes ~nothing — the value here
+    //     is the PLAN run at full width (gram explode → partial-agg →
+    //     rebuild), which is what has to survive 100 TB
+    val scrubbed = stage("substr") {
+      val scrub = ops.Dedup.exactSubstringDedup(deduped, "doc_id", "text", k = 12)
+      deduped.select($"doc_id", $"domain")
+        .join(scrub.where($"n_tokens" - $"n_removed" >= 8)
+          .select($"doc_id", $"new_text".as("text")), "doc_id")
+    }
+
+    // 4c. CCNet-style LM quality gate: train the bigram LM on a 10%
+    //     hash-sample (disjoint salt from the BPE sample), score every
+    //     doc in integer micro-nats, and drop the bottom decile by the
+    //     EXACT 10th percentile (accuracy >> n makes GK exact here; at
+    //     true corpus scale the same line is an approximate quantile,
+    //     which is the production CCNet shape anyway). The model relation
+    //     is its own committed stage, so a resumed run never retrains.
+    val lmModel = stage("lm_model") {
+      ops.Lm.trainBigramLm(
+        scrubbed.where(ops.Sampling.hashBp(concat($"doc_id", lit("lm"))) < 1000),
+        "text")
+    }
+    val gated = stage("lm_kept") {
+      val scored = ops.Lm.lmScore(scrubbed, "doc_id", "text", lmModel)
+        .localCheckpoint()
+      val thr = scored.agg(
+        expr("percentile_approx(score_q, 0.1, 1000000)")).head().getLong(0)
+      scrubbed.join(scored.where($"score_q" >= thr).select($"doc_id"), "doc_id")
+    }
+
+    // 5. train the tokenizer ON the gated corpus (batched trainer) over
     //    a deterministic 10% hash-sample; the merge table is itself a
     //    committed stage so a resumed run never retrains
     val mergesDf = stage("bpe_merges") {
       val m = ops.Bpe.learnMergesBatched(
-        deduped.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
+        gated.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
         "text", nMerges = 96, minCount = 2L, batch = 32)
       m.zipWithIndex.map { case ((l, r), i) => (i, l, r) }.toDF("rank", "l", "r")
     }
@@ -148,12 +182,12 @@ object CorpusMain {
     //    is hot by construction) and salts exactly the keys that need it;
     //    result-identical to the plain join, only the partitioning changes
     val cfg = stage("domain_cfg") {
-      deduped.select($"domain").distinct()
+      gated.select($"domain").distinct()
         .withColumn("rate_bp",
           when($"domain" === "src0", 8000).otherwise(10000))
     }
     val mixed = stage("mixed") {
-      ops.Skew.saltedJoinAuto(deduped, cfg, "domain", targetRows = saltTarget,
+      ops.Skew.saltedJoinAuto(gated, cfg, "domain", targetRows = saltTarget,
           sampleBp = 2500, sampleCol = Some("doc_id"))
         .where(ops.Sampling.hashBp($"doc_id") < $"rate_bp")
         .drop("rate_bp")
@@ -180,6 +214,9 @@ object CorpusMain {
       "lang_en" -> stage.rowsOf("lang_en"),
       "exact_deduped" -> stage.rowsOf("exact"),
       "near_deduped" -> stage.rowsOf("deduped"),
+      "substr" -> stage.rowsOf("substr"),
+      "lm_model_rows" -> stage.rowsOf("lm_model"),
+      "lm_kept" -> stage.rowsOf("lm_kept"),
       "bpe_merges" -> stage.rowsOf("bpe_merges"),
       "mixed" -> stage.rowsOf("mixed"),
       "admitted" -> totals.getLong(0),

@@ -900,6 +900,73 @@ object Queries {
            |FROM w LEFT JOIN rmagg r ON w.doc_id = r.doc_id
            |ORDER BY w.doc_id""".stripMargin))
 
+  /** URL canonicalization + canonical-URL keep-first dedup
+    * (ops.Urls.canonicalize / dedupByUrl — the crawl-frontier key): case,
+    * default ports, fragments, tracking params, param order, and trailing
+    * slashes collapse; `kept` marks each row's keep-first dedup outcome.
+    * URLs are synthesized deterministically from doc_id so id-groups
+    * collide across scheme/case/tracking variants. */
+  private val qUrlCanon = QueryDef(
+    "q_url_canon",
+    (s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").where($"doc_id" < 120)
+        .select($"doc_id", concat(
+          when($"doc_id" % 3 === 0, lit("HTTP://Example.COM:80"))
+            .when($"doc_id" % 3 === 1, lit("http://example.com"))
+            .otherwise(lit("https://Sub.Example.net:443")),
+          lit("/Path/p"), ($"doc_id" % 7).cast("string"),
+          when($"doc_id" % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), ($"doc_id" % 5).cast("string"), lit("&a=1"),
+          when($"doc_id" % 4 === 0, lit("&gclid=xyz")).otherwise(lit("")),
+          lit("#frag")).as("url"))
+      val canon = urls.withColumn("canon", ops.Urls.canonicalize($"url"))
+      val keepers = ops.Urls.dedupByUrl(urls, "doc_id", "url")
+        .select($"doc_id".as("kid"))
+      canon.join(keepers, $"doc_id" === $"kid", "left")
+        .select($"doc_id", $"url", $"canon",
+          $"kid".isNotNull.cast("int").as("kept"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://Example.COM:80'
+           |          WHEN doc_id % 3 = 1 THEN 'http://example.com'
+           |          ELSE 'https://Sub.Example.net:443' END) ||
+           |    '/Path/p' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+           |    '?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1' ||
+           |    (CASE WHEN doc_id % 4 = 0 THEN '&gclid=xyz' ELSE '' END) ||
+           |    '#frag' AS url
+           |  FROM documents WHERE doc_id < 120),
+           |p1 AS (SELECT doc_id, url,
+           |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+           |  FROM u),
+           |p2 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+           |    regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0,
+           |    regexp_extract(rest, '\?(.*)$', 1) AS query
+           |  FROM p1),
+           |p3 AS (SELECT doc_id, url, scheme,
+           |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+           |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+           |          ELSE hostport END) ||
+           |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) AS hostpath,
+           |    list_sort(list_filter(string_split(query, '&'),
+           |      q -> q != '' AND NOT regexp_matches(q,
+           |        '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))) AS params
+           |  FROM p2),
+           |c AS (SELECT doc_id, url,
+           |    CASE WHEN scheme = '' THEN url
+           |         ELSE scheme || '://' || hostpath ||
+           |           (CASE WHEN len(params) > 0
+           |                 THEN '?' || array_to_string(params, '&') ELSE '' END)
+           |    END AS canon
+           |  FROM p3)
+           |SELECT doc_id, url, canon,
+           |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
+           |       THEN 1 ELSE 0 END AS INT) AS kept
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   /** Bigram-LM training counts (ops.Lm.bigramCounts — the oracle-exact
     * integer half of the CCNet-style quality gate): word bigrams of a
     * reference slice with per-prev totals, document starts contributing a
@@ -2848,7 +2915,7 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
-    qDedupIncremental, qDedupIndexQ, qSubstrDedup,
+    qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
     qLmTrain, qLmScore,
     qCorpusPipeline,
     qFingerprint,

@@ -194,7 +194,7 @@ class CleaningSpec extends AnyFunSuite {
     val stages = graft.CorpusMain.run(spark, 2000, out, 4).toMap
     // the funnel only narrows, and every stage emits something
     val order = Seq("raw", "with_text", "cleaned", "exact_deduped", "near_deduped",
-      "mixed", "admitted")
+      "substr", "lm_kept", "mixed", "admitted")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(stages(a) >= stages(b), s"$a=${stages(a)} < $b=${stages(b)}")
     }
@@ -205,9 +205,11 @@ class CleaningSpec extends AnyFunSuite {
     // profile accounts for every admitted doc
     val prof = graft.CorpusMain.readStage(spark, out, "profile")
     assert(prof.agg(sum($"docs")).head().getLong(0) == stages("admitted"))
+    // the LM gate drops at most a decile (threshold = exact P10)
+    assert(stages("lm_kept") >= (stages("substr") * 0.88).toLong)
     // the auto-salted config join changed partitioning, never content:
-    // mixed == deduped ⋈ cfg filtered by the per-domain rate
-    val deduped = graft.CorpusMain.readStage(spark, out, "deduped")
+    // mixed == lm_kept ⋈ cfg filtered by the per-domain rate
+    val deduped = graft.CorpusMain.readStage(spark, out, "lm_kept")
     val expectMixed = deduped
       .where(ops.Sampling.hashBp($"doc_id") <
         when($"domain" === "src0", 8000).otherwise(10000))

@@ -1108,6 +1108,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rmMap(out) == rmMap(ops.Dedup.exactSubstringDedup(base, "doc_id", "text", k)))
   }
 
+  // ---- URL canonicalization ----
+
+  test("canonicalize: case, default ports, fragments, tracking params, param order, trailing slashes") {
+    val cases = Seq(
+      ("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#f", "http://example.com/a?a=1&b=2"),
+      ("https://H.com:443/", "https://h.com/"),
+      ("https://h.com:8443/x/", "https://h.com:8443/x"),   // non-default port kept
+      ("http://h.com", "http://h.com/"),                   // empty path → root
+      ("http://h.com/x//y///", "http://h.com/x//y"),       // only TRAILING slashes stripped
+      ("ftp://H.com:80/x", "ftp://h.com:80/x"),            // :80 only default for http
+      ("http://h.com/p?gclid=1&fbclid=2&ref=3&msclkid=4", "http://h.com/p"),
+      ("http://h.com/p?ref=3&real=1", "http://h.com/p?real=1"),
+      ("not a url", "not a url"),                          // unparseable passes through
+      ("/relative/path?a=1", "/relative/path?a=1"))
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "url")
+      .withColumn("canon", ops.Urls.canonicalize($"url"))
+      .orderBy($"id").collect().map(_.getString(2))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got == want, s"canonicalize($in)") }
+  }
+
+  test("dedupByUrl: case/tracking/slash variants collapse, earliest id wins") {
+    val urls = Seq(
+      (1L, "http://A.com/x?utm_source=t"),
+      (2L, "HTTP://a.COM:80/x/"),
+      (3L, "http://a.com/x#frag"),
+      (4L, "http://a.com/y"),
+      (5L, "http://a.com/y?b=1")).toDF("doc_id", "url")
+    val kept = ops.Urls.dedupByUrl(urls, "doc_id", "url")
+      .select($"doc_id", $"canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 4L, 5L), s"got $kept")
+    assert(kept(1L) == "http://a.com/x")
+    assert(kept(5L) == "http://a.com/y?b=1")
+  }
+
   // ---- bigram LM quality scoring (CCNet-style) ----
 
   test("bigramCounts/trainBigramLm: hand-checked add-one model over a two-doc reference") {
