@@ -325,4 +325,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(1500))
   }
+
+  test("exactSubstringDedup: per-hash state is a partial agg, never a window; no cartesian anywhere") {
+    import spark.implicits._
+    // the design claim vs the oracle's row_number() formulation: a
+    // boilerplate gram repeated 10⁶ times must collapse MAP-SIDE in the
+    // (count, min(struct)) aggregate, not ship every occurrence into one
+    // task's window buffer
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val p = ops.Dedup.exactSubstringDedup(docs, "doc_id", "text", k = 15)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"substring dedup must not plan a window:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("partial"), s"expected partial aggregation:\n${p.take(800)}")
+  }
+
+  test("lmScore: model sides broadcast, corpus side never shuffles before the per-doc agg") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val model = ops.Lm.trainBigramLm(docs.where($"doc_id" < 50), "text")
+    val df = ops.Lm.lmScore(docs, "doc_id", "text", model)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both fallback joins broadcast the dimension-sized model relation;
+    // the only exchange on the corpus lineage is the final doc_id agg
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"model joins must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("WindowExec"), p.take(800))
+  }
 }
