@@ -29,19 +29,34 @@ import org.apache.spark.sql.functions._
   */
 object Lm {
 
+  /** Exploded (… , prev, word) bigram rows of `textCol`, keeping `keep`
+    * columns. The words array is PROJECTED once and the lambda indexes
+    * into that bound column — re-evaluating split inside the lambda would
+    * make per-document cost quadratic in document length (Spark's
+    * common-subexpression elimination does not recurse into lambda
+    * bodies). */
+  private def bigrams(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame = {
+    val projected = df.select(keep :+ split(col(textCol), " ").as("__lmw"): _*)
+    // keep expressions may alias (e.g. doc_id AS __id); downstream selects
+    // must reference the ALIASED names, so re-derive them from the
+    // projection's schema rather than re-applying the input expressions.
+    val kept = projected.columns.init.toSeq.map(col)
+    projected
+      .select(kept :+ explode(expr(
+        """transform(__lmw,
+          |  (w, i) -> struct(
+          |    IF(i = 0, '^', element_at(__lmw, i)) AS prev,
+          |    w AS word))""".stripMargin)).as("__b"): _*)
+      .select(kept :+ col("__b.prev").as("prev") :+ col("__b.word").as("word"): _*)
+  }
+
   /** Word-bigram counts of a reference corpus with per-prev totals:
     * (prev, word, cnt, tot) where `tot` = Σ cnt over the prev. The start
     * of each document contributes a (^, firstWord) bigram so single-word
     * docs still train. Pure integers — the oracle-checkable half of
     * training. */
   def bigramCounts(ref: DataFrame, textCol: String): DataFrame = {
-    val pairs = ref
-      .select(explode(expr(
-        s"""transform(split($textCol, ' '),
-           |  (w, i) -> struct(
-           |    IF(i = 0, '^', element_at(split($textCol, ' '), i)) AS prev,
-           |    w AS word))""".stripMargin)).as("__b"))
-      .select(col("__b.prev").as("prev"), col("__b.word").as("word"))
+    val pairs = bigrams(ref, textCol, Seq.empty)
     val cnts = pairs.groupBy(col("prev"), col("word"))
       .agg(count(lit(1)).as("cnt"))
     val tots = cnts.groupBy(col("prev")).agg(sum(col("cnt")).as("tot"))
@@ -62,6 +77,9 @@ object Lm {
     // materialize the counts once instead of re-scanning the reference
     val counts = bigramCounts(ref, textCol).localCheckpoint()
     val vocab = counts.select(col("word")).distinct().count()
+    require(vocab > 0,
+      "trainBigramLm: empty reference corpus (vocab = 0) — refusing to " +
+        "train a model whose fallback probability would be log(1/0)")
     val q = (p: Column) => floor(log(p) * lit(1e6)).cast("bigint")
     val seen = counts.select(col("prev"), col("word"),
       q((col("cnt") + 1).cast("double") / (col("tot") + lit(vocab))).as("logp_q"))
@@ -95,14 +113,13 @@ object Lm {
     val unseenW = model.where(col("word").isNull && col("prev").isNotNull)
       .select(col("prev").as("__up"), col("logp_q").as("__ulq"))
     val fallback = model.where(col("prev").isNull)
-      .select(col("logp_q")).head().getLong(0)
-    val grams = docs
-      .select(col(idCol).as("__id"), explode(expr(
-        s"""transform(split($textCol, ' '),
-           |  (w, i) -> struct(
-           |    IF(i = 0, '^', element_at(split($textCol, ' '), i)) AS prev,
-           |    w AS word))""".stripMargin)).as("__b"))
-      .select(col("__id"), col("__b.prev").as("__p"), col("__b.word").as("__w"))
+      .select(col("logp_q")).collect().headOption
+      .getOrElse(sys.error(
+        "lmScore: model has no prev-IS-NULL global-fallback row — not a " +
+          "trainBigramLm model (was it filtered or projected?)"))
+      .getLong(0)
+    val grams = bigrams(docs, textCol, Seq(col(idCol).as("__id")))
+      .select(col("__id"), col("prev").as("__p"), col("word").as("__w"))
     grams
       .join(broadcast(seen),
         col("__p") === col("__sp") && col("__w") === col("__sw"), "left")
