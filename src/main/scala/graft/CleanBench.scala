@@ -89,8 +89,11 @@ object CleanBench {
     //    hashes collapse in the partial agg), every doc keeps a unique
     //    12-word body. Correct outcome: each run survives only in its
     //    globally-first doc — removed mass ≈ 16 · (0.2·nDocs − 200).
+    // run index = (id/5) % 200: only ids divisible by 5 embed a run, so
+    // keying on id % 200 would visit just the 40 multiples of 5 — (id/5)
+    // walks all 200 run identities at the documented n/1000 recurrence
     val runTail = concat_ws(" ",
-      (0 until 16).map(j => concat(lit("r"), ($"id" % 200), lit(s"w$j"))): _*)
+      (0 until 16).map(j => concat(lit("r"), (($"id" / 5) % 200).cast("long"), lit(s"w$j"))): _*)
     val body = concat_ws(" ",
       (0 until 12).map(j => concat(lit("u"), $"id", lit(s"b$j"))): _*)
     val sdocs = spark.range(nDocs).select($"id".as("doc_id"),

@@ -30,9 +30,18 @@ object CorpusMain {
     * manifest table per stage. `apply(name)(compute)` returns the
     * committed stage table, computing it only when no completed snapshot
     * exists. `failAt` injects a crash AFTER the stage's data write but
-    * BEFORE its commit — the crash-sim hook ResumeSpec drives. */
+    * BEFORE its commit — the crash-sim hook ResumeSpec drives.
+    *
+    * `fingerprint` binds resume to the RUN PARAMETERS: the committed runId
+    * is `name@fingerprint`, so rerunning into the same outDir with
+    * different parameters (nDocs, saltTarget, …) RECOMPUTES every stage
+    * instead of silently serving the previous configuration's outputs —
+    * the recompute's commit replaces the bucket's file lineage, the old
+    * files become GC-able orphans, and readers planned from the new
+    * snapshot never mix configurations. Changing pipeline CONSTANTS in
+    * code (k, thresholds) is not fingerprinted — use a fresh outDir. */
   final class StageStore(spark: SparkSession, stagesDir: String,
-      failAt: Option[String] = None) {
+      failAt: Option[String] = None, fingerprint: String = "") {
     /** Stage names computed (not resumed) by THIS run — the audit surface
       * the resume tests assert on. */
     val computed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -42,10 +51,13 @@ object CorpusMain {
       * no count() action). */
     def rowsOf(name: String): Long = rows(name)
 
+    private def runIdOf(name: String): String =
+      if (fingerprint.isEmpty) name else s"$name@$fingerprint"
+
     def apply(name: String)(compute: => DataFrame): DataFrame = {
       val tdir = s"$stagesDir/$name"
       val m = new Manifest(tdir, spark.sessionState.newHadoopConf())
-      val snap = m.head().filter(_.runId == name).getOrElse {
+      val snap = m.head().filter(_.runId == runIdOf(name)).getOrElse {
         computed += name
         val df = compute
         val pre = m.listBucketFiles(0).toSet
@@ -64,7 +76,7 @@ object CorpusMain {
         // row count from the WRITTEN files (parquet footers — no recompute
         // of the stage lineage), recorded once in the commit
         val n = spark.read.parquet(files: _*).count()
-        m.commit(name, Seq(Manifest.BucketState(0, n, "", files)))
+        m.commit(runIdOf(name), Seq(Manifest.BucketState(0, n, "", files)))
       }
       rows(name) = snap.buckets.headOption.map(_.rows).getOrElse(0L)
       m.readData(spark, Some(Set(0))).drop("bucket")
@@ -84,7 +96,11 @@ object CorpusMain {
           parallelism: Int, failAt: Option[String] = None,
           saltTarget: Long = 2000L): Seq[(String, Long)] = {
     import spark.implicits._
-    val stage = new StageStore(spark, s"$outDir/stages", failAt)
+    // parallelism is deliberately NOT fingerprinted: DocGen content is a
+    // pure function of the doc index, so partitioning changes the layout
+    // of the generated frame but not a single row
+    val stage = new StageStore(spark, s"$outDir/stages", failAt,
+      fingerprint = s"n=$nDocs;salt=$saltTarget")
 
     // 1+2. extraction (native extract_spans — span-for-span equal to the
     //      typed engine, SpanEqualitySpec) + reassembly of document text

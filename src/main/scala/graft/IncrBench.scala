@@ -107,9 +107,10 @@ object IncrBench {
       (0 until 36).map(j => concat(lit("w"), idc, lit(s"t$j"))): _*)
     val bucketDocs = 1024
     val nB = math.max(1, nCorpus / bucketDocs)
-    val bucketOf = (c: org.apache.spark.sql.Column) =>
-      pmod(conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("bigint"),
-        lit(nB)).cast("int")
+    // the WRITER-side hash must be the same function the pruner uses —
+    // an inline copy could drift and silently resolve no candidate text
+    // (the pruneBucket contract); take it from the one definition
+    val bucketOf = streaming.EventStream.corpusBucketOf(nB) _
     val bdir = java.nio.file.Files.createTempDirectory("incr_bucketed_").toString
     spark.range(nCorpus)
       .select($"id".as("doc_id"), docTextWide($"id").as("text"))

@@ -255,9 +255,14 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     } + "\""
 
   /** Commit: union the parent's completed buckets with `newBuckets` (new
-    * state wins on conflict), write snap-(n+1), advance HEAD. */
+    * state wins on conflict), write snap-(n+1), advance HEAD.
+    * `extraWatermarks` ride the same carried-forward-verbatim map as the
+    * streaming watermark — the durable home for table-level metadata such
+    * as the indexed-corpus layout stamp (reserved `__`-prefixed keys;
+    * monotone max-merge like every watermark entry). */
   def commit(runId: String, newBuckets: Seq[BucketState],
-      streamWatermark: Option[(String, Long)] = None): Snapshot = {
+      streamWatermark: Option[(String, Long)] = None,
+      extraWatermarks: Map[String, Long] = Map.empty): Snapshot = {
     fs.mkdirs(meta)
     val parent = head()
     val parentId = parent.map(_.id).getOrElse(-1)
@@ -266,9 +271,12 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       .sortBy(_.bucket)
     val id = parentId + 1
     val parentWms = parent.map(_.streamWatermarks).getOrElse(Map.empty)
+    val withExtra = extraWatermarks.foldLeft(parentWms) { case (m, (k, v)) =>
+      m.updated(k, math.max(v, m.getOrElse(k, -1L)))
+    }
     val wms = streamWatermark match {
-      case Some((sid, b)) => parentWms.updated(sid, math.max(b, parentWms.getOrElse(sid, -1L)))
-      case None => parentWms
+      case Some((sid, b)) => withExtra.updated(sid, math.max(b, withExtra.getOrElse(sid, -1L)))
+      case None => withExtra
     }
     val snap = Snapshot(id, parentId, runId, merged, wms)
     val body = {

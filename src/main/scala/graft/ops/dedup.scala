@@ -616,7 +616,11 @@ object Dedup {
     *
     * Returns one row per input document: (idCol, n_tokens, n_removed,
     * new_text). `n_removed` counts distinct removed token positions;
-    * documents shorter than k tokens pass through unchanged.
+    * documents shorter than k tokens pass through unchanged. NULL text
+    * passes through as (n_tokens = 0, n_removed = 0, new_text = NULL) —
+    * without the explicit guard the rebuild would emit nonsense for null
+    * docs (size(NULL) is -1 in legacy mode, and sequence() steps DOWNWARD
+    * from 0 to size-1 = -2).
     *
     * Reference semantics: qetch has no corpus-level dedup; this extends
     * SURVEY.md §2C's training-data additions. */
@@ -656,10 +660,13 @@ object Dedup {
       .join(removed, withW(idCol) === removed("__id"), "left")
       .withColumn("__rm", coalesce(col("__rm"), expr("array()").cast("array<int>")))
       .select(col(idCol),
-        size(col("__w")).as("n_tokens"),
+        when(col("__w").isNull, lit(0)).otherwise(size(col("__w")))
+          .as("n_tokens"),
         size(col("__rm")).as("n_removed"),
-        expr("""array_join(transform(
+        when(col("__w").isNull, lit(null).cast("string"))
+          .otherwise(expr("""array_join(transform(
                |  array_except(sequence(0, size(__w) - 1), __rm),
-               |  i -> element_at(__w, i + 1)), ' ')""".stripMargin).as("new_text"))
+               |  i -> element_at(__w, i + 1)), ' ')""".stripMargin))
+          .as("new_text"))
   }
 }

@@ -348,6 +348,29 @@ object EventStream {
   def indexBucketFor(corpusBuckets: Int): Int = corpusBuckets
   def metricsBucketFor(corpusBuckets: Int): Int = corpusBuckets + 1
 
+  /** Reserved watermark-map key stamping the table's `corpusBuckets`
+    * layout into every snapshot (carried forward verbatim by commits AND
+    * compaction, like the streaming watermark). Without the stamp, a table
+    * written with N=4 and reopened with the default N=1 would silently
+    * misread bucket namespaces: 3/4 of the corpus invisible to dedup and
+    * corpus bucket 1 parsed as index rows. The `__` prefix cannot collide
+    * with stream ids ([[streamIdFor]] emits hex digests). */
+  private[graft] val LayoutKey = "__layout:corpus_buckets"
+
+  /** Fail fast when a committed table's layout stamp disagrees with the
+    * `corpusBuckets` it is being opened with. Tables committed before the
+    * stamp existed carry no entry and are accepted as-is (one-time upgrade
+    * window; the next commit stamps the value then in use). */
+  private def requireLayout(snap: Option[graft.Manifest.Snapshot],
+      corpusBuckets: Int, tableDir: String): Unit =
+    snap.flatMap(_.streamWatermarks.get(LayoutKey)).foreach { n =>
+      require(n == corpusBuckets.toLong,
+        s"indexed corpus table at $tableDir was written with corpusBuckets=$n " +
+          s"but opened with corpusBuckets=$corpusBuckets — bucket namespaces " +
+          "would be misread (corpus rows dropped from dedup, index/metrics " +
+          "buckets parsed as corpus)")
+    }
+
   /** The id→corpus-bucket function of the sub-bucketed layout — md5-based
     * (portable, partition-invariant, no seed state; same hash family as
     * [[graft.ops.Sampling.hashBp]]). This SAME function must be used by
@@ -360,22 +383,28 @@ object EventStream {
   /** Committed corpus rows across all corpus sub-buckets (bucket column
     * dropped). */
   def readCorpus(spark: SparkSession, tableDir: String,
-      corpusBuckets: Int = 1): DataFrame =
-    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
-      .readData(spark, Some((0 until corpusBuckets).toSet)).drop("bucket")
+      corpusBuckets: Int = 1): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), corpusBuckets, tableDir)
+    m.readData(spark, Some((0 until corpusBuckets).toSet)).drop("bucket")
+  }
 
   /** Committed dedup-index rows. */
   def readIndex(spark: SparkSession, tableDir: String,
-      corpusBuckets: Int = 1): DataFrame =
-    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
-      .readData(spark, Some(Set(indexBucketFor(corpusBuckets)))).drop("bucket")
+      corpusBuckets: Int = 1): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), corpusBuckets, tableDir)
+    m.readData(spark, Some(Set(indexBucketFor(corpusBuckets)))).drop("bucket")
+  }
 
   /** Per-micro-batch admission metrics (batch_id, input_rows, admitted,
     * exact_dropped, near_dropped, poisoned), one row per committed batch. */
   def readAdmissionMetrics(spark: SparkSession, tableDir: String,
-      corpusBuckets: Int = 1): DataFrame =
-    new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
-      .readData(spark, Some(Set(metricsBucketFor(corpusBuckets)))).drop("bucket")
+      corpusBuckets: Int = 1): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), corpusBuckets, tableDir)
+    m.readData(spark, Some(Set(metricsBucketFor(corpusBuckets)))).drop("bucket")
+  }
 
   /** [[runDedupedCorpusStream]] upgraded with the PERSISTED dedup index
     * and the snapshot manifest — the production wiring the index exists
@@ -457,6 +486,9 @@ object EventStream {
       "corpus schema must not carry a 'bucket' column (manifest partition name)")
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
+    // layout check BEFORE the redelivery guard: a mis-opened table must
+    // fail loudly even on a batch that would otherwise be skipped
+    requireLayout(prev, corpusBuckets, tableDir)
     if (isRedelivered(prev, streamId, legacyStreamId, batchId))
       return // re-delivered
     // bootstrap when the corpus is EMPTY, not merely when no snapshot
@@ -525,7 +557,8 @@ object EventStream {
       cBuckets.map(b => grown(b, admPerBucket.getOrElse(b, 0L), newFiles(b))) ++
         Seq(grown(ixBucket, nIdx, newFiles(ixBucket)),
           grown(mBucket, 1L, newFiles(mBucket))),
-      streamWatermark = Some(streamId -> batchId))
+      streamWatermark = Some(streamId -> batchId),
+      extraWatermarks = Map(LayoutKey -> corpusBuckets.toLong))
   }
 
   /** Watermarked tumbling-window counts per event_type over a timestamped

@@ -1108,6 +1108,21 @@ class OpsSpec extends AnyFunSuite {
     assert(rmMap(out) == rmMap(ops.Dedup.exactSubstringDedup(base, "doc_id", "text", k)))
   }
 
+  test("exactSubstringDedup: NULL text passes through as (0, 0, NULL), never a rebuilt row") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.exactSubstringDedup(docs, "doc_id", "text", k = 3)
+    val r = out.where($"doc_id" === 3L).collect()
+    assert(r.length == 1, "null-text doc must stay one output row")
+    assert(r.head.getInt(1) == 0 && r.head.getInt(2) == 0 && r.head.isNullAt(3),
+      s"null text must pass through, got ${r.head}")
+    // and its presence changes nothing for the real docs
+    assert(out.where($"doc_id" === 2L).head().getString(3) == "x y q")
+  }
+
   // ---- URL canonicalization ----
 
   test("canonicalize: case, default ports, fragments, tracking params, param order, trailing slashes") {

@@ -133,7 +133,8 @@ class ResumeSpec extends AnyFunSuite {
     // stages before the crash committed exactly once
     for (s <- Seq("texts", "cleaned", "lang_en", "exact")) {
       val h = stageHead(crashy, s)
-      assert(h.exists(_.runId == s), s"stage $s must be committed")
+      assert(h.exists(_.runId == s"$s@n=2000;salt=2000"),
+        s"stage $s must be committed under its config fingerprint, got ${h.map(_.runId)}")
       assert(h.get.id == 0, s"stage $s: exactly one snapshot")
     }
     // the crashed stage has parquet on disk but NO commit → orphans
@@ -146,7 +147,7 @@ class ResumeSpec extends AnyFunSuite {
     val cStages = CorpusMain.run(spark, 2000, crashy, 4)
     for (s <- Seq("texts", "cleaned", "lang_en", "exact"))
       assert(stageHead(crashy, s).get.id == 0, s"stage $s must not recompute")
-    assert(stageHead(crashy, "deduped").exists(_.runId == "deduped"))
+    assert(stageHead(crashy, "deduped").exists(_.runId == "deduped@n=2000;salt=2000"))
     // the crashed attempt's files are unreferenced orphans; GC removes
     // them and the committed read is untouched
     val before = shardsOf(crashy)
@@ -168,6 +169,38 @@ class ResumeSpec extends AnyFunSuite {
     assert(dStages == gStages)
     allStages.foreach(s => assert(stageHead(crashy, s).get.id == idsAfterResume(s),
       s"stage $s grew a snapshot on a no-op rerun"))
+  }
+
+  test("CorpusMain reconfiguration: a rerun with different parameters recomputes instead of serving stale stages") {
+    val conf = spark.sessionState.newHadoopConf()
+    def stageHead(out: String, name: String) =
+      new Manifest(s"$out/stages/$name", conf).head()
+
+    val dir = freshDir()
+    val small = CorpusMain.run(spark, 1000, dir, 4)
+    assert(stageHead(dir, "texts").get.id == 0)
+
+    // same outDir, bigger corpus: the fingerprint mismatch must force a
+    // full recompute — WITHOUT it every stage resumes and the run reports
+    // "raw" -> 2000 over 1000-doc stage outputs
+    val big = CorpusMain.run(spark, 2000, dir, 4)
+    assert(stageHead(dir, "texts").get.id == 1,
+      "reconfigured run must commit a new snapshot, not resume")
+    val smallText = small.toMap.apply("with_text")
+    val bigText = big.toMap.apply("with_text")
+    assert(bigText > smallText,
+      s"with_text must scale with nDocs, got $smallText -> $bigText")
+
+    // the reconfigured report equals a fresh-dir run of the same config:
+    // no stale stage leaked into any downstream count
+    val fresh = CorpusMain.run(spark, 2000, freshDir(), 4)
+    assert(big == fresh, s"$big vs $fresh")
+
+    // and the ORIGINAL config still resumes its own commits: rerunning the
+    // small config recomputes again (runId now carries the big config) —
+    // snapshots are per-config, latest wins, readers plan only new files
+    val small2 = CorpusMain.run(spark, 1000, dir, 4)
+    assert(small2 == small, s"$small2 vs $small")
   }
 
   test("manifest-planned read scans exactly the snapshot's files, pruned by bucket") {

@@ -448,6 +448,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("layout stamp: a table written with corpusBuckets=N refuses to open under a different N") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val tbl = Files.createTempDirectory("graft_layout_tbl_").toString + "/t"
+    streaming.EventStream.admitIndexedBatch(base.where($"doc_id" < 30), 0L,
+      tbl, "stamp-stream", "doc_id", "text", 0.7, 8, 4, corpusBuckets = 3)
+
+    // correct N: all three readers resolve
+    assert(streaming.EventStream.readCorpus(spark, tbl, 3).count() > 0)
+    assert(streaming.EventStream.readIndex(spark, tbl, 3).count() > 0)
+    assert(streaming.EventStream.readAdmissionMetrics(spark, tbl, 3).count() == 1)
+
+    // wrong N: every reader AND the writer fail loudly instead of
+    // misreading bucket namespaces (corpus invisible to dedup, index rows
+    // parsed as corpus)
+    for (wrong <- Seq(1, 4)) {
+      val e1 = intercept[IllegalArgumentException](
+        streaming.EventStream.readCorpus(spark, tbl, wrong))
+      assert(e1.getMessage.contains("corpusBuckets=3"), e1.getMessage)
+      intercept[IllegalArgumentException](
+        streaming.EventStream.readIndex(spark, tbl, wrong))
+      intercept[IllegalArgumentException](
+        streaming.EventStream.readAdmissionMetrics(spark, tbl, wrong))
+      intercept[IllegalArgumentException](
+        streaming.EventStream.admitIndexedBatch(
+          base.where($"doc_id" >= 30 && $"doc_id" < 40), 1L,
+          tbl, "stamp-stream", "doc_id", "text", 0.7, 8, 4, corpusBuckets = wrong))
+    }
+
+    // ... and the stamp survives compaction (watermark map carried
+    // forward): a second batch gives the corpus buckets >1 file so the
+    // rewrite actually commits
+    streaming.EventStream.admitIndexedBatch(
+      base.where($"doc_id" >= 30 && $"doc_id" < 60), 1L,
+      tbl, "stamp-stream", "doc_id", "text", 0.7, 8, 4, corpusBuckets = 3)
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val preCompactId = m.head().get.id
+    ExtractJob.compact(spark, tbl, only = Some(Set(0, 1, 2)))
+    assert(m.head().get.id > preCompactId, "compaction must have committed")
+    intercept[IllegalArgumentException](
+      streaming.EventStream.readCorpus(spark, tbl, 1))
+    assert(streaming.EventStream.readCorpus(spark, tbl, 3).count() > 0)
+    assert(m.head().get.streamWatermarks.get("__layout:corpus_buckets").contains(3L))
+  }
+
   test("all-duplicate batch commits a zero-admission metrics row; legacy watermark key still guards re-delivery") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_zadm_in_").toString
