@@ -131,4 +131,139 @@ object Lm {
       .select(col("__id").as(idCol), col("n_bigrams"), col("logp_sum_q"),
         floor(col("logp_sum_q") / col("n_bigrams")).cast("bigint").as("score_q"))
   }
+
+  /** Quantized log of the Stupid Backoff multiplier α = 0.4:
+    * floor(ln(0.4)·1e6), hard-coded as a LITERAL so scoring never
+    * evaluates a transcendental — k levels of backoff add exactly
+    * k·BackoffPenaltyQ to the stored micro-nat score, keeping the whole
+    * scoring path integer (ln runs only at train time, once per model
+    * row, exactly like [[trainBigramLm]]). */
+  val BackoffPenaltyQ: Long = -916291L
+
+  /** One row per (document-token, order): (keep…, ord, ctx, word) where
+    * `ctx` is the space-joined (ord−1) tokens preceding the token
+    * (documents are padded with n−1 '^' sentinels, so the first token's
+    * order-n context is '^ ^ …') and ord runs 1..n. The padded array is
+    * projected ONCE and both lambdas index into the bound column — the
+    * same quadratic-split hazard [[bigrams]] documents. */
+  private def backoffGrams(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[Column]): DataFrame = {
+    val pads = Seq.fill(n - 1)("'^'").mkString(", ")
+    val projected = df.select(
+      keep :+ expr(s"concat(array($pads), split($textCol, ' '))").as("__pw"): _*)
+    val kept = projected.columns.init.toSeq.map(col)
+    projected
+      .select(kept :+ explode(expr(
+        s"""flatten(transform(sequence(0, size(__pw) - $n),
+           |  j -> transform(sequence(1, $n),
+           |    o -> struct(o AS ord,
+           |      array_join(slice(__pw, j + $n - o + 1, o - 1), ' ') AS ctx,
+           |      element_at(__pw, j + $n) AS word))))""".stripMargin)).as("__g"): _*)
+      .select(kept :+ col("__g.ord").as("ord") :+ col("__g.ctx").as("ctx")
+        :+ col("__g.word").as("word"): _*)
+  }
+
+  /** Per-order n-gram counts of a reference corpus — the integer half of
+    * Stupid Backoff training: (ord, ctx, word, cnt, tot) for ord = 1..n,
+    * where `tot` = Σ cnt over (ord, ctx). By construction tot(ord, ctx)
+    * is the number of token positions whose preceding ord−1 tokens equal
+    * ctx, so cnt/tot is a proper relative frequency at every order
+    * (ord = 1 has ctx = '' and tot = the corpus token count). */
+  def backoffCounts(ref: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 5, s"backoff order n must be in [2, 5], got $n")
+    val cnts = backoffGrams(ref, textCol, n, Seq.empty)
+      .groupBy(col("ord"), col("ctx"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val tots = cnts.groupBy(col("ord"), col("ctx")).agg(sum(col("cnt")).as("tot"))
+    cnts.join(tots, Seq("ord", "ctx"))
+      .select(col("ord"), col("ctx"), col("word"), col("cnt"), col("tot"))
+  }
+
+  /** Train a Stupid Backoff n-gram LM (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the LM DESIGNED for
+    * distributed batch training at web scale: scores are unnormalized
+    * relative frequencies S(w|ctx) = cnt/tot with a fixed ×0.4 penalty
+    * per backoff level instead of discounted probability mass, which is
+    * exactly what makes training a pure pair of aggregations (no
+    * iterative discount fitting, no per-context normalization pass).
+    *
+    * Model relation: (ord, ctx, word, logp_q) in integer micro-nats —
+    * ord 1..n are seen grams scored floor(ln(cnt/tot)·1e6); the single
+    * ord = 0 row is the out-of-vocabulary base floor(ln(1/N)·1e6) over
+    * corpus token count N. The backoff multiplier is NOT baked into the
+    * rows — [[stupidBackoffScore]] adds [[BackoffPenaltyQ]] per level at
+    * lookup, so one model serves every order prefix. */
+  def trainStupidBackoff(ref: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val counts = backoffCounts(ref, textCol, n).localCheckpoint()
+    val q = (p: Column) => floor(log(p) * lit(1e6)).cast("bigint")
+    val seen = counts.select(col("ord"), col("ctx"), col("word"),
+      q(col("cnt").cast("double") / col("tot")).as("logp_q"))
+    // N = tot of any ord-1 row (all share ctx = ''); fails loudly on an
+    // empty reference exactly like trainBigramLm
+    val nTokens = counts.where(col("ord") === 1).select(col("tot"))
+      .head(1).headOption.getOrElse(sys.error(
+        "trainStupidBackoff: empty reference corpus — no unigram rows"))
+      .getLong(0)
+    val oov = ref.sparkSession.range(1)
+      .select(lit(0).as("ord"), lit(null).cast("string").as("ctx"),
+        lit(null).cast("string").as("word"),
+        q(lit(1.0) / lit(nTokens.toDouble)).as("logp_q"))
+    seen.unionByName(oov)
+  }
+
+  /** Score documents under a [[trainStupidBackoff]] model: per-doc sum of
+    * per-token micro-nat scores plus the token count, and `score_q` =
+    * average micro-nats per token. Each token resolves through the
+    * backoff cascade — highest order whose (ctx, word) the model has
+    * seen, plus [[BackoffPenaltyQ]] per level skipped, bottoming out at
+    * the OOV base after n−1 penalties. The cascade is n broadcast left
+    * joins and ONE coalesce — no per-row model scan, the
+    * [[lmScore]]/langIdBulk plan shape widened to n model slices; the
+    * corpus side shuffles only for the final per-doc partial-agg sum.
+    *
+    * NULL-text docs are absent from the output (explode of a null array),
+    * matching [[lmScore]]. */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 5, s"backoff order n must be in [2, 5], got $n")
+    val oov = model.where(col("ord") === 0)
+      .select(col("logp_q")).collect().headOption
+      .getOrElse(sys.error(
+        "stupidBackoffScore: model has no ord=0 OOV row — not a " +
+          "trainStupidBackoff model (was it filtered or projected?)"))
+      .getLong(0)
+    // one WIDE position row per token (its per-order contexts as columns
+    // — built directly rather than regrouping [[backoffGrams]]'s long
+    // rows, which would need a per-position shuffle key), then one
+    // broadcast left join per order, highest first so the coalesce reads
+    // in backoff order
+    val pads = Seq.fill(n - 1)("'^'").mkString(", ")
+    val ctxCols = (1 to n).map(o => s"""array_join(slice(__pw, j + $n - $o + 1, ${o - 1}), ' ') AS ctx$o""")
+    val projected = docs.select(col(idCol).as("__id"),
+      expr(s"concat(array($pads), split($textCol, ' '))").as("__pw"))
+    val positions = projected
+      .select(col("__id"), explode(expr(
+        s"""transform(sequence(0, size(__pw) - $n),
+           |  j -> struct(element_at(__pw, j + $n) AS word,
+           |    ${ctxCols.mkString(",\n    ")}))""".stripMargin)).as("__p"))
+      .select(col("__id") +: col("__p.word").as("__w") +:
+        (1 to n).map(o => col(s"__p.ctx$o").as(s"__c$o")): _*)
+    val joined = (n to 1 by -1).foldLeft(positions) { (df, o) =>
+      val slice = model.where(col("ord") === o)
+        .select(col("ctx").as(s"__mc$o"), col("word").as(s"__mw$o"),
+          col("logp_q").as(s"__l$o"))
+      df.join(broadcast(slice),
+        df(s"__c$o") === col(s"__mc$o") && df("__w") === col(s"__mw$o"), "left")
+    }
+    val cascade = coalesce(
+      (n to 1 by -1).map(o =>
+        col(s"__l$o") + lit((n - o) * BackoffPenaltyQ)) :+
+        lit(oov + (n - 1) * BackoffPenaltyQ): _*)
+    joined
+      .withColumn("__lq", cascade)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lq")).as("logp_sum_q"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("logp_sum_q"),
+        floor(col("logp_sum_q") / col("n_tokens")).cast("bigint").as("score_q"))
+  }
 }

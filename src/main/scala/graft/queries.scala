@@ -1036,6 +1036,58 @@ object Queries {
            |  CAST(floor(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS score_q
            |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Stupid Backoff trigram scoring (ops.Lm.stupidBackoffScore under a
+    * model trained by ops.Lm.trainStupidBackoff — Brants et al. 2007):
+    * per-doc token log-score sum and average in integer micro-nats. Same
+    * staging contract as q_lm_score: the ln quantization runs once at
+    * train time, the model parquet is staged, and the oracle replays the
+    * three-order backoff cascade (three left joins + penalty-shifted
+    * coalesce + per-doc sum) over the identical staged integers. The
+    * ×0.4 backoff multiplier is the PINNED literal −916291 micro-nats on
+    * both sides — scoring never evaluates a log. */
+  private val qLmBackoff = QueryDef(
+    "q_lm_backoff", {
+      val modelPath = s"$corpusDir/lm_backoff_model"
+      (s, dir) => {
+        import s.implicits._
+        Queries.synchronized {
+          ops.Lm.trainStupidBackoff(
+              t(s, dir, "documents").where($"doc_id" < 200).select($"text"),
+              "text", n = 3)
+            .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        }
+        ops.Lm.stupidBackoffScore(
+            t(s, dir, "documents").where($"doc_id" >= 200 && $"doc_id" < 400)
+              .select($"doc_id", $"text"),
+            "doc_id", "text", s.read.parquet(modelPath), n = 3)
+          .orderBy($"doc_id")
+      }
+    },
+    Some(s"""WITH model AS (SELECT ord, ctx, word, logp_q
+           |    FROM '$corpusDir/lm_backoff_model/*.parquet'),
+           |oov AS (SELECT logp_q AS olq FROM model WHERE ord = 0),
+           |docs AS (SELECT doc_id,
+           |    list_concat(['^', '^'], string_split(text, ' ')) AS pw,
+           |    len(string_split(text, ' ')) AS L
+           |  FROM documents WHERE doc_id >= 200 AND doc_id < 400),
+           |pos AS (SELECT doc_id, pw[j+3] AS w,
+           |    coalesce(array_to_string(pw[j+2:j+2], ' '), '') AS c2,
+           |    coalesce(array_to_string(pw[j+1:j+2], ' '), '') AS c3
+           |  FROM (SELECT doc_id, pw, unnest(range(L)) AS j FROM docs)),
+           |scored AS (SELECT doc_id, coalesce(
+           |    m3.logp_q,
+           |    m2.logp_q + (-916291),
+           |    m1.logp_q + 2 * (-916291),
+           |    (SELECT olq FROM oov) + 2 * (-916291)) AS lq
+           |  FROM pos p
+           |  LEFT JOIN model m3 ON m3.ord = 3 AND m3.ctx = p.c3 AND m3.word = p.w
+           |  LEFT JOIN model m2 ON m2.ord = 2 AND m2.ctx = p.c2 AND m2.word = p.w
+           |  LEFT JOIN model m1 ON m1.ord = 1 AND m1.ctx = '' AND m1.word = p.w)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(lq) AS BIGINT) AS logp_sum_q,
+           |  CAST(floor(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS score_q
+           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -2916,7 +2968,7 @@ object Queries {
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
-    qLmTrain, qLmScore,
+    qLmTrain, qLmScore, qLmBackoff,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,

@@ -1218,4 +1218,74 @@ class OpsSpec extends AnyFunSuite {
     assert(real > rev,
       s"reference-like avg $real must beat reversed-text avg $rev")
   }
+
+  // ---- Stupid Backoff n-gram LM (Brants et al. 2007) ----
+
+  test("backoffCounts/trainStupidBackoff: hand-checked per-order counts and scores over a two-doc reference") {
+    val ref = Seq("a b a b", "a c").toDF("text")
+    val counts = ops.Lm.backoffCounts(ref, "text", n = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // order 1 (ctx ''): a:3 b:2 c:1 over N=6
+    assert(counts((1, "", "a")) == ((3L, 6L)))
+    assert(counts((1, "", "b")) == ((2L, 6L)))
+    assert(counts((1, "", "c")) == ((1L, 6L)))
+    // order 2: (^,a)×2 (a,b)×2 (b,a)×1 (a,c)×1 ; tots ^:2 a:3 b:1
+    assert(counts((2, "^", "a")) == ((2L, 2L)))
+    assert(counts((2, "a", "b")) == ((2L, 3L)))
+    assert(counts((2, "b", "a")) == ((1L, 1L)))
+    assert(counts((2, "a", "c")) == ((1L, 3L)))
+    // order 3: doc starts pad to '^ ^'
+    assert(counts((3, "^ ^", "a")) == ((2L, 2L)))
+    assert(counts((3, "^ a", "b")) == ((1L, 2L)))
+    assert(counts((3, "^ a", "c")) == ((1L, 2L)))
+    assert(counts((3, "a b", "a")) == ((1L, 1L)))
+    assert(counts((3, "b a", "b")) == ((1L, 1L)))
+    assert(counts.size == 12)
+
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val model = ops.Lm.trainStupidBackoff(ref, "text", n = 3).collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), Option(r.getString(2)))
+        -> r.getLong(3)).toMap
+    assert(model((3, Some("^ a"), Some("b"))) == q(1.0 / 2))
+    assert(model((1, Some(""), Some("a"))) == q(3.0 / 6))
+    assert(model((0, None, None)) == q(1.0 / 6), "OOV base = 1/N")
+    // the penalty constant is the quantized ln(0.4) — pinned literal
+    assert(ops.Lm.BackoffPenaltyQ == math.floor(math.log(0.4) * 1e6).toLong)
+  }
+
+  test("stupidBackoffScore: highest seen order wins, each backoff level adds exactly one penalty") {
+    val ref = Seq("a b a b", "a c").toDF("text")
+    val model = ops.Lm.trainStupidBackoff(ref, "text", n = 3)
+    val docs = Seq((1L, "a b z"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = ops.Lm.stupidBackoffScore(docs, "doc_id", "text", model, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val B = ops.Lm.BackoffPenaltyQ
+    // doc 1: (^ ^, a) seen ln(2/2)=0 ; (^ a, b) seen ln(1/2) ;
+    //        z: unseen at every order → OOV base + 2 penalties
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == q(1.0) + q(1.0 / 2) + (q(1.0 / 6) + 2 * B))
+    // doc 2: third token 'a' has SEEN trigram (a b, a) → full ln(1/1)=0,
+    //        no penalty even though lower orders also know 'a'
+    assert(out(2L)._2 == q(1.0) + q(1.0 / 2) + q(1.0))
+    assert(out(2L)._3 == math.floorDiv(out(2L)._2, 3))
+    assert(out(2L)._3 > out(1L)._3, "in-reference continuation outranks OOV")
+  }
+
+  test("stupidBackoffScore over the documents corpus: reference slice outscores reversed noise, and the trigram gate separates harder than the bigram gate") {
+    val ref = documents.where($"doc_id" < 100).select($"text")
+    val model = ops.Lm.trainStupidBackoff(ref, "text", n = 3)
+    val probe = documents.where($"doc_id" >= 100 && $"doc_id" < 140)
+      .select($"doc_id", $"text")
+    val noise = probe.select(($"doc_id" + 5000).as("doc_id"),
+      array_join(reverse(split($"text", " ")), " ").as("text"))
+    val out = ops.Lm.stupidBackoffScore(
+      probe.union(noise), "doc_id", "text", model, n = 3)
+    val real = out.where($"doc_id" < 5000).agg(avg($"score_q")).head().getDouble(0)
+    val rev = out.where($"doc_id" >= 5000).agg(avg($"score_q")).head().getDouble(0)
+    assert(real > rev,
+      s"reference-like avg $real must beat reversed-text avg $rev")
+  }
 }

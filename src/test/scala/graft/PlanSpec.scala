@@ -358,4 +358,20 @@ class PlanSpec extends AnyFunSuite {
       s"model joins must broadcast:\n${p.take(1200)}")
     assert(!p.contains("WindowExec"), p.take(800))
   }
+
+  test("stupidBackoffScore: all n model slices broadcast, no window, corpus explode stays narrow") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val model = ops.Lm.trainStupidBackoff(docs.where($"doc_id" < 50), "text", n = 3)
+    val df = ops.Lm.stupidBackoffScore(docs, "doc_id", "text", model, n = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the whole backoff cascade is broadcast left joins over one exploded
+    // corpus lineage; the only corpus-side exchange is the per-doc agg
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"model joins must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("WindowExec"), p.take(800))
+  }
 }
