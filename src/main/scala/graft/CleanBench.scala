@@ -117,12 +117,25 @@ object CleanBench {
         .agg(sum($"score_q")).head().getLong(0)
     }
 
+    // 6. Stupid Backoff trigram gate over the same corpus/sample split —
+    //    the 3-join cascade's cost relative to the bigram gate's 2-join
+    //    one (position explode is identical; the extra width is the
+    //    per-position context strings and one more broadcast probe)
+    val (sbSum, tSb) = timed {
+      val model = ops.Lm.trainStupidBackoff(
+        docs.where(ops.Sampling.hashBp($"doc_id".cast("string")) < 100),
+        "text", n = 3)
+      ops.Lm.stupidBackoffScore(docs, "doc_id", "text", model, n = 3)
+        .agg(sum($"score_q")).head().getLong(0)
+    }
+
     println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
       f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
       f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
       f""""shards":$shards,"mix_pack_sec":$tMix%.2f,""" +
       f""""substr_removed_tokens":$removedTokens,"substr_sec":$tSubstr%.2f,""" +
-      f""""lm_score_sum":$scoreSum,"lm_sec":$tLm%.2f}""")
+      f""""lm_score_sum":$scoreSum,"lm_sec":$tLm%.2f,""" +
+      f""""sb_score_sum":$sbSum,"sb_sec":$tSb%.2f}""")
     spark.stop()
   }
 }

@@ -71,6 +71,60 @@ object Cleaning {
         (size(w) - 1).cast("double") * 10000)).cast("int"))
   }
 
+  /** Fraction of CHARACTERS (basis points, capped at 10000) contained in
+    * occurrences of the single most frequent word n-gram — the Gopher
+    * top-n-gram rules for n ∈ {2, 3, 4} (Rae et al. 2021 §A1.1; the rule
+    * family [[topWordFracQ4]]/[[topBigramFracQ4]] count WORDS for,
+    * completed here in the paper's character currency). Conventions,
+    * pinned for cross-engine determinism: an occurrence contributes
+    * `count · length(gram)` characters where the gram string is
+    * single-space-joined (overlapping occurrences may double-count, hence
+    * the cap — the standard published formulation); the denominator is
+    * `length(array_join(w, ' '))`; among equally-frequent grams the
+    * LONGEST wins (maximizing the statistic — the conservative gate
+    * direction). Documents shorter than n words score 0. Zero shuffle;
+    * per-row cost O(distinct·L) — same length-cap precondition as
+    * [[topWordFracQ4]]. */
+  def topNgramCharFracQ4(w: Column, n: Int): Column = {
+    require(n >= 2 && n <= 10, s"n must be in [2, 10], got $n")
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => array_join(slice(w, i, lit(n)), " "))
+    val best = array_max(transform(array_distinct(grams),
+      g => struct(size(filter(grams, y => y === g)).as("cnt"),
+        length(g).as("len"))))
+    when(size(w) < n, 0).otherwise(
+      least(lit(10000),
+        floor(best.getField("cnt").cast("double") * best.getField("len") /
+          length(array_join(w, " ")) * 10000)).cast("int"))
+  }
+
+  /** Fraction of TOKEN characters (basis points) sitting inside any
+    * duplicated word n-gram — the Gopher duplicate-n-gram rules for
+    * n ∈ {5..10} (Rae et al. 2021 §A1.1). Counted over the position
+    * UNION of all duplicated-gram occurrences (no double counting — the
+    * within-document analog of [[graft.ops.Dedup.exactSubstringDedup]]'s
+    * cut set), with spaces excluded from numerator and denominator
+    * (numerator = Σ length of covered tokens, denominator = Σ length of
+    * all tokens). Documents shorter than n words score 0. Zero shuffle;
+    * per-row cost O(distinct·L) — same length-cap precondition as
+    * [[topWordFracQ4]]. */
+  def dupNgramCharFracQ4(w: Column, n: Int): Column = {
+    require(n >= 2 && n <= 20, s"n must be in [2, 20], got $n")
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => array_join(slice(w, i, lit(n)), " "))
+    val dupSet = filter(array_distinct(grams),
+      g => size(filter(grams, y => y === g)) >= 2)
+    val dupStarts = filter(sequence(lit(1), size(w) - (n - 1)),
+      i => array_contains(dupSet, element_at(grams, i)))
+    val covered = array_distinct(flatten(transform(dupStarts,
+      i => sequence(i, i + (n - 1)))))
+    val coveredChars = aggregate(covered, lit(0L),
+      (acc, p) => acc + length(element_at(w, p)))
+    when(size(w) < n, 0).otherwise(
+      floor(coveredChars.cast("double") /
+        length(array_join(w, "")).cast("double") * 10000).cast("int"))
+  }
+
   /** Duplicate-line fraction in basis points: chunk the word array into
     * fixed `lineLen`-word lines (the deterministic "line" proxy for corpora
     * without newlines), then floor((lines − distinct lines) / lines ·

@@ -2069,6 +2069,69 @@ object Queries {
          |FROM l ORDER BY doc_id""".stripMargin
     })
 
+  /** Gopher n-gram repetition statistics in the paper's CHARACTER currency:
+    * top-3-gram char fraction (Rae et al. §A1.1 top-n-gram family) and
+    * duplicate-5-gram char fraction (duplicate-n-gram family, positions
+    * counted once via the covered-position union). Same spam planting as
+    * q_repetition so both metrics are exercised: the doubled 8-word boiler
+    * line creates a duplicated 5-gram run AND a dominant repeated 3-gram.
+    * The DuckDB twin replays the struct-ordered (count, length) argmax as
+    * a cnt·100000+len integer encoding — identical ordering while gram
+    * length < 100000 chars, which the <300-doc fixture guarantees. */
+  private val qNgramStats = QueryDef(
+    "q_ngram_stats",
+    (s, dir) => {
+      import s.implicits._
+      val spam = ops.Cleaning.BoilerLine
+      t(s, dir, "documents")
+        .where($"doc_id" < 300)
+        .select($"doc_id",
+          when($"doc_id" % 4 === 1, concat(lit(s"$spam $spam "), $"text"))
+            .otherwise($"text").as("ptext"))
+        .withColumn("w", ops.Cleaning.wordsOf($"ptext"))
+        .select($"doc_id",
+          ops.Cleaning.topNgramCharFracQ4($"w", 3).as("top3_q4"),
+          ops.Cleaning.dupNgramCharFracQ4($"w", 5).as("dup5_q4"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val spam = ops.Cleaning.BoilerLine
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN '$spam $spam ' || text ELSE text END AS ptext
+         |  FROM documents WHERE doc_id < 300),
+         |ww AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+         |g AS (SELECT doc_id, w,
+         |    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i : i+2], ' ')) AS g3,
+         |    list_transform(range(1, len(w) - 3), i -> array_to_string(w[i : i+4], ' ')) AS g5
+         |  FROM ww),
+         |b AS (SELECT doc_id, w, g5,
+         |    list_max(list_transform(list_distinct(g3),
+         |      x -> len(list_filter(g3, y -> y = x)) * 100000 + length(x))) AS enc
+         |  FROM g),
+         |d AS (SELECT doc_id, w, enc,
+         |    list_filter(list_distinct(g5),
+         |      x -> len(list_filter(g5, y -> y = x)) >= 2) AS dup,
+         |    g5
+         |  FROM b),
+         |c AS (SELECT doc_id, w, enc,
+         |    list_distinct(flatten(list_transform(
+         |      list_filter(range(1, len(w) - 3), i -> list_contains(dup, g5[i])),
+         |      i -> range(i, i + 5)))) AS covered
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN len(w) < 3 THEN 0
+         |       ELSE CAST(LEAST(10000, floor(
+         |         CAST(enc // 100000 AS DOUBLE) * CAST(enc % 100000 AS DOUBLE)
+         |         / length(array_to_string(w, ' ')) * 10000)) AS INT)
+         |  END AS top3_q4,
+         |  CASE WHEN len(w) < 5 THEN 0
+         |       ELSE CAST(floor(
+         |         CAST(coalesce(list_sum(list_transform(covered, pp -> length(w[pp]))), 0) AS DOUBLE)
+         |         / CAST(length(array_to_string(w, '')) AS DOUBLE) * 10000) AS INT)
+         |  END AS dup5_q4
+         |FROM c ORDER BY doc_id""".stripMargin
+    })
+
   /** PII redaction: deterministic planted PII (email, dotted IPv4, 14-digit
     * card number derived from doc_id), per-category match counts, and the
     * md5 of the redacted text — the same three patterns drive Spark and
@@ -2977,7 +3040,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
-    qRepetition, qPiiRedact, qDecontaminate, qLineDedup,
+    qRepetition, qNgramStats, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

@@ -61,6 +61,44 @@ class CleaningSpec extends AnyFunSuite {
     assert(m(2L) == 0)
   }
 
+  test("topNgramCharFracQ4: repeated trigram dominates in chars; longest wins ties; short doc scores 0") {
+    // doc 1: "a b a b a b" n=2 — grams [a b, b a, a b, b a, a b]; best =
+    //   ("a b", cnt 3, len 3); denom = len("a b a b a b") = 11 →
+    //   floor(9/11·10000) = 8181
+    // doc 2: "x x x x" n=2 — cnt 3 · len 3 = 9 > denom 7 → capped 10000
+    // doc 3: "a b ccc" n=2 — all cnt 1, tie broken by LONGEST gram
+    //   ("b ccc", len 5); denom 7 → floor(5/7·10000) = 7142
+    // doc 4: one word, n=2 → 0
+    val df = textDf(1L -> "a b a b a b", 2L -> "x x x x",
+        3L -> "a b ccc", 4L -> "solo")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.topNgramCharFracQ4($"w", 2).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == 8181)
+    assert(m(2L) == 10000)
+    assert(m(3L) == 7142)
+    assert(m(4L) == 0)
+  }
+
+  test("dupNgramCharFracQ4: covered positions counted once; overlapping dups union; no dups / short doc score 0") {
+    // doc 1: "a b c d e x a b c d e" n=5 — the 5-gram "a b c d e" occurs at
+    //   starts 1 and 7; covered token positions = {1..5} ∪ {7..11} = 10 of
+    //   11 one-char tokens → floor(10/11·10000) = 9090
+    // doc 2: "a a a a a a" n=5 — starts 1,2 overlap; union covers all 6
+    //   positions exactly once → 10000 (double-counting would exceed it)
+    // doc 3: distinct words, no duplicated 5-gram → 0
+    // doc 4: 3 words < n → 0
+    val df = textDf(1L -> "a b c d e x a b c d e", 2L -> "a a a a a a",
+        3L -> "p q r s t u v", 4L -> "a b c")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id", ops.Cleaning.dupNgramCharFracQ4($"w", 5).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == 9090)
+    assert(m(2L) == 10000)
+    assert(m(3L) == 0)
+    assert(m(4L) == 0)
+  }
+
   test("chunkWindows: stride-with-overlap split, consecutive full chunks share the overlap") {
     val words = (1 to 20).map("w" + _)
     val df = textDf(1L -> words.mkString(" "))
