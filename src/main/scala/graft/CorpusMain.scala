@@ -115,14 +115,25 @@ object CorpusMain {
         .where(length($"text") > 0)
     }
 
-    // 3. clean: PII scrub, then minimum size + Gopher repetition gate
-    //    (capped form: the mode scan is O(distinct·n) per row, and a crawl
-    //    can contain pathological 100k-word pages)
+    // 3. clean: PII scrub, then the FULL Gopher §A1.1 rule set — the
+    //    quality gate (word count ≥ 8 for this short-form corpus, mean
+    //    word length, symbol ratios, bullet/ellipsis lines, alpha-word
+    //    fraction, ≥2 required stopwords) plus the repetition family:
+    //    top-word (≤ 0.30), top-3-gram char fraction (≤ 0.18) and
+    //    duplicate-5-gram char fraction (≤ 0.15), the paper's thresholds.
+    //    Repetition stats run on the 2000-word prefix (the n-gram scans
+    //    are O(distinct·L) per row, and a crawl can contain pathological
+    //    100k-word pages — the cap bounds per-row cost exactly as
+    //    Gopher's own length gate does)
     val cleaned0 = stage("cleaned") {
+      val wCap = slice(ops.Cleaning.wordsOf($"text"), 1, 2000)
       texts
         .withColumn("text", ops.Cleaning.redactPii($"text"))
-        .withColumn("w", ops.Cleaning.wordsOf($"text"))
-        .where(size($"w") >= 8 && ops.Cleaning.topWordFracQ4Capped($"w", 2000) <= 3000)
+        .withColumn("w", wCap)
+        .where(ops.Cleaning.gopherQualityGate($"text", $"w", minWords = 8) &&
+          ops.Cleaning.topWordFracQ4($"w") <= 3000 &&
+          ops.Cleaning.topNgramCharFracQ4($"w", 3) <= 1800 &&
+          ops.Cleaning.dupNgramCharFracQ4($"w", 5) <= 1500)
         .drop("w")
     }
 

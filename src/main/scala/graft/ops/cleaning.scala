@@ -87,15 +87,16 @@ object Cleaning {
     * [[topWordFracQ4]]. */
   def topNgramCharFracQ4(w: Column, n: Int): Column = {
     require(n >= 2 && n <= 10, s"n must be in [2, 10], got $n")
-    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => array_join(slice(w, i, lit(n)), " "))
-    val best = array_max(transform(array_distinct(grams),
-      g => struct(size(filter(grams, y => y === g)).as("cnt"),
-        length(g).as("len"))))
-    when(size(w) < n, 0).otherwise(
+    val stat = bindOnce(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))) { grams =>
+      val best = array_max(transform(array_distinct(grams),
+        g => struct(size(filter(grams, y => y === g)).as("cnt"),
+          length(g).as("len"))))
       least(lit(10000),
         floor(best.getField("cnt").cast("double") * best.getField("len") /
-          length(array_join(w, " ")) * 10000)).cast("int"))
+          length(array_join(w, " ")) * 10000)).cast("int")
+    }
+    when(size(w) < n, 0).otherwise(stat)
   }
 
   /** Fraction of TOKEN characters (basis points) sitting inside any
@@ -110,19 +111,21 @@ object Cleaning {
     * [[topWordFracQ4]]. */
   def dupNgramCharFracQ4(w: Column, n: Int): Column = {
     require(n >= 2 && n <= 20, s"n must be in [2, 20], got $n")
-    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => array_join(slice(w, i, lit(n)), " "))
-    val dupSet = filter(array_distinct(grams),
-      g => size(filter(grams, y => y === g)) >= 2)
-    val dupStarts = filter(sequence(lit(1), size(w) - (n - 1)),
-      i => array_contains(dupSet, element_at(grams, i)))
-    val covered = array_distinct(flatten(transform(dupStarts,
-      i => sequence(i, i + (n - 1)))))
-    val coveredChars = aggregate(covered, lit(0L),
-      (acc, p) => acc + length(element_at(w, p)))
-    when(size(w) < n, 0).otherwise(
-      floor(coveredChars.cast("double") /
-        length(array_join(w, "")).cast("double") * 10000).cast("int"))
+    val stat = bindOnce(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))) { grams =>
+      bindOnce(filter(array_distinct(grams),
+          g => size(filter(grams, y => y === g)) >= 2)) { dupSet =>
+        val dupStarts = filter(sequence(lit(1), size(grams)),
+          i => array_contains(dupSet, element_at(grams, i)))
+        val covered = array_distinct(flatten(transform(dupStarts,
+          i => sequence(i, i + (n - 1)))))
+        val coveredChars = aggregate(covered, lit(0L),
+          (acc, p) => acc + length(element_at(w, p)))
+        floor(coveredChars.cast("double") /
+          length(array_join(w, "")).cast("double") * 10000).cast("int")
+      }
+    }
+    when(size(w) < n, 0).otherwise(stat)
   }
 
   /** Duplicate-line fraction in basis points: chunk the word array into
@@ -141,14 +144,103 @@ object Cleaning {
     s"transform(sequence(0, (size($s) - 1) div $lineLen), " +
       s"i -> array_join(slice($s, i * $lineLen + 1, $lineLen), ' '))"
 
+  /** Let-binding for column expressions: evaluate `value` ONCE per row and
+    * bind it into `body` through a single-element higher-order transform.
+    * Catalyst performs no cross-invocation subexpression elimination inside
+    * HOF lambdas, so an expensive array expression referenced inside a
+    * `filter`/`transform` lambda is otherwise RE-EVALUATED on every element
+    * — turning the O(L²) n-gram statistics above into O(L³) per row. The
+    * lambda variable is a bound value; referencing it costs nothing. */
+  private def bindOnce(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   /** Count of the most frequent element of an array column — pure Column
     * API (no expr-string round-trip, so any derived column works).
-    * O(distinct·n) per row: see the precondition on [[topWordFracQ4]]. */
+    * O(distinct·n) per row: see the precondition on [[topWordFracQ4]].
+    * The array is [[bindOnce]]-bound so a derived-expression argument
+    * (e.g. [[topBigramFracQ4]]'s bigram transform) is built once per row,
+    * not once per distinct element. */
   private def modeCountCol(arr: Column): Column =
-    array_max(transform(array_distinct(arr), x => size(filter(arr, y => y === x))))
+    bindOnce(arr)(a =>
+      array_max(transform(array_distinct(a), x => size(filter(a, y => y === x)))))
 
   private def fracQ4(cnt: Column, w: Column): Column =
     (floor(cnt.cast("double") / size(w).cast("double") * 10000)).cast("int")
+
+  // ------------------------------------------------------------------
+  // Gopher QUALITY rules (Rae et al. 2021 §A1.1, the non-repetition
+  // half): mean word length, symbol-to-word ratios, bullet / ellipsis
+  // line fractions, alphabetic-word fraction, required-stopword count.
+  // All per-row integer column algebra (Q2/Q4 quantization for exact
+  // DuckDB replay), zero shuffle.
+  // ------------------------------------------------------------------
+
+  /** Mean word length in CENTI-characters (floor(mean·100) as int) —
+    * Gopher gates mean word length to [3, 10], i.e. [300, 1000] here. */
+  def meanWordLenQ2(w: Column): Column =
+    floor(aggregate(w, lit(0L), (a, x) => a + length(x)).cast("double") /
+      size(w) * 100).cast("int")
+
+  /** Non-overlapping occurrence count of literal `sym` (left-to-right,
+    * `replace` semantics — identical in Spark and DuckDB). */
+  def occurrenceCount(t: Column, sym: String): Column =
+    ((length(t) - length(replace(t, lit(sym), lit("")))) / sym.length).cast("int")
+
+  /** Symbol-to-word ratio in basis points: occurrences of `sym` per word.
+    * Gopher drops documents whose hash ('#') or ellipsis ('...') ratio
+    * exceeds 0.1 (1000 bp). Uncapped: a symbol-only page can exceed 10000. */
+  def symbolWordFracQ4(t: Column, w: Column, sym: String): Column =
+    floor(occurrenceCount(t, sym).cast("double") / size(w) * 10000).cast("int")
+
+  /** Fraction (bp) of newline-split lines starting with a bullet marker
+    * ('- ', '* ', '• ') — Gopher drops documents above 0.9 (9000 bp). A
+    * document with no newline is one line. */
+  def bulletLineFracQ4(t: Column): Column =
+    bindOnce(split(t, "\n")) { ls =>
+      floor(size(filter(ls, l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• "))).cast("double") / size(ls) * 10000).cast("int")
+    }
+
+  /** Fraction (bp) of lines ending with an ellipsis ('...') — Gopher drops
+    * documents above 0.3 (3000 bp). */
+  def ellipsisLineFracQ4(t: Column): Column =
+    bindOnce(split(t, "\n")) { ls =>
+      floor(size(filter(ls, l => l.endsWith("..."))).cast("double") /
+        size(ls) * 10000).cast("int")
+    }
+
+  /** Fraction (bp) of words containing at least one ASCII letter — Gopher
+    * requires ≥ 0.8 (8000 bp). */
+  def alphaWordFracQ4(w: Column): Column =
+    floor(size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") /
+      size(w) * 10000).cast("int")
+
+  /** Gopher's required-stopword list (the paper's eight function words). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Count of DISTINCT [[GopherStopwords]] present in the word array —
+    * Gopher requires at least 2. O(8·L) per row. */
+  def stopwordHits(w: Column): Column =
+    size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(w, s))).cast("int")
+
+  /** The composed Gopher quality gate (every §A1.1 quality rule at the
+    * paper's thresholds; word-count bounds parameterized — the paper uses
+    * [50, 100000], corpora of short-form documents want a lower floor).
+    * Combine with the repetition gates ([[topWordFracQ4]] /
+    * [[topNgramCharFracQ4]] / [[dupNgramCharFracQ4]]) for the full rule
+    * set, as [[graft.CorpusMain]] does. */
+  def gopherQualityGate(t: Column, w: Column,
+      minWords: Int = 50, maxWords: Int = 100000): Column =
+    size(w).between(minWords, maxWords) &&
+      meanWordLenQ2(w).between(300, 1000) &&
+      symbolWordFracQ4(t, w, "#") <= 1000 &&
+      symbolWordFracQ4(t, w, "...") <= 1000 &&
+      bulletLineFracQ4(t) <= 9000 &&
+      ellipsisLineFracQ4(t) <= 3000 &&
+      alphaWordFracQ4(w) >= 8000 &&
+      stopwordHits(w) >= 2
 
   /** Sliding-window chunking for context-window preparation: word windows
     * of `maxTokens` starting every `maxTokens - overlap` words (the

@@ -2132,6 +2132,83 @@ object Queries {
          |FROM c ORDER BY doc_id""".stripMargin
     })
 
+  /** Gopher QUALITY rules (the non-repetition §A1.1 half): mean word
+    * length, hash / ellipsis symbol-to-word ratios, bullet and
+    * ellipsis-terminated line fractions, alphabetic-word fraction,
+    * required-stopword count, and the composed gate. Planted by residue
+    * class so every rule fires on some docs: %5==1 gets two bullet lines,
+    * %5==2 gets ellipsis-terminated lines (and ellipsis symbols), %5==3
+    * gets five '#' chars, %5==4 gets four non-alphabetic words. The gate
+    * runs the REAL [[graft.ops.Cleaning.gopherQualityGate]] operator (not
+    * a re-derivation from the emitted stats); DuckDB recomputes every rule
+    * independently. */
+  private val qGopherQuality = QueryDef(
+    "q_gopher_quality",
+    (s, dir) => {
+      import s.implicits._
+      val nl = "\n"
+      t(s, dir, "documents")
+        .where($"doc_id" < 300)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 1,
+              concat(lit(s"- alpha beta$nl* gamma delta$nl"), $"text"))
+            .when($"doc_id" % 5 === 2,
+              concat(lit(s"teaser one...$nl"), $"text", lit("...")))
+            .when($"doc_id" % 5 === 3, concat(lit("# # # ## "), $"text"))
+            .when($"doc_id" % 5 === 4, concat(lit("12345 67890 !!! ??? "), $"text"))
+            .otherwise($"text").as("t"))
+        .withColumn("w", ops.Cleaning.wordsOf($"t"))
+        .select($"doc_id",
+          size($"w").as("n_words"),
+          ops.Cleaning.meanWordLenQ2($"w").as("mean_wlen_q2"),
+          ops.Cleaning.symbolWordFracQ4($"t", $"w", "#").as("hash_q4"),
+          ops.Cleaning.symbolWordFracQ4($"t", $"w", "...").as("ellipsis_q4"),
+          ops.Cleaning.bulletLineFracQ4($"t").as("bullet_q4"),
+          ops.Cleaning.ellipsisLineFracQ4($"t").as("ellipsis_line_q4"),
+          ops.Cleaning.alphaWordFracQ4($"w").as("alpha_q4"),
+          ops.Cleaning.stopwordHits($"w").as("stop_hits"),
+          ops.Cleaning.gopherQualityGate($"t", $"w", minWords = 20)
+            .cast("int").as("gate"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val stops = ops.Cleaning.GopherStopwords.map("'" + _ + "'").mkString(", ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 1 THEN '- alpha beta' || chr(10) || '* gamma delta' || chr(10) || text
+         |      WHEN 2 THEN 'teaser one...' || chr(10) || text || '...'
+         |      WHEN 3 THEN '# # # ## ' || text
+         |      WHEN 4 THEN '12345 67890 !!! ??? ' || text
+         |      ELSE text END AS t
+         |  FROM documents WHERE doc_id < 300),
+         |ww AS (SELECT doc_id, t, string_split(t, ' ') AS w,
+         |    string_split(t, chr(10)) AS ls FROM p),
+         |st AS (SELECT doc_id,
+         |    CAST(len(w) AS INT) AS n_words,
+         |    CAST(floor(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |      / len(w) * 100) AS INT) AS mean_wlen_q2,
+         |    CAST(floor(CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+         |      / len(w) * 10000) AS INT) AS hash_q4,
+         |    CAST(floor(CAST((length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+         |      / len(w) * 10000) AS INT) AS ellipsis_q4,
+         |    CAST(floor(CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+         |        OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+         |      / len(ls) * 10000) AS INT) AS bullet_q4,
+         |    CAST(floor(CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE)
+         |      / len(ls) * 10000) AS INT) AS ellipsis_line_q4,
+         |    CAST(floor(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+         |      / len(w) * 10000) AS INT) AS alpha_q4,
+         |    CAST(len(list_filter([$stops], s -> list_contains(w, s))) AS INT) AS stop_hits
+         |  FROM ww)
+         |SELECT *, CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+         |    AND mean_wlen_q2 BETWEEN 300 AND 1000
+         |    AND hash_q4 <= 1000 AND ellipsis_q4 <= 1000
+         |    AND bullet_q4 <= 9000 AND ellipsis_line_q4 <= 3000
+         |    AND alpha_q4 >= 8000 AND stop_hits >= 2
+         |  THEN 1 ELSE 0 END AS INT) AS gate
+         |FROM st ORDER BY doc_id""".stripMargin
+    })
+
   /** PII redaction: deterministic planted PII (email, dotted IPv4, 14-digit
     * card number derived from doc_id), per-category match counts, and the
     * md5 of the redacted text — the same three patterns drive Spark and
@@ -3040,7 +3117,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
-    qRepetition, qNgramStats, qPiiRedact, qDecontaminate, qLineDedup,
+    qRepetition, qNgramStats, qGopherQuality, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

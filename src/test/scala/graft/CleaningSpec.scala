@@ -99,6 +99,56 @@ class CleaningSpec extends AnyFunSuite {
     assert(m(4L) == 0)
   }
 
+  // ---- Gopher quality rules (the non-repetition §A1.1 half) ----
+
+  test("Gopher quality stats: exact values on crafted docs") {
+    val df = textDf(
+        // 4 words, lengths 3+5+2+6=16 → mean 4.00 → 400; no symbols/lines
+        1L -> "the spark of stream",
+        // 6 words (lengths 1+2+1+5+1+3=13 → 216); three '#' → 5000 bp;
+        // two '...' → 3333; the single line ends '...' → 10000; two words
+        // contain a letter → 3333
+        2L -> "# ab # cd... # ...",
+        // space-split keeps newlines inside words: 6 words, lengths
+        // 1+4+5+4+9+7=30 → 500; one '...' → 1666; 3 lines, two bullets
+        // ('- ', '* ') → 6666, one ends '...' → 3333; '-' has no letter
+        // → 5/6 = 8333
+        3L -> "- item one\n* item two\nplain tail...",
+        // 4 words (3+3+2+3=11 → 275), 2 non-alpha → 5000; hits: the+of = 2
+        4L -> "the 123 of 456")
+      .withColumn("w", ops.Cleaning.wordsOf($"text"))
+      .select($"doc_id",
+        ops.Cleaning.meanWordLenQ2($"w").as("mwl"),
+        ops.Cleaning.symbolWordFracQ4($"text", $"w", "#").as("hash"),
+        ops.Cleaning.symbolWordFracQ4($"text", $"w", "...").as("ell"),
+        ops.Cleaning.bulletLineFracQ4($"text").as("bul"),
+        ops.Cleaning.ellipsisLineFracQ4($"text").as("ell_ln"),
+        ops.Cleaning.alphaWordFracQ4($"w").as("alpha"),
+        ops.Cleaning.stopwordHits($"w").as("stops"))
+    val m = df.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7))).toMap
+    assert(m(1L) == ((400, 0, 0, 0, 0, 10000, 2)))    // the, of
+    assert(m(2L) == ((216, 5000, 3333, 0, 10000, 3333, 0)))
+    assert(m(3L) == ((500, 0, 1666, 6666, 3333, 8333, 0)))
+    assert(m(4L) == ((275, 0, 0, 0, 0, 5000, 2)))
+  }
+
+  test("gopherQualityGate: each rule independently rejects; a clean doc passes") {
+    val good = "the data table holds rows and that scan must have been fast with care"
+    val df = textDf(
+        1L -> good,                                        // passes all
+        2L -> "the of and",                                // < minWords
+        3L -> ("# " * 20 + good),                          // hash ratio
+        4L -> (Seq.fill(12)("12345").mkString(" ") + " " + good), // alpha frac
+        5L -> "a b c d e f g h i j k l m n o p")           // stopwords < 2, mean len < 3
+      .select($"doc_id",
+        ops.Cleaning.gopherQualityGate($"text",
+          ops.Cleaning.wordsOf($"text"), minWords = 5).as("g"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+
   test("chunkWindows: stride-with-overlap split, consecutive full chunks share the overlap") {
     val words = (1 to 20).map("w" + _)
     val df = textDf(1L -> words.mkString(" "))
