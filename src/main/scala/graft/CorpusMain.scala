@@ -188,7 +188,15 @@ object CorpusMain {
         .localCheckpoint()
       val thr = scored.agg(
         expr("percentile_approx(score_q, 0.1, 1000000)")).head().getLong(0)
-      scrubbed.join(scored.where($"score_q" >= thr).select($"doc_id"), "doc_id")
+      // CCNet head/middle/tail tiers over the kept mass (P30/P30 cuts on
+      // the same checkpointed score scan), attached map-side — the
+      // profile reports the tier distribution and downstream mixing can
+      // sample tiers at different rates (Wenzek et al. §4.3)
+      val kept = scored.where($"score_q" >= thr)
+      val (hMin, mMin) = ops.Lm.lmBucketThresholds(kept)
+      scrubbed.join(
+        ops.Lm.lmBucketsByThreshold(kept, "score_q", hMin, mMin)
+          .select($"doc_id", $"lm_bucket"), "doc_id")
     }
 
     // 5. train the tokenizer ON the gated corpus (batched trainer) over
@@ -230,7 +238,10 @@ object CorpusMain {
     val profile = stage("profile") {
       packed.groupBy($"domain")
         .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
-          countDistinct($"shard").as("shards"))
+          countDistinct($"shard").as("shards"),
+          sum(when($"lm_bucket" === "head", 1L).otherwise(0L)).as("head_docs"),
+          sum(when($"lm_bucket" === "middle", 1L).otherwise(0L)).as("middle_docs"),
+          sum(when($"lm_bucket" === "tail", 1L).otherwise(0L)).as("tail_docs"))
     }
 
     val totals = profile.agg(sum($"docs"), sum($"shards")).head()

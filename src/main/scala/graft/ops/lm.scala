@@ -266,4 +266,65 @@ object Lm {
       .select(col("__id").as(idCol), col("n_tokens"), col("logp_sum_q"),
         floor(col("logp_sum_q") / col("n_tokens")).cast("bigint").as("score_q"))
   }
+
+  // ------------------------------------------------------------------
+  // CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3): rank
+  // documents by LM score and cut the corpus into quality tiers — the
+  // split a pretraining mixture samples from at different rates.
+  // ------------------------------------------------------------------
+
+  /** The two score cut points for a head/middle/tail split: scores at the
+    * (1 − headFrac) and (1 − headFrac − midFrac) quantiles of `scoreCol`
+    * (score_q is HIGHER = more reference-like, so head is the TOP
+    * headFrac). One percentile_approx scan; `accuracy` ≥ corpus rows makes
+    * the sketch exact (the fixture/oracle setting) — at 100 TB leave the
+    * default 10⁶ and accept the documented GK-sketch error, or compute
+    * thresholds on a hash-sample: CCNet itself fixes thresholds from a
+    * sample, never from the full corpus. Returns (headMin, midMin). */
+  def lmBucketThresholds(scored: DataFrame, scoreCol: String = "score_q",
+      headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3,
+      accuracy: Int = 1000000): (Long, Long) = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1,
+      s"fractions must be positive and sum below 1, got $headFrac + $midFrac")
+    val r = scored.agg(
+      expr(s"percentile_approx($scoreCol, ${1 - headFrac}, $accuracy)"),
+      expr(s"percentile_approx($scoreCol, ${1 - headFrac - midFrac}, $accuracy)"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Map-side bucket assignment from fixed thresholds — the production
+    * form (zero shuffle beyond the one-off threshold scan): 'head' iff
+    * score ≥ headMin, 'middle' iff score ≥ midMin, else 'tail'. */
+  def lmBucketsByThreshold(scored: DataFrame, scoreCol: String,
+      headMin: Long, midMin: Long): DataFrame =
+    scored.withColumn("lm_bucket",
+      when(col(scoreCol) >= headMin, "head")
+        .when(col(scoreCol) >= midMin, "middle")
+        .otherwise("tail"))
+
+  /** Rank-exact bucket assignment: row_number over (score DESC, id ASC —
+    * the deterministic tie-break) cut at ceil(n·headFrac) and
+    * ceil(n·(headFrac+midFrac)). Buckets have EXACT sizes regardless of
+    * ties, and the definition replays verbatim in SQL (the oracle form).
+    * Costs a global sort (single-partition window) — fine to ~10⁹ rows;
+    * beyond that use [[lmBucketsByThreshold]], which agrees with this
+    * form everywhere score values are tie-free (OpsSpec). */
+  def lmBucketsRanked(scored: DataFrame, idCol: String,
+      scoreCol: String = "score_q",
+      headFrac: Double = 1.0 / 3, midFrac: Double = 1.0 / 3): DataFrame = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1,
+      s"fractions must be positive and sum below 1, got $headFrac + $midFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored
+      .withColumn("__rnk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("lm_bucket",
+        when(col("__rnk") <= ceil(col("__n") * headFrac), "head")
+          .when(col("__rnk") <= ceil(col("__n") * (headFrac + midFrac)), "middle")
+          .otherwise("tail"))
+      .drop("__rnk", "__n")
+  }
 }

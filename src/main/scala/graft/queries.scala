@@ -1088,6 +1088,63 @@ object Queries {
            |  CAST(floor(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS score_q
            |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** CCNet head/middle/tail corpus split (Wenzek et al. 2020 §4.3) under
+    * a staged bigram LM: docs ranked by score_q (higher = more
+    * reference-like) and cut at ceil(n·0.3) / ceil(n·0.6) with the
+    * deterministic (score DESC, doc_id ASC) tie-break — the rank-exact
+    * form of ops.Lm.lmBucketsRanked, whose definition replays verbatim as
+    * a SQL window. The fractions are CAST literals on both sides so the
+    * double arithmetic inside ceil() is bit-identical. The map-side
+    * production form (lmBucketsByThreshold) is spec-tested equivalent on
+    * tie-free scores. */
+  private val qLmBuckets = QueryDef(
+    "q_lm_buckets", {
+      val modelPath = s"$corpusDir/lm_bucket_model"
+      (s, dir) => {
+        import s.implicits._
+        Queries.synchronized {
+          ops.Lm.trainBigramLm(
+              t(s, dir, "documents").where($"doc_id" < 200).select($"text"), "text")
+            .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        }
+        val scored = ops.Lm.lmScore(
+          t(s, dir, "documents").where($"doc_id" >= 200 && $"doc_id" < 400)
+            .select($"doc_id", $"text"),
+          "doc_id", "text", s.read.parquet(modelPath))
+        ops.Lm.lmBucketsRanked(scored, "doc_id",
+            headFrac = 0.3, midFrac = 0.3)
+          .select($"doc_id", $"score_q", $"lm_bucket")
+          .orderBy($"doc_id")
+      }
+    },
+    Some(s"""WITH model AS (SELECT prev, word, logp_q
+           |    FROM '$corpusDir/lm_bucket_model/*.parquet'),
+           |seen AS (SELECT prev, word, logp_q FROM model WHERE word IS NOT NULL),
+           |unseenw AS (SELECT prev, logp_q AS ulq FROM model
+           |  WHERE word IS NULL AND prev IS NOT NULL),
+           |fb AS (SELECT logp_q AS flq FROM model WHERE prev IS NULL),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE doc_id >= 200 AND doc_id < 400),
+           |grams AS (SELECT doc_id, CASE WHEN i = 0 THEN '^' ELSE w[i] END AS prev,
+           |    w[i+1] AS word
+           |  FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM docs)),
+           |sc AS (SELECT doc_id,
+           |    coalesce(s.logp_q, u.ulq, (SELECT flq FROM fb)) AS lq
+           |  FROM grams g LEFT JOIN seen s ON g.prev = s.prev AND g.word = s.word
+           |  LEFT JOIN unseenw u ON g.prev = u.prev),
+           |scored AS (SELECT doc_id,
+           |    CAST(floor(CAST(sum(lq) AS DOUBLE) / count(*)) AS BIGINT) AS score_q
+           |  FROM sc GROUP BY doc_id),
+           |rk AS (SELECT doc_id, score_q,
+           |    row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rnk,
+           |    count(*) OVER () AS n
+           |  FROM scored)
+           |SELECT doc_id, score_q,
+           |  CASE WHEN rnk <= ceil(n * CAST(0.3 AS DOUBLE)) THEN 'head'
+           |       WHEN rnk <= ceil(n * CAST(0.6 AS DOUBLE)) THEN 'middle'
+           |       ELSE 'tail' END AS lm_bucket
+           |FROM rk ORDER BY doc_id""".stripMargin))
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -3108,7 +3165,7 @@ object Queries {
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
-    qLmTrain, qLmScore, qLmBackoff,
+    qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,

@@ -295,6 +295,15 @@ class CleaningSpec extends AnyFunSuite {
     assert(prof.agg(sum($"docs")).head().getLong(0) == stages("admitted"))
     // the LM gate drops at most a decile (threshold = exact P10)
     assert(stages("lm_kept") >= (stages("substr") * 0.88).toLong)
+    // CCNet tiers partition the kept mass (P30/P30 cuts) and flow through
+    // to the profile's per-domain tier counts
+    val kept = graft.CorpusMain.readStage(spark, out, "lm_kept")
+    val tiers = kept.groupBy($"lm_bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiers.keySet == Set("head", "middle", "tail"), s"tiers: $tiers")
+    assert(tiers.values.sum == stages("lm_kept"))
+    assert(prof.agg(sum($"head_docs" + $"middle_docs" + $"tail_docs")).head().getLong(0)
+      == stages("admitted"))
     // the auto-salted config join changed partitioning, never content:
     // mixed == lm_kept ⋈ cfg filtered by the per-domain rate
     val deduped = graft.CorpusMain.readStage(spark, out, "lm_kept")

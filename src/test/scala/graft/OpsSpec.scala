@@ -1219,6 +1219,24 @@ class OpsSpec extends AnyFunSuite {
       s"reference-like avg $real must beat reversed-text avg $rev")
   }
 
+  test("lmBuckets: rank-exact head/middle/tail sizes; threshold form agrees on tie-free scores") {
+    // 19 tie-free scores, higher for smaller id → descending rank == id.
+    // n=19, fractions 0.3/0.3: head = ceil(5.7) = ranks 1..6, middle =
+    // ranks 7..ceil(11.4)=12, tail = 13..19.
+    val scored = (1L to 19L).map(i => (i, -100000L * i)).toDF("doc_id", "score_q")
+    val ranked = ops.Lm.lmBucketsRanked(scored, "doc_id", headFrac = 0.3, midFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert((1L to 6L).forall(ranked(_) == "head"))
+    assert((7L to 12L).forall(ranked(_) == "middle"))
+    assert((13L to 19L).forall(ranked(_) == "tail"))
+    // production map-side form from one percentile scan: same assignment
+    val (hMin, mMin) = ops.Lm.lmBucketThresholds(scored, "score_q", 0.3, 0.3)
+    val byT = ops.Lm.lmBucketsByThreshold(scored, "score_q", hMin, mMin)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byT == ranked,
+      s"threshold split (h>=$hMin, m>=$mMin) diverged from rank split")
+  }
+
   // ---- Stupid Backoff n-gram LM (Brants et al. 2007) ----
 
   test("backoffCounts/trainStupidBackoff: hand-checked per-order counts and scores over a two-doc reference") {
