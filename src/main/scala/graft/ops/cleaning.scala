@@ -242,6 +242,60 @@ object Cleaning {
       alphaWordFracQ4(w) >= 8000 &&
       stopwordHits(w) >= 2
 
+  // ------------------------------------------------------------------
+  // C4 rules (Raffel et al. 2020 §2.2, "Exploring the Limits of Transfer
+  // Learning…" — the C4 corpus construction): line-level retention rules
+  // plus page-level discard rules. With the Gopher rules above and the
+  // CCNet LM gate in [[Lm]], this completes the three canonical web-corpus
+  // cleaning recipes. All per-row column algebra, zero shuffle; the
+  // cross-document "three-sentence span seen before" dedup is
+  // [[pruneRepeatedLines]] / [[graft.ops.Dedup.exactSubstringDedup]].
+  // ------------------------------------------------------------------
+
+  /** C4 line-retention predicate: keep a line iff it ends in terminal
+    * punctuation ('.', '!', '?' or a closing double quote), contains at
+    * least `minLineWords` words (the paper uses 5), and does not mention
+    * the word "javascript" in any case. */
+  def c4KeepLine(l: Column, minLineWords: Int = 5): Column =
+    (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+      l.endsWith("\"")) &&
+      size(split(l, " ")) >= minLineWords &&
+      !lower(l).rlike("\\bjavascript\\b")
+
+  /** C4 line filtering: newline-split `t`, keep only [[c4KeepLine]] lines,
+    * rejoin with newlines (order-preserving). A fully-filtered page
+    * becomes the empty string. */
+  def c4CleanLines(t: Column, minLineWords: Int = 5): Column =
+    array_join(filter(split(t, "\n"), l => c4KeepLine(l, minLineWords)), "\n")
+
+  /** Sentence count proxy: occurrences of sentence-terminal characters
+    * ('.', '!', '?') — the deterministic stand-in for C4's (unspecified)
+    * sentence splitter. */
+  def sentenceCount(t: Column): Column =
+    (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast("int")
+
+  /** C4 page-level gate over the ORIGINAL text `t` and its line-filtered
+    * form `cleaned`: at least `minSentences` sentences must survive line
+    * filtering (paper: 3), and the original page must be free of the
+    * "lorem ipsum" placeholder phrase and of curly brackets (the paper's
+    * code-page heuristic — '{' appears in every programming language).
+    * The paper's dirty-word page rule composes via [[blockwordFracQ4]],
+    * which carries its own list parameter. */
+  def c4PageGate(t: Column, cleaned: Column, minSentences: Int = 3): Column =
+    sentenceCount(cleaned) >= minSentences &&
+      !lower(t).contains("lorem ipsum") &&
+      !t.contains("{")
+
+  /** The composed C4 gate: line-filter, then page-gate — true iff the page
+    * survives. Pair with [[c4CleanLines]] for the retained text. Meant for
+    * punctuation-bearing web text; a corpus without sentence punctuation
+    * (e.g. this repo's synthetic word-stream corpus) fails the sentence
+    * floor by construction, which is why [[graft.CorpusMain]] gates on the
+    * Gopher/CCNet rules instead. */
+  def c4Gate(t: Column, minLineWords: Int = 5, minSentences: Int = 3): Column =
+    bindOnce(c4CleanLines(t, minLineWords))(c =>
+      c4PageGate(t, c, minSentences))
+
   /** Sliding-window chunking for context-window preparation: word windows
     * of `maxTokens` starting every `maxTokens - overlap` words (the
     * standard stride-with-overlap split of long documents into training

@@ -106,4 +106,62 @@ object Sampling {
       .withColumn("shard", expr(s"CAST(cum0 div $budget AS INT)"))
       .drop("cum0")
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  // select pretraining documents whose distribution matches a small
+  // high-quality target corpus by resampling with probability ∝ the
+  // importance ratio p_target(doc)/p_raw(doc) under two cheap n-gram
+  // models. The paper's hashed-bigram features are realized here by two
+  // [[Lm.trainBigramLm]] models (target sample vs raw-corpus sample).
+  // ------------------------------------------------------------------
+
+  /** Per-document importance weight in integer MICRO-NATS:
+    * log p_target(doc) − log p_raw(doc) — the difference of two
+    * [[Lm.lmScore]] sums, so weights inherit the LM's bit-reproducibility
+    * (pure integer arithmetic at scoring time). Two narrow corpus scans
+    * (one per model); each is the broadcast-join/partial-agg lmScore
+    * shape. Docs with NULL text are absent, matching lmScore. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetModel: DataFrame, rawModel: DataFrame): DataFrame = {
+    val t = Lm.lmScore(docs, idCol, textCol, targetModel)
+      .select(col(idCol), col("logp_sum_q").as("__t"))
+    val r = Lm.lmScore(docs, idCol, textCol, rawModel)
+      .select(col(idCol), col("logp_sum_q").as("__r"))
+    t.join(r, idCol)
+      .select(col(idCol), (col("__t") - col("__r")).as("weight_q"))
+  }
+
+  /** Deterministic Gumbel(0,1) noise in micro-nats from the portable
+    * 60-bit md5 hash: g = −ln(−ln(u)) with u = (h + 0.5)/2⁶⁰ ∈ (0,1),
+    * quantized floor(g·10⁶). A pure per-row function of (key, salt) —
+    * partition-invariant and identical on every rerun (the pinned random
+    * draw importance RESAMPLING needs; `rand()` would untie selection
+    * from the data). The ln runs per row but its value is pinned by the
+    * hash, so reruns and resumes select identical rows. */
+  def gumbelQ(keyCol: Column, salt: String = "dsir"): Column = {
+    val h = conv(substring(md5(concat(keyCol.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(math.pow(2.0, 60))
+    floor(-log(-log(u)) * lit(1e6)).cast("bigint")
+  }
+
+  /** Gumbel-top-k importance resampling: the k largest
+    * (weight_q + gumbel_q) keys are exactly a sample WITHOUT replacement
+    * with inclusion probability ∝ exp(weight) (the Gumbel-max trick;
+    * Vieira 2014, Kool et al. 2019) — DSIR's sampling step with no
+    * sequential draw loop. Returns the selected rows with `gumbel_q` and
+    * `key_q` attached. Plan shape: top-k is TakeOrderedAndProject —
+    * per-partition k-heaps merged on the driver, never a global sort —
+    * so k is driver-bounded (select shards in rounds if k must exceed
+    * driver memory). */
+  def dsirSample(weighted: DataFrame, idCol: String, k: Int,
+      salt: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    weighted
+      .withColumn("gumbel_q", gumbelQ(col(idCol), salt))
+      .withColumn("key_q", col("weight_q") + col("gumbel_q"))
+      .orderBy(col("key_q").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1145,6 +1145,155 @@ object Queries {
            |       ELSE 'tail' END AS lm_bucket
            |FROM rk ORDER BY doc_id""".stripMargin))
 
+  /** Naive Bayes training counts (ops.NaiveBayes.nbCounts — the integer
+    * half of the classifier): per-(label, word) counts with per-label
+    * totals over the documents table's lang labels. */
+  private val qNbTrain = QueryDef(
+    "q_nb_train",
+    (s, dir) => {
+      import s.implicits._
+      ops.NaiveBayes.nbCounts(
+          t(s, dir, "documents").where($"doc_id" < 200)
+            .select($"lang", $"text"), "text", "lang")
+        .orderBy($"label", $"word")
+    },
+    Some("""WITH ref AS (SELECT lang AS label, text FROM documents WHERE doc_id < 200),
+           |words AS (SELECT label, unnest(string_split(text, ' ')) AS word FROM ref),
+           |cnts AS (SELECT label, word, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM words GROUP BY 1, 2),
+           |tots AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot
+           |  FROM cnts GROUP BY 1)
+           |SELECT c.label, c.word, c.cnt, t.tot
+           |FROM cnts c JOIN tots t USING (label)
+           |ORDER BY label, word""".stripMargin))
+
+  /** Multinomial Naive Bayes classification (ops.NaiveBayes.nbClassify
+    * under a model trained by trainNb — the from-scratch fastText-analog
+    * quality/domain classifier): argmax label per held-out doc with the
+    * deterministic (max score, label ASC) tie-break. Same staging contract
+    * as q_lm_score: the ln quantization runs once at train time, the model
+    * parquet is staged, and the oracle replays the scoring decomposition
+    * (prior + n_words·unseen + Σ seen deltas via one join) and the argmax
+    * window over the identical staged integers. */
+  private val qNbClassify = QueryDef(
+    "q_nb_classify", {
+      val modelPath = s"$corpusDir/nb_model"
+      (s, dir) => {
+        import s.implicits._
+        Queries.synchronized {
+          ops.NaiveBayes.trainNb(
+              t(s, dir, "documents").where($"doc_id" < 200)
+                .select($"lang", $"text"), "text", "lang")
+            .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        }
+        ops.NaiveBayes.nbClassify(
+            t(s, dir, "documents").where($"doc_id" >= 200 && $"doc_id" < 400)
+              .select($"doc_id", $"text"),
+            "doc_id", "text", s.read.parquet(modelPath))
+          .orderBy($"doc_id")
+      }
+    },
+    Some(s"""WITH model AS (SELECT label, word, kind, logp_q
+           |    FROM '$corpusDir/nb_model/*.parquet'),
+           |pri AS (SELECT label, logp_q AS prior_q FROM model WHERE kind = 'prior'),
+           |uns AS (SELECT label, logp_q AS unseen_q FROM model WHERE kind = 'unseen'),
+           |lbl AS (SELECT p.label, p.prior_q, u.unseen_q
+           |  FROM pri p JOIN uns u ON p.label = u.label),
+           |feat AS (SELECT m.label, m.word, m.logp_q - u.unseen_q AS d
+           |  FROM model m JOIN uns u ON m.label = u.label WHERE m.kind = 'feat'),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE doc_id >= 200 AND doc_id < 400 AND text IS NOT NULL),
+           |grams AS (SELECT doc_id, unnest(w) AS word FROM docs),
+           |hits AS (SELECT g.doc_id, f.label, CAST(sum(f.d) AS BIGINT) AS dsum
+           |  FROM grams g JOIN feat f ON g.word = f.word GROUP BY 1, 2),
+           |scored AS (SELECT d.doc_id, l.label,
+           |    CAST(l.prior_q + len(d.w) * l.unseen_q + coalesce(h.dsum, 0)
+           |      AS BIGINT) AS s
+           |  FROM docs d CROSS JOIN lbl l
+           |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.label = l.label),
+           |rk AS (SELECT doc_id, label, s,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS r
+           |  FROM scored)
+           |SELECT doc_id, label AS pred, s AS score_q
+           |FROM rk WHERE r = 1 ORDER BY doc_id""".stripMargin))
+
+  /** DSIR importance resampling (Xie et al. 2023; ops.Sampling
+    * importanceWeights + dsirSample): select the k held-out docs whose
+    * Gumbel-perturbed log importance ratio log p_target − log p_raw is
+    * largest, under a target LM trained on natural reference text and a
+    * raw LM trained on the same text with word order REVERSED (so the
+    * ratio genuinely separates reference-like docs from noise). Both
+    * models AND the pinned Gumbel noise relation are staged to parquet;
+    * the oracle replays the two integer scoring chains, the weight
+    * difference, and the top-k selection window over identical integers —
+    * the noise itself is a pinned deterministic draw (md5-derived), so
+    * staging it is staging data, not hiding computation. */
+  private val qDsir = QueryDef(
+    "q_dsir", {
+      val tPath = s"$corpusDir/dsir_t_model"
+      val rPath = s"$corpusDir/dsir_r_model"
+      val nPath = s"$corpusDir/dsir_noise"
+      (s, dir) => {
+        import s.implicits._
+        val ref = t(s, dir, "documents").where($"doc_id" < 100)
+        Queries.synchronized {
+          ops.Lm.trainBigramLm(ref.select($"text"), "text")
+            .coalesce(1).write.mode("overwrite").parquet(tPath)
+          ops.Lm.trainBigramLm(
+              ref.select(array_join(reverse(split($"text", " ")), " ").as("text")),
+              "text")
+            .coalesce(1).write.mode("overwrite").parquet(rPath)
+        }
+        val held = t(s, dir, "documents")
+          .where($"doc_id" >= 200 && $"doc_id" < 400)
+          .select($"doc_id", $"text")
+        Queries.synchronized {
+          held.select($"doc_id", ops.Sampling.gumbelQ($"doc_id").as("gumbel_q"))
+            .coalesce(1).write.mode("overwrite").parquet(nPath)
+        }
+        val weighted = ops.Sampling.importanceWeights(held, "doc_id", "text",
+          s.read.parquet(tPath), s.read.parquet(rPath))
+        ops.Sampling.dsirSample(weighted, "doc_id", k = 25)
+          .orderBy($"doc_id")
+      }
+    },
+    Some(s"""WITH mt AS (SELECT prev, word, logp_q
+           |    FROM '$corpusDir/dsir_t_model/*.parquet'),
+           |mr AS (SELECT prev, word, logp_q
+           |    FROM '$corpusDir/dsir_r_model/*.parquet'),
+           |noise AS (SELECT doc_id, gumbel_q
+           |    FROM '$corpusDir/dsir_noise/*.parquet'),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE doc_id >= 200 AND doc_id < 400 AND text IS NOT NULL),
+           |grams AS (SELECT doc_id, CASE WHEN i = 0 THEN '^' ELSE w[i] END AS prev,
+           |    w[i+1] AS word
+           |  FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM docs)),
+           |st AS (SELECT doc_id, CAST(sum(coalesce(ts.logp_q, tu.ulq,
+           |      (SELECT logp_q FROM mt WHERE prev IS NULL))) AS BIGINT) AS tsum
+           |  FROM grams g
+           |  LEFT JOIN (SELECT prev, word, logp_q FROM mt WHERE word IS NOT NULL) ts
+           |    ON g.prev = ts.prev AND g.word = ts.word
+           |  LEFT JOIN (SELECT prev, logp_q AS ulq FROM mt
+           |    WHERE word IS NULL AND prev IS NOT NULL) tu ON g.prev = tu.prev
+           |  GROUP BY doc_id),
+           |sr AS (SELECT doc_id, CAST(sum(coalesce(rs.logp_q, ru.ulq,
+           |      (SELECT logp_q FROM mr WHERE prev IS NULL))) AS BIGINT) AS rsum
+           |  FROM grams g
+           |  LEFT JOIN (SELECT prev, word, logp_q FROM mr WHERE word IS NOT NULL) rs
+           |    ON g.prev = rs.prev AND g.word = rs.word
+           |  LEFT JOIN (SELECT prev, logp_q AS ulq FROM mr
+           |    WHERE word IS NULL AND prev IS NOT NULL) ru ON g.prev = ru.prev
+           |  GROUP BY doc_id),
+           |keyed AS (SELECT t.doc_id, t.tsum - r.rsum AS weight_q, n.gumbel_q,
+           |    t.tsum - r.rsum + n.gumbel_q AS key_q
+           |  FROM st t JOIN sr r USING (doc_id) JOIN noise n USING (doc_id)),
+           |rk AS (SELECT doc_id, weight_q, gumbel_q, key_q,
+           |    row_number() OVER (ORDER BY key_q DESC, doc_id ASC) AS r
+           |  FROM keyed)
+           |SELECT doc_id, CAST(weight_q AS BIGINT) AS weight_q,
+           |  CAST(gumbel_q AS BIGINT) AS gumbel_q, CAST(key_q AS BIGINT) AS key_q
+           |FROM rk WHERE r <= 25 ORDER BY doc_id""".stripMargin))
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -2266,6 +2415,87 @@ object Queries {
          |FROM st ORDER BY doc_id""".stripMargin
     })
 
+  /** C4 rules (Raffel et al. 2020 §2.2): line-level retention (terminal
+    * punctuation, ≥5 words, no "javascript") and page-level discard
+    * (≥3 surviving sentences, no "lorem ipsum", no curly bracket) —
+    * with q_gopher_quality and q_lm_buckets this completes the three
+    * canonical cleaning recipes. Planted by residue class so every rule
+    * fires: every doc gets one 3-sentence keeper line; %5==1 adds a
+    * javascript line (dropped, page survives), %5==2 a lorem-ipsum line
+    * (line survives, PAGE dropped), %5==3 a code line with braces (line
+    * dropped AND page dropped), %5==4 replaces the keeper with a 2-word
+    * line (all lines dropped → sentence floor fails). DuckDB recomputes
+    * the line filter, sentence proxy, and page gate independently. */
+  private val qC4Rules = QueryDef(
+    "q_c4_rules",
+    (s, dir) => {
+      import s.implicits._
+      val nl = "\n"
+      val good =
+        "one two three four five. six seven eight nine ten! does it work well today?"
+      t(s, dir, "documents")
+        .where($"doc_id" < 300)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 1,
+              concat(lit(s"$good$nl"), $"text",
+                lit(s"${nl}please enable JavaScript to see five more.")))
+            .when($"doc_id" % 5 === 2,
+              concat(lit(s"$good$nl"), $"text",
+                lit(s"${nl}lorem ipsum dolor sit amet.")))
+            .when($"doc_id" % 5 === 3,
+              concat(lit(s"$good$nl"), $"text",
+                lit(s"${nl}var f = function() { return 1; }")))
+            .when($"doc_id" % 5 === 4, concat(lit(s"tiny line.$nl"), $"text"))
+            .otherwise(concat(lit(s"$good$nl"), $"text")).as("t"))
+        .withColumn("c", ops.Cleaning.c4CleanLines($"t"))
+        .select($"doc_id",
+          size(split($"t", "\n")).cast("int").as("n_lines"),
+          when($"c" === "", 0)
+            .otherwise(size(split($"c", "\n"))).cast("int").as("kept_lines"),
+          ops.Cleaning.sentenceCount($"c").as("sentences"),
+          ops.Cleaning.c4PageGate($"t", $"c").cast("int").as("page_gate"),
+          ops.Cleaning.c4Gate($"t").cast("int").as("gate"),
+          md5($"c").as("sig"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val good =
+        "one two three four five. six seven eight nine ten! does it work well today?"
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 5 AS INT)
+         |      WHEN 1 THEN '$good' || chr(10) || text || chr(10) ||
+         |        'please enable JavaScript to see five more.'
+         |      WHEN 2 THEN '$good' || chr(10) || text || chr(10) ||
+         |        'lorem ipsum dolor sit amet.'
+         |      WHEN 3 THEN '$good' || chr(10) || text || chr(10) ||
+         |        'var f = function() { return 1; }'
+         |      WHEN 4 THEN 'tiny line.' || chr(10) || text
+         |      ELSE '$good' || chr(10) || text END AS t
+         |  FROM documents WHERE doc_id < 300),
+         |f AS (SELECT doc_id, t,
+         |    coalesce(array_to_string(list_filter(string_split(t, chr(10)),
+         |      l -> (right(l, 1) = '.' OR right(l, 1) = '!' OR
+         |            right(l, 1) = '?' OR right(l, 1) = '"')
+         |        AND len(string_split(l, ' ')) >= 5
+         |        AND NOT regexp_matches(lower(l), '\\bjavascript\\b')),
+         |      chr(10)), '') AS c
+         |  FROM p),
+         |st AS (SELECT doc_id, t, c,
+         |    CAST(length(c) - length(regexp_replace(c, '[.!?]', '', 'g')) AS INT) AS sentences
+         |  FROM f)
+         |SELECT doc_id,
+         |  CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+         |  CAST(CASE WHEN c = '' THEN 0
+         |       ELSE len(string_split(c, chr(10))) END AS INT) AS kept_lines,
+         |  sentences,
+         |  CAST(CASE WHEN sentences >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+         |       AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INT) AS page_gate,
+         |  CAST(CASE WHEN sentences >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+         |       AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INT) AS gate,
+         |  md5(c) AS sig
+         |FROM st ORDER BY doc_id""".stripMargin
+    })
+
   /** PII redaction: deterministic planted PII (email, dotted IPv4, 14-digit
     * card number derived from doc_id), per-category match counts, and the
     * md5 of the redacted text — the same three patterns drive Spark and
@@ -3166,6 +3396,7 @@ object Queries {
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
+    qNbTrain, qNbClassify, qDsir,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
@@ -3174,7 +3405,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
-    qRepetition, qNgramStats, qGopherQuality, qPiiRedact, qDecontaminate, qLineDedup,
+    qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

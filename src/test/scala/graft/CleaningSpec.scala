@@ -149,6 +149,45 @@ class CleaningSpec extends AnyFunSuite {
     assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
   }
 
+  test("C4 line rules: terminal punctuation, 5-word floor, javascript drop; order preserved") {
+    val df = textDf(
+        // keeper (ends '.'), short line dropped, no-punct line dropped,
+        // javascript line dropped despite punctuation, quote-ended keeper
+        1L -> ("alpha beta gamma delta epsilon.\nshort one.\n" +
+          "no terminal punctuation in this line\n" +
+          "please enable JavaScript to continue reading.\n" +
+          "she said it was \"perfectly fine today\""),
+        2L -> "word")
+      .select($"doc_id", ops.Cleaning.c4CleanLines($"text").as("c"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) ==
+      "alpha beta gamma delta epsilon.\nshe said it was \"perfectly fine today\"")
+    assert(m(2L) == "")
+  }
+
+  test("C4 page gate: sentence floor, lorem ipsum, curly brace each reject; clean page passes") {
+    val good = "one two three four five. six seven eight nine ten! is it fine today?"
+    val df = textDf(
+        1L -> good,                                          // 3 sentences → pass
+        2L -> "only one sentence lives here.",               // sentence floor
+        3L -> (good + "\nfiller Lorem Ipsum dolor sit."),    // lorem (case-insensitive)
+        4L -> (good + "\nif (x) { return y; }"))             // brace (page-level)
+      .select($"doc_id", ops.Cleaning.c4Gate($"text").as("g"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("C4 sentenceCount counts terminal marks only in the filtered text") {
+    val t = "good line one two three.\nbad marks!!!"
+    val df = Seq((1L, t)).toDF("doc_id", "text")
+      .select(
+        ops.Cleaning.sentenceCount($"text").as("raw"),
+        ops.Cleaning.sentenceCount(ops.Cleaning.c4CleanLines($"text")).as("kept"))
+    val r = df.head()
+    assert(r.getAs[Int]("raw") == 4)
+    assert(r.getAs[Int]("kept") == 1)
+  }
+
   test("chunkWindows: stride-with-overlap split, consecutive full chunks share the overlap") {
     val words = (1 to 20).map("w" + _)
     val df = textDf(1L -> words.mkString(" "))

@@ -1306,4 +1306,68 @@ class OpsSpec extends AnyFunSuite {
     assert(real > rev,
       s"reference-like avg $real must beat reversed-text avg $rev")
   }
+
+  // ---- multinomial Naive Bayes classifier ----
+
+  test("nbCounts/trainNb: hand-checked add-one model over a two-label sample") {
+    val labeled = Seq(("x", "a b a"), ("y", "c c")).toDF("lang", "text")
+    val counts = ops.NaiveBayes.nbCounts(labeled, "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(counts == Map(
+      ("x", "a") -> ((2L, 3L)), ("x", "b") -> ((1L, 3L)), ("y", "c") -> ((2L, 2L))))
+    val model = ops.NaiveBayes.trainNb(labeled, "text", "lang").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2)) ->
+        r.getLong(3)).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    // V = |{a, b, c}| = 3 ; feat p = (cnt+1)/(tot+V)
+    assert(model(("x", Some("a"), "feat")) == q(3.0 / 6))
+    assert(model(("x", Some("b"), "feat")) == q(2.0 / 6))
+    assert(model(("y", Some("c"), "feat")) == q(3.0 / 5))
+    // per-label unseen mass 1/(tot+V); priors 1/2 each
+    assert(model(("x", None, "unseen")) == q(1.0 / 6))
+    assert(model(("y", None, "unseen")) == q(1.0 / 5))
+    assert(model(("x", None, "prior")) == q(1.0 / 2))
+    assert(model(("y", None, "prior")) == q(1.0 / 2))
+  }
+
+  test("nbScores decomposition is exact; nbClassify breaks exact ties label-ascending") {
+    // mirrored sample: equal totals, equal priors, equal unseen masses
+    val labeled = Seq(("x", "a a"), ("y", "b b")).toDF("lang", "text")
+    val model = ops.NaiveBayes.trainNb(labeled, "text", "lang")
+    def q(p: Double) = math.floor(math.log(p) * 1e6).toLong
+    val docs = Seq((1L, "a"), (2L, "b b"), (3L, "z")).toDF("doc_id", "text")
+    val scores = ops.NaiveBayes.nbScores(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(3)).toMap
+    // V = 2; doc 1 under x: prior + seen(a|x) = q(1/2) + q(3/4)
+    assert(scores((1L, "x")) == q(1.0 / 2) + q(3.0 / 4))
+    //        under y: prior + unseen = q(1/2) + q(1/4)
+    assert(scores((1L, "y")) == q(1.0 / 2) + q(1.0 / 4))
+    val preds = ops.NaiveBayes.nbClassify(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(preds(1L)._1 == "x")
+    assert(preds(2L)._1 == "y")
+    // doc 3: 'z' unseen for both, symmetric model → exact tie → 'x'
+    assert(scores((3L, "x")) == scores((3L, "y")))
+    assert(preds(3L)._1 == "x")
+    assert(preds(1L)._2 == scores((1L, "x")))
+  }
+
+  test("nbClassify separates planted vocabularies with held-out accuracy 1.0; null text absent") {
+    val sport = Seq("ball game team win score", "team game ball score match",
+      "win match team ball play", "score play game win ball")
+    val code = Seq("function variable compile bug loop", "loop bug function stack trace",
+      "compile stack variable loop bug", "trace function bug compile stack")
+    val labeled = (sport.map("sport" -> _) ++ code.map("code" -> _))
+      .toDF("lang", "text")
+    val model = ops.NaiveBayes.trainNb(labeled, "text", "lang")
+    val held = Seq(
+      (1L, "ball team win"), (2L, "game score play match"),
+      (3L, "bug loop compile"), (4L, "stack trace variable function"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val preds = ops.NaiveBayes.nbClassify(held, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds == Map(1L -> "sport", 2L -> "sport", 3L -> "code", 4L -> "code"),
+      s"held-out predictions wrong or null-text doc not dropped: $preds")
+  }
 }

@@ -374,4 +374,36 @@ class PlanSpec extends AnyFunSuite {
       s"model joins must broadcast:\n${p.take(1200)}")
     assert(!p.contains("WindowExec"), p.take(800))
   }
+
+  test("nbScores: feature deltas broadcast-hash-join; labels reach docs by a #labels-row broadcast loop only") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val model = ops.NaiveBayes.trainNb(docs.where($"doc_id" < 50), "text", "lang")
+    val df = ops.NaiveBayes.nbScores(docs, "doc_id", "text", model)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-scale join (exploded words × seen features) must hash, and
+    // the ONLY nested loop is the intended #labels-row label fan-out; the
+    // final (doc, label) combine joins two corpus-sized sides and may
+    // legitimately shuffle (equi-join) — only a cartesian is forbidden
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"label fan-out should be a broadcast loop of #labels rows:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("WindowExec"), p.take(800))
+  }
+
+  test("dsirSample: Gumbel-top-k plans TakeOrdered, never a global sort") {
+    import spark.implicits._
+    val weighted = spark.range(100000)
+      .select($"id".as("doc_id"), ($"id" % 1000).cast("bigint").as("weight_q"))
+    val df = ops.Sampling.dsirSample(weighted, "doc_id", k = 50)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge:\n${p.take(800)}")
+    assert(!p.contains("SortExec") || p.contains("TakeOrderedAndProject"),
+      p.take(800))
+  }
 }

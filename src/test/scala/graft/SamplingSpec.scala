@@ -96,4 +96,65 @@ class SamplingSpec extends AnyFunSuite {
     // stratum b: cum0 = 0, 600 → shards 0, 1
     assert(out(10L) == 0 && out(11L) == 1)
   }
+
+  // ---- DSIR importance resampling ----
+
+  test("gumbelQ is deterministic, salted, and Gumbel-shaped (mean near Euler–Mascheroni)") {
+    val ids = (1L to 1000L).toDF("id")
+    val g = ids.select(ops.Sampling.gumbelQ($"id").as("g"))
+    assert(g.collect().toSeq ==
+      ids.select(ops.Sampling.gumbelQ($"id").as("g")).collect().toSeq)
+    // a different salt decorrelates the draw
+    val g2 = ids.select(ops.Sampling.gumbelQ($"id", "other").as("g"))
+    assert(g.collect().map(_.getLong(0)).toSeq !=
+      g2.collect().map(_.getLong(0)).toSeq)
+    // Gumbel(0,1) mean γ ≈ 0.5772, sd ≈ 1.2825 → se(1000) ≈ 0.04
+    val mean = g.agg(avg($"g")).head().getDouble(0) / 1e6
+    assert(mean > 0.45 && mean < 0.71, s"gumbel mean $mean outside band")
+  }
+
+  test("dsirSample: separated weights select exactly the heavy set; selection keys dominate") {
+    val weighted = ((1L to 10L).map(i => (i, 10000000L)) ++
+      (11L to 100L).map(i => (i, -10000000L))).toDF("doc_id", "weight_q")
+    val sel = ops.Sampling.dsirSample(weighted, "doc_id", k = 10)
+    assert(sel.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet)
+    // invariant on any input: min selected key ≥ max unselected key
+    val keys = weighted
+      .withColumn("g", ops.Sampling.gumbelQ($"doc_id"))
+      .select($"doc_id", ($"weight_q" + $"g").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val selIds = sel.collect().map(_.getLong(0)).toSet
+    val minSel = selIds.map(keys).min
+    val maxUnsel = (keys.keySet -- selIds).map(keys).max
+    assert(minSel >= maxUnsel)
+    // the attached key column matches weight + gumbel recomputed
+    sel.collect().foreach { r =>
+      assert(r.getAs[Long]("key_q") == keys(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("importanceWeights: natural text outweighs reversed text under a natural-target / reversed-raw pair") {
+    val ref = documents.where($"doc_id" < 100)
+    val target = ops.Lm.trainBigramLm(ref.select($"text"), "text")
+    val raw = ops.Lm.trainBigramLm(
+      ref.select(array_join(reverse(split($"text", " ")), " ").as("text")), "text")
+    // probe IN-SAMPLE docs (their bigrams are known to both models, so the
+    // per-doc ratio is sharp; held-out docs still separate on AVERAGE but
+    // individual short docs can flip — the documented DSIR behavior)
+    val probe = documents.where($"doc_id" < 40).select($"doc_id", $"text")
+    val noise = probe.select(($"doc_id" + 5000).as("doc_id"),
+      array_join(reverse(split($"text", " ")), " ").as("text"))
+    val w = ops.Sampling.importanceWeights(probe.union(noise), "doc_id", "text",
+      target, raw)
+    val natural = w.where($"doc_id" < 5000).agg(avg($"weight_q")).head().getDouble(0)
+    val reversed = w.where($"doc_id" >= 5000).agg(avg($"weight_q")).head().getDouble(0)
+    assert(natural > 0 && reversed < 0,
+      s"importance ratio must separate natural ($natural) from reversed ($reversed)")
+    // and Gumbel-top-k then prefers the natural docs
+    val sel = ops.Sampling.dsirSample(w, "doc_id", k = 20)
+      .collect().map(_.getLong(0))
+    assert(sel.count(_ < 5000) >= 18,
+      s"selection should be dominated by natural docs: ${sel.toSeq}")
+  }
 }
