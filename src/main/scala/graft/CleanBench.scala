@@ -129,13 +129,60 @@ object CleanBench {
         .agg(sum($"score_q")).head().getLong(0)
     }
 
+    // 7. C4 line + page rules over a multi-line corpus: every doc carries
+    //    a 3-sentence keeper line, a short dropped line, 30% a javascript
+    //    line (dropped) and 10% a brace line (drops the PAGE). Pure
+    //    map-side — the cost is the line/word splitting itself.
+    val cdocs = spark.range(nDocs).select($"id".as("doc_id"),
+        concat(
+          lit("alpha "), $"id", lit(" beta one. gamma delta two! epsilon zeta three?"),
+          lit("\nshort line"),
+          when($"id" % 10 < 3, lit("\nplease enable javascript now thanks."))
+            .otherwise(lit("")),
+          when($"id" % 10 === 4, lit("\nif (x) { return y; }"))
+            .otherwise(lit(""))).as("text"))
+      .cache()
+    cdocs.count()
+    val (c4Kept, tC4) = timed {
+      cdocs.where(ops.Cleaning.c4Gate($"text"))
+        .select(ops.Cleaning.c4CleanLines($"text").as("c"))
+        .agg(count(lit(1))).head().getLong(0)
+    }
+
+    // 8. Naive Bayes: train on a 1% hash-sample labeled by source (8
+    //    labels), classify the FULL corpus — the broadcast feature join +
+    //    label fan-out + per-(doc,label) combine at corpus width
+    val (nbPreds, tNb) = timed {
+      val model = ops.NaiveBayes.trainNb(
+        docs.where(ops.Sampling.hashBp($"doc_id".cast("string")) < 100),
+        "text", "source")
+      ops.NaiveBayes.nbClassify(docs, "doc_id", "text", model)
+        .agg(count(lit(1))).head().getLong(0)
+    }
+
+    // 9. DSIR: target LM on a 1% natural sample, raw LM on the same sample
+    //    reversed, importance weights over the FULL corpus (two scoring
+    //    cascades), Gumbel-top-k select 10k — TakeOrdered, no global sort
+    val (dsirSel, tDsir) = timed {
+      val sample = docs.where(ops.Sampling.hashBp($"doc_id".cast("string")) < 100)
+      val target = ops.Lm.trainBigramLm(sample, "text")
+      val raw = ops.Lm.trainBigramLm(
+        sample.select(array_join(reverse(split($"text", " ")), " ").as("text")), "text")
+      val w = ops.Sampling.importanceWeights(docs, "doc_id", "text", target, raw)
+      ops.Sampling.dsirSample(w, "doc_id", k = 10000)
+        .agg(count(lit(1))).head().getLong(0)
+    }
+
     println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
       f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
       f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
       f""""shards":$shards,"mix_pack_sec":$tMix%.2f,""" +
       f""""substr_removed_tokens":$removedTokens,"substr_sec":$tSubstr%.2f,""" +
       f""""lm_score_sum":$scoreSum,"lm_sec":$tLm%.2f,""" +
-      f""""sb_score_sum":$sbSum,"sb_sec":$tSb%.2f}""")
+      f""""sb_score_sum":$sbSum,"sb_sec":$tSb%.2f,""" +
+      f""""c4_kept":$c4Kept,"c4_sec":$tC4%.2f,""" +
+      f""""nb_preds":$nbPreds,"nb_sec":$tNb%.2f,""" +
+      f""""dsir_selected":$dsirSel,"dsir_sec":$tDsir%.2f}""")
     spark.stop()
   }
 }

@@ -1294,6 +1294,60 @@ object Queries {
            |  CAST(gumbel_q AS BIGINT) AS gumbel_q, CAST(key_q AS BIGINT) AS key_q
            |FROM rk WHERE r <= 25 ORDER BY doc_id""".stripMargin))
 
+  /** BM25 lexical top-k retrieval (ops.Bm25 — Robertson & Zaragoza 2009):
+    * postings + dictionary built from the corpus, query slice broadcast,
+    * per-term scores floor-quantized from one IEEE-exact double
+    * expression over integer (tf, dl, idf_q) inputs. The dictionary
+    * (with its ln-derived idf_q) is staged to parquet like the LM models;
+    * the oracle independently recomputes postings, df, and doc stats from
+    * the corpus, CHECKS df against the staged rows via the join, and
+    * replays the scoring arithmetic with the same literal expressions
+    * ((1.2 + 1.0), (1.0 - 0.75)) so every double op is bit-identical. */
+  private val qBm25 = QueryDef(
+    "q_bm25", {
+      val dictPath = s"$corpusDir/bm25_dict"
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").where($"doc_id" < 400)
+          .select($"doc_id", $"text")
+        val post = ops.Bm25.postings(docs, "doc_id", "text")
+        Queries.synchronized {
+          ops.Bm25.dictionary(post, "doc_id")
+            .coalesce(1).write.mode("overwrite").parquet(dictPath)
+        }
+        ops.Bm25.bm25TopK(post, s.read.parquet(dictPath), "doc_id",
+          Seq("hash", "join", "vector"), k = 20)
+      }
+    },
+    Some(s"""WITH dict AS (SELECT word, df, idf_q
+           |    FROM '$corpusDir/bm25_dict/*.parquet'),
+           |stats AS (SELECT CAST(df AS DOUBLE) AS n, CAST(idf_q AS DOUBLE) AS sumdl
+           |  FROM dict WHERE word IS NULL),
+           |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE doc_id < 400 AND text IS NOT NULL),
+           |post AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf, dl
+           |  FROM (SELECT doc_id, unnest(w) AS word, CAST(len(w) AS BIGINT) AS dl
+           |        FROM docs)
+           |  GROUP BY doc_id, word, dl),
+           |qd AS (SELECT word, idf_q FROM dict
+           |  WHERE word IN ('hash', 'join', 'vector')),
+           |sc AS (SELECT p.doc_id,
+           |    CAST(floor(CAST(q.idf_q AS DOUBLE) *
+           |      (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+           |      (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+           |        0.75 * CAST(p.dl AS DOUBLE) /
+           |        ((SELECT sumdl FROM stats) / (SELECT n FROM stats)))))
+           |      AS BIGINT) AS s
+           |  FROM post p JOIN qd q USING (word)),
+           |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched,
+           |    CAST(sum(s) AS BIGINT) AS score_q
+           |  FROM sc GROUP BY doc_id),
+           |rk AS (SELECT doc_id, matched, score_q,
+           |    row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS r
+           |  FROM agg)
+           |SELECT doc_id, matched, score_q FROM rk WHERE r <= 20
+           |ORDER BY doc_id""".stripMargin))
+
   /** The training-data CLEANING PIPELINE composed end-to-end from the
     * operator suite — what a user actually runs: PII redaction → language
     * filter → quality filter (stopword/word formula) → repetition filter
@@ -3396,7 +3450,7 @@ object Queries {
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
     qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
-    qNbTrain, qNbClassify, qDsir,
+    qNbTrain, qNbClassify, qDsir, qBm25,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,

@@ -1370,4 +1370,54 @@ class OpsSpec extends AnyFunSuite {
     assert(preds == Map(1L -> "sport", 2L -> "sport", 3L -> "code", 4L -> "code"),
       s"held-out predictions wrong or null-text doc not dropped: $preds")
   }
+
+  // ---- BM25 lexical retrieval ----
+
+  test("Bm25: hand-checked postings, dictionary, and scores against a plain-Scala reference") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val post = ops.Bm25.postings(docs, "doc_id", "text")
+    val p = post.collect().map(r =>
+      (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(p == Map(
+      (1L, "a") -> ((2L, 3L)), (1L, "b") -> ((1L, 3L)),
+      (2L, "a") -> ((1L, 2L)), (2L, "c") -> ((1L, 2L)),
+      (3L, "c") -> ((4L, 4L))))
+    val dict = ops.Bm25.dictionary(post, "doc_id")
+    val d = dict.collect().map(r =>
+      Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def idfQ(n: Long, df: Long) =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6).toLong
+    // N = 3 docs, Σdl = 9; df: a=2, b=1, c=2
+    assert(d(None) == ((3L, 9L)))
+    assert(d(Some("a")) == ((2L, idfQ(3, 2))))
+    assert(d(Some("b")) == ((1L, idfQ(3, 1))))
+    assert(d(Some("c")) == ((2L, idfQ(3, 2))))
+    // plain-Scala score reference with the same double arithmetic
+    val avgdl = 9.0 / 3
+    def s(idf: Long, tf: Long, dl: Long) = math.floor(
+      idf.toDouble * (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))).toLong
+    val top = ops.Bm25.bm25TopK(post, dict, "doc_id", Seq("a", "c"), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ia = idfQ(3, 2)
+    assert(top(1L) == ((1L, s(ia, 2, 3))))
+    assert(top(2L) == ((2L, s(ia, 1, 2) + s(ia, 1, 2))))
+    assert(top(3L) == ((1L, s(ia, 4, 4))))
+  }
+
+  test("Bm25 ranking: higher tf wins at equal length; longer doc is penalized at equal tf") {
+    val docs = Seq(
+      (1L, "q q filler filler"), (2L, "q filler filler filler"),
+      (3L, "q x1 x2 x3"), (4L, "q y1 y2 y3 y4 y5 y6 y7")).toDF("doc_id", "text")
+    val post = ops.Bm25.postings(docs, "doc_id", "text")
+    val dict = ops.Bm25.dictionary(post, "doc_id")
+    val ranked = ops.Bm25.bm25TopK(post, dict, "doc_id", Seq("q"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranked(1L) > ranked(2L), "tf 2 must outscore tf 1 at dl 4")
+    assert(ranked(3L) > ranked(4L), "dl 4 must outscore dl 8 at tf 1")
+    // duplicate query terms count once; unknown terms contribute nothing
+    val dup = ops.Bm25.bm25TopK(post, dict, "doc_id", Seq("q", "q", "zzz"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup == ranked)
+  }
 }

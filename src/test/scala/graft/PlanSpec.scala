@@ -394,6 +394,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("WindowExec"), p.take(800))
   }
 
+  test("bm25TopK: query dictionary broadcasts, top-k is TakeOrdered, no cartesian") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val post = ops.Bm25.postings(docs, "doc_id", "text")
+    val dict = ops.Bm25.dictionary(post, "doc_id")
+    val df = ops.Bm25.bm25TopK(post, dict, "doc_id", Seq("hash", "join"), k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("dsirSample: Gumbel-top-k plans TakeOrdered, never a global sort") {
     import spark.implicits._
     val weighted = spark.range(100000)
