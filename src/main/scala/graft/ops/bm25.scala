@@ -60,12 +60,18 @@ object Bm25 {
     * oracle-checkable half; the ln runs once per dictionary row here and
     * never at query time. */
   def dictionary(post: DataFrame, idCol: String): DataFrame = {
-    val docStats = post.select(col(idCol), col("dl")).distinct()
+    // two consumers (doc stats, df rows) — materialize the postings
+    // lineage once instead of re-running the corpus explode + groupBy per
+    // aggregate. Callers serving queries should likewise persist the
+    // postings (write to parquet, bucketed by word) rather than re-derive
+    // them per search — the index is built once, probed many times.
+    val p = post.localCheckpoint()
+    val docStats = p.select(col(idCol), col("dl")).distinct()
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val n = docStats.getLong(0)
     require(n > 0, "Bm25.dictionary: empty postings — no documents to index")
     val sumdl = docStats.getLong(1)
-    val dfRel = post.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val dfRel = p.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val idf = floor(log(lit(1.0) +
       (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
       lit(1e6)).cast("bigint")

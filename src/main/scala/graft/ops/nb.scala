@@ -57,11 +57,16 @@ object NaiveBayes {
     *                    floor(ln(n_docs_label/n_docs)·1e6)
     *
     * over observed vocabulary size V. The ln runs exactly once per model
-    * row at train time; everything downstream is integer. */
+    * row at train time; everything downstream is integer. NULL-text rows
+    * train NOTHING — they are excluded from priors too, so a label is
+    * either fully present (feat+unseen+prior) or fully absent; a label
+    * whose sampled rows are all NULL-text cannot linger as a prior-only
+    * row that [[nbScores]]' prior⋈unseen join would silently drop. */
   def trainNb(labeled: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val base = labeled.where(col(textCol).isNotNull)
     // three consumers (vocab count, feat rows, unseen rows) — materialize
     // the counts once instead of re-scanning the labeled sample
-    val counts = nbCounts(labeled, textCol, labelCol).localCheckpoint()
+    val counts = nbCounts(base, textCol, labelCol).localCheckpoint()
     val vocab = counts.select(col("word")).distinct().count()
     require(vocab > 0,
       "trainNb: empty labeled sample (vocab = 0) — refusing to train a " +
@@ -73,12 +78,13 @@ object NaiveBayes {
       .select(col("label"), lit(null).cast("string").as("word"),
         lit("unseen").as("kind"),
         q(lit(1.0) / (col("tot") + lit(vocab))).as("logp_q"))
-    val nDocs = labeled.count()
-    val prior = labeled.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("nd"))
-      .select(col("label"), lit(null).cast("string").as("word"),
-        lit("prior").as("kind"),
-        q(col("nd").cast("double") / lit(nDocs.toDouble)).as("logp_q"))
+    // one scan: per-label doc counts; their sum is the prior denominator
+    val nd = base.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd")).localCheckpoint()
+    val nDocs = nd.agg(sum(col("nd"))).head().getLong(0)
+    val prior = nd.select(col("label"), lit(null).cast("string").as("word"),
+      lit("prior").as("kind"),
+      q(col("nd").cast("double") / lit(nDocs.toDouble)).as("logp_q"))
     feat.unionByName(unseen).unionByName(prior)
   }
 

@@ -20,9 +20,13 @@ object Sampling {
     * Spark `conv(hex,16,10)` and DuckDB `('0x'||hex)::bigint` agree
     * digit-for-digit (same recipe as the corpus bucketing in
     * [[graft.Sources]]). */
-  def hashBp(keyCol: Column): Column =
-    (conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
-      .cast("bigint") % 10000).cast("int")
+  def hashBp(keyCol: Column): Column = (hash60(keyCol) % 10000).cast("int")
+
+  /** Portable 60-bit md5 integer of a key — the one copy of the recipe
+    * [[hashBp]] and [[packShardsBucketed]] share (and [[hashBpSql]]
+    * twins in DuckDB). */
+  private def hash60(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10).cast("bigint")
 
   /** SQL fragment computing [[hashBp]] in DuckDB — kept beside the Spark
     * definition so the two can never drift. */
@@ -96,8 +100,7 @@ object Sampling {
                          tokensCol: Column, budget: Int, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val bucketed = df.withColumn("pack_bucket",
-      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % buckets).cast("int"))
+      (hash60(col(idCol)) % buckets).cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol), col("pack_bucket")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -132,17 +135,21 @@ object Sampling {
       .select(col(idCol), (col("__t") - col("__r")).as("weight_q"))
   }
 
-  /** Deterministic Gumbel(0,1) noise in micro-nats from the portable
-    * 60-bit md5 hash: g = −ln(−ln(u)) with u = (h + 0.5)/2⁶⁰ ∈ (0,1),
-    * quantized floor(g·10⁶). A pure per-row function of (key, salt) —
-    * partition-invariant and identical on every rerun (the pinned random
-    * draw importance RESAMPLING needs; `rand()` would untie selection
-    * from the data). The ln runs per row but its value is pinned by the
-    * hash, so reruns and resumes select identical rows. */
+  /** Deterministic Gumbel(0,1) noise in micro-nats from a 52-bit md5
+    * hash: g = −ln(−ln(u)) with u = (h + 0.5)/2⁵², quantized
+    * floor(g·10⁶). 52 bits (13 hex chars), NOT 60, so h + 0.5 is exactly
+    * representable in a double (53-bit significand) and u is STRICTLY
+    * inside (0, 1) — max u = 1 − 2⁻⁵³; a 60-bit h within 128 of 2⁶⁰
+    * would round u to exactly 1.0 and poison the row with a NULL key.
+    * A pure per-row function of (key, salt) — partition-invariant and
+    * identical on every rerun (the pinned random draw importance
+    * RESAMPLING needs; `rand()` would untie selection from the data).
+    * The ln runs per row but its value is pinned by the hash, so reruns
+    * and resumes select identical rows. */
   def gumbelQ(keyCol: Column, salt: String = "dsir"): Column = {
-    val h = conv(substring(md5(concat(keyCol.cast("string"), lit(salt))), 1, 15),
+    val h = conv(substring(md5(concat(keyCol.cast("string"), lit(salt))), 1, 13),
       16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(math.pow(2.0, 60))
+    val u = (h + lit(0.5)) / lit(math.pow(2.0, 52))
     floor(-log(-log(u)) * lit(1e6)).cast("bigint")
   }
 

@@ -2488,7 +2488,7 @@ object Queries {
       val good =
         "one two three four five. six seven eight nine ten! does it work well today?"
       t(s, dir, "documents")
-        .where($"doc_id" < 300)
+        .where($"doc_id" < 300 && $"text".isNotNull)
         .select($"doc_id",
           when($"doc_id" % 5 === 1,
               concat(lit(s"$good$nl"), $"text",
@@ -2525,7 +2525,7 @@ object Queries {
          |        'var f = function() { return 1; }'
          |      WHEN 4 THEN 'tiny line.' || chr(10) || text
          |      ELSE '$good' || chr(10) || text END AS t
-         |  FROM documents WHERE doc_id < 300),
+         |  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
          |f AS (SELECT doc_id, t,
          |    coalesce(array_to_string(list_filter(string_split(t, chr(10)),
          |      l -> (right(l, 1) = '.' OR right(l, 1) = '!' OR

@@ -419,7 +419,7 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must be per-partition heaps + driver merge:\n${p.take(800)}")
-    assert(!p.contains("SortExec") || p.contains("TakeOrderedAndProject"),
-      p.take(800))
+    assert(!p.contains("SortExec"),
+      s"no global sort may survive beside the top-k:\n${p.take(800)}")
   }
 }
