@@ -81,14 +81,31 @@ object Bm25 {
         lit(sumdl).as("idf_q")))
   }
 
+  /** Word-hash sub-bucket for the at-rest postings layout:
+    * pmod(xxhash64(word), n). Persist postings
+    * `.withColumn("wb", wordBucket($"word", n)).write.partitionBy("wb")`;
+    * [[bm25TopK]] with `wordBuckets = Some(n)` then partition-prunes the
+    * postings scan to the query terms' buckets — the same layout contract
+    * as the dedup index's `pruneBucket` (a query touches |terms| buckets
+    * of corpus I/O, not the whole postings table). Layout-only: n never
+    * affects scores, so the hash needs no cross-engine portability. */
+  def wordBucket(wordCol: Column, n: Int): Column = {
+    require(n >= 1, s"wordBucket count must be >= 1, got $n")
+    pmod(xxhash64(wordCol), lit(n.toLong)).cast("int")
+  }
+
   /** Top-k documents for a bag of query `terms`: (idCol, matched,
     * score_q) ranked by BM25 score descending, id ascending on ties.
     * The query slice of the dictionary broadcasts (≤ |terms| rows);
     * duplicate query terms count once (bag-of-words BM25 over distinct
-    * terms, the standard form). */
+    * terms, the standard form). `wordBuckets = Some(n)` requires `post`
+    * to carry the [[wordBucket]] partition column `wb` (same n) and
+    * restricts the scan to the terms' buckets — the bucket values are a
+    * config-sized collect (one tiny job over |terms| rows). */
   def bm25TopK(post: DataFrame, dict: DataFrame, idCol: String,
       terms: Seq[String], k: Int,
-      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+      k1: Double = DefaultK1, b: Double = DefaultB,
+      wordBuckets: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(terms.nonEmpty, "bm25TopK: empty query")
     val stats = dict.where(col("word").isNull)
@@ -102,13 +119,21 @@ object Bm25 {
     val qdict = dict.join(
       broadcast(terms.distinct.toDF("word")), "word")
       .select(col("word"), col("idf_q"))
+    val scanned = wordBuckets match {
+      case Some(n) =>
+        val bs = terms.distinct.toDF("word")
+          .select(wordBucket(col("word"), n).as("wb"))
+          .collect().map(_.getInt(0)).distinct.toSeq
+        post.where(col("wb").isin(bs: _*))
+      case None => post
+    }
     val termScore = floor(
       col("idf_q").cast("double") *
         (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
       .cast("bigint")
-    post.join(broadcast(qdict), "word")
+    scanned.join(broadcast(qdict), "word")
       .select(col(idCol), termScore.as("__s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("matched"), sum(col("__s")).as("score_q"))

@@ -410,6 +410,29 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("bm25TopK wordBuckets: partition-prunes a word-bucketed postings table; scores unchanged") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val post0 = ops.Bm25.postings(docs, "doc_id", "text")
+    val bdir = java.nio.file.Files.createTempDirectory("bm25_postings").toString
+    post0.withColumn("wb", ops.Bm25.wordBucket($"word", 16))
+      .write.partitionBy("wb").mode("overwrite").parquet(bdir)
+    val post = spark.read.parquet(bdir)
+    val dict = ops.Bm25.dictionary(post, "doc_id").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(ops.Bm25.bm25TopK(post, dict, "doc_id",
+      Seq("hash", "join"), k = 10))
+    val prunedDf = ops.Bm25.bm25TopK(post, dict, "doc_id",
+      Seq("hash", "join"), k = 10, wordBuckets = Some(16))
+    assert(rows(prunedDf) == plain, "pruning changed scores")
+    val p = prunedDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*wb".r.findFirstIn(p).isDefined,
+      "postings scan must carry a partition filter on wb:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
   test("dsirSample: Gumbel-top-k plans TakeOrdered, never a global sort") {
     import spark.implicits._
     val weighted = spark.range(100000)
