@@ -567,6 +567,31 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a per-cluster retention CAP instead of the
+    * single-keeper rule: keep the `m` smallest ids of every near-dup
+    * cluster (m = 1 reduces exactly to dedupCorpus; unpaired docs always
+    * pass). The mixture-control variant — some pipelines deliberately
+    * retain a bounded number of near-duplicates (effectively upweighting
+    * canonical pages) instead of exactly one, and the cap makes that an
+    * explicit deterministic knob.
+    *
+    * Scale shape: the ranking window partitions by RESOLVED cluster, so
+    * its task size is bounded by the largest near-dup cluster — the same
+    * bound [[resolveClusters]]' star fixpoint already carries — never by
+    * the corpus. */
+  def dedupCorpusCapped(docs: DataFrame, idCol: String, pairs: DataFrame,
+      m: Int, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("id"))
+    val losers = resolveClusters(pairs, idA, idB, maxIters)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > m)
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Semantic dedup at cluster granularity — the SemDeDup operator a
     * pretraining pipeline actually runs (Abbas et al. 2023): assign every
     * embedding to an IVF centroid cell, pair within-cell above the cosine

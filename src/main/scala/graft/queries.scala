@@ -727,6 +727,56 @@ object Queries {
            |WHERE doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Capped cluster dedup (ops.Dedup.dedupCorpusCapped): same planted
+    * duplicate chains as q_dedup_corpus, but every near-dup cluster keeps
+    * its TWO smallest ids (the mixture-control retention knob; m = 1
+    * reduces to dedupCorpus). Oracle: recursive components → rank within
+    * component → NOT IN beyond rank 2. */
+  private val qDedupCapped = QueryDef(
+    "q_dedup_capped",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 30).select($"doc_id", $"text")
+      val corpus = base
+        .union(base.where($"doc_id" < 20).select(($"doc_id" + 1000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" < 10).select(($"doc_id" + 2000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" < 5).select(($"doc_id" + 3000).as("doc_id"), $"text"))
+      val pairs = base.where($"doc_id" < 20)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1000).as("id_b"))
+        .union(base.where($"doc_id" < 10)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 1000).as("id_b")))
+        .union(base.where($"doc_id" < 5)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 3000).as("id_b")))
+      ops.Dedup.dedupCorpusCapped(corpus, "doc_id", pairs, m = 2)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+           |corpus AS (
+           |  SELECT doc_id, text FROM base
+           |  UNION ALL SELECT doc_id + 1000, text FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, text FROM base WHERE doc_id < 10
+           |  UNION ALL SELECT doc_id + 3000, text FROM base WHERE doc_id < 5),
+           |pairs AS (
+           |  SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, doc_id + 1000 FROM base WHERE doc_id < 10
+           |  UNION ALL SELECT doc_id + 2000, doc_id + 3000 FROM base WHERE doc_id < 5),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+           |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+           |rk AS (SELECT id, row_number() OVER (PARTITION BY cid ORDER BY id) AS r
+           |  FROM comp),
+           |losers AS (SELECT id FROM rk WHERE r > 2)
+           |SELECT doc_id, md5(text) AS h FROM corpus
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Incremental dedup (ops.Dedup.incrementalDedup) — admit only delta
     * rows that survive dedup against an immutable already-deduped corpus:
     * exact copies and LSH-verified near-dups of the corpus are dropped,
@@ -3447,7 +3497,7 @@ object Queries {
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
-    qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ,
+    qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ, qDedupCapped,
     qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
     qNbTrain, qNbClassify, qDsir, qBm25,

@@ -196,6 +196,20 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 2L, 4L, 6L, 8L, 9L))
   }
 
+  test("dedupCorpusCapped keeps the m smallest ids per cluster; m = 1 equals dedupCorpus") {
+    val docs = (0L until 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters: {1, 5, 7} (chain) and {2, 3}; 0/4/6/8/9 unpaired
+    val pairs = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    def kept(m: Int) = ops.Dedup.dedupCorpusCapped(docs, "doc_id", pairs, m)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // m = 2: {1, 5} survive of the 3-chain, {2, 3} fully, all unpaired
+    assert(kept(2) == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+    // m = 3 retains everything here; m = 1 reduces to the single keeper
+    assert(kept(3) == (0L until 10L).toSet)
+    assert(kept(1) == ops.Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("full pipeline: nearDupPairs → dedupCorpus removes exactly the planted dups") {
     val base = documents.select($"doc_id", $"text").where($"doc_id" < 30)
     val planted = base.select(($"doc_id" + 1000).as("doc_id"),
