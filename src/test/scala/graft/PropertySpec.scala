@@ -171,4 +171,41 @@ class PropertySpec extends AnyFunSuite {
     assert(ids(docs.repartition(13)) == base)
     assert(ids(docs.coalesce(1)) == base)
   }
+
+  test("round-5 ops are partition-invariant: NB predictions, DSIR selection, BM25 top-k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang", $"text")
+    val train = docs.where($"doc_id" < 100)
+
+    val nbModel = ops.NaiveBayes.trainNb(train, "text", "lang").localCheckpoint()
+    def preds(df: org.apache.spark.sql.DataFrame) =
+      ops.NaiveBayes.nbClassify(df, "doc_id", "text", nbModel)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val basePreds = preds(docs)
+    assert(preds(docs.repartition(13)) == basePreds)
+    assert(preds(docs.coalesce(1)) == basePreds)
+
+    import org.apache.spark.sql.functions.{array_join, reverse, split}
+    val target = ops.Lm.trainBigramLm(train.select($"text"), "text").localCheckpoint()
+    val raw = ops.Lm.trainBigramLm(
+      train.select(array_join(reverse(split($"text", " ")), " ").as("text")),
+      "text").localCheckpoint()
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      ops.Sampling.dsirSample(
+        ops.Sampling.importanceWeights(df, "doc_id", "text", target, raw),
+        "doc_id", k = 20).select($"doc_id").as[Long].collect().toSet
+    val baseSel = sel(docs)
+    assert(sel(docs.repartition(13)) == baseSel)
+    assert(sel(docs.coalesce(1)) == baseSel)
+
+    def hits(df: org.apache.spark.sql.DataFrame) = {
+      val post = ops.Bm25.postings(df, "doc_id", "text")
+      val dict = ops.Bm25.dictionary(post, "doc_id")
+      ops.Bm25.bm25TopK(post, dict, "doc_id", Seq("hash", "join"), k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val baseHits = hits(docs)
+    assert(hits(docs.repartition(13)) == baseHits)
+    assert(hits(docs.coalesce(1)) == baseHits)
+  }
 }
