@@ -410,6 +410,42 @@ object Cleaning {
   }
 
   // ------------------------------------------------------------------
+  // Text normalization (the canonical form upstream of hashing/dedup)
+  // ------------------------------------------------------------------
+
+  /** Latin accent fold map shared verbatim with the DuckDB oracle — an
+    * EXPLICIT 1:1 `translate` table rather than a locale/ICU normalizer,
+    * so both engines produce byte-identical output by construction (NFC /
+    * full Unicode folding is engine-dependent and would break the
+    * hash-match contract; the documented scope is Latin-1 letters). */
+  val AccentFrom: String = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+  val AccentTo: String   = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+  /** Canonical display form of a text column: lowercase → fold Latin
+    * accents ([[AccentFrom]]→[[AccentTo]]) → control chars (0x00–0x1F,
+    * 0x7F — tabs/newlines included) to spaces → collapse space runs →
+    * trim. Pure per-row column algebra, zero shuffle, codegen-friendly;
+    * NULL propagates. The canonicalization every hash-keyed stage
+    * (exact dedup, minhash shingles, line pruning) should run FIRST —
+    * otherwise "Foo\tBar" and "foo bar" count as different content. */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(t), AccentFrom, AccentTo),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "  +", " "))
+
+  /** Aggressive dedup KEY form: [[normalizeText]] then strip every char
+    * outside `[a-z0-9 ]` and re-collapse (punctuation/emoji variants of
+    * the same sentence collapse to one key — the fuzzy-exact dedup most
+    * web pipelines run instead of byte-exact). Use as the `contentCol`
+    * of [[graft.ops.Dedup.exactDedup]]; NOT a display form (word joins
+    * like "don't"→"dont" are deliberate). */
+  def dedupKey(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(normalizeText(t), "[^a-z0-9 ]", ""),
+      "  +", " "))
+
+  // ------------------------------------------------------------------
   // Benchmark decontamination
   // ------------------------------------------------------------------
 
@@ -439,6 +475,30 @@ object Cleaning {
     val corpusSh = corpus.select(col(idCol), explode(sh).as("sh"))
     val hits = corpusSh.join(broadcast(benchSh), "sh")
       .groupBy(col(idCol)).agg(countDistinct(col("sh")).cast("int").as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0)) > 0, 0).otherwise(1).as("keep"))
+  }
+
+  /** SEMANTIC benchmark decontamination — [[decontaminate]]'s embedding
+    * twin: a corpus document is contaminated iff any benchmark vector sits
+    * within cosine ≥ `threshold` of its embedding (paraphrased eval
+    * leakage that shares no word k-gram — the case the n-gram form misses
+    * by construction; run BOTH). Same output contract: one row per corpus
+    * document, `(idCol, n_hits, keep)`.
+    *
+    * The search is IVF-celled and bench-broadcast — see
+    * [[graft.ops.Similarity.semanticCrossHits]] for the plan shape and
+    * the `nProbe` recall knob; recall is bounded by the cell assignment
+    * exactly as in SemDeDup, so for small bench sets prefer a generous
+    * `nProbe` over more centroids. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, nCentroids: Int,
+      nProbe: Int = 1, lloydIters: Int = 0): DataFrame = {
+    val hits = Similarity.semanticCrossHits(corpus, bench, idCol, vecCol,
+      threshold, nCentroids, nProbe, lloydIters)
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
@@ -486,6 +546,49 @@ object Cleaning {
     docs.select(col(idCol), size(lineArr).as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  /** DOMAIN-scoped repeated-line pruning — the RefinedWeb/CCNet variant of
+    * [[pruneRepeatedLines]]: a line is boilerplate iff it repeats across ≥
+    * `maxDocs` distinct documents OF THE SAME DOMAIN (nav bars, footers,
+    * cookie banners are per-site artifacts; the global rule either misses
+    * them — each site's footer is globally rare — or, tuned low enough to
+    * catch them, starts deleting genuinely common sentences from unrelated
+    * sites). Removal is keyed on `(domain, md5(line))`, so the same
+    * sentence survives on domains where it is NOT boilerplate. Returns
+    * `(idCol, domainCol, n_lines, n_kept, new_text)`.
+    *
+    * Scale shape: identical to the global form — partial hash-agg on the
+    * (domain, line-hash) pair, then a left-anti equi-join — but the
+    * domain key makes the hot set strictly per-site, so it is ALWAYS
+    * shuffled (never broadcast): at web scale the union of every site's
+    * boilerplate is far beyond driver memory, and the join key (domain,
+    * lh) co-partitions with the counting agg anyway (one shuffle feeds
+    * both under AQE exchange reuse). A skew note: the agg side cannot
+    * straggle (partial agg collapses a domain's million-copy footer
+    * map-side), and the anti-join side hashes on the PAIR, so even a
+    * giant domain spreads across reducers by line. */
+  def pruneRepeatedLinesByDomain(docs: DataFrame, idCol: String,
+      domainCol: String, textCol: String, lineLen: Int,
+      maxDocs: Int): DataFrame = {
+    val lineArr = expr(linesExpr(s"split($textCol, ' ')", lineLen))
+    val lines = docs.select(col(idCol), col(domainCol),
+        posexplode(lineArr).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val hot = lines.groupBy(col(domainCol), col("lh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= maxDocs)
+      .select(col(domainCol), col("lh"))
+    val kept = lines.join(hot, Seq(domainCol, "lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"), " ")
+          .as("new_text"))
+    docs.select(col(idCol), col(domainCol), size(lineArr).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col(domainCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("new_text"), lit("")).as("new_text"))
   }

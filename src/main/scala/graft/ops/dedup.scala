@@ -36,6 +36,21 @@ object Dedup {
       .select(df.columns.map(c => col("__keep").getField(c).as(c)): _*)
   }
 
+  /** Fuzzy-exact dedup: [[exactDedup]] keyed on the NORMALIZED content
+    * form ([[graft.ops.Cleaning.dedupKey]] — lowercase, accent-folded,
+    * punctuation-stripped, whitespace-collapsed), so casing / punctuation
+    * / whitespace variants of the same page collapse to one keeper. The
+    * "exact" dedup most web pipelines actually run (byte-exact misses the
+    * bulk of trivial mirrors). Same plan shape as [[exactDedup]]: the key
+    * is computed map-side inside the partial agg — no extra pass, no
+    * materialized key column. */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val row = struct(df.columns.map(col): _*)
+    df.groupBy(md5(Cleaning.dedupKey(col(textCol))).as("__h"))
+      .agg(min_by(row, col(idCol)).as("__keep"))
+      .select(df.columns.map(c => col("__keep").getField(c).as(c)): _*)
+  }
+
   /** MinHash signature: k salted min-md5 values over word 3-gram shingles.
     * Adds `sig` (array<string>, length k). Docs with fewer than 3 words get
     * an empty signature (they never spuriously collide). */
@@ -588,6 +603,36 @@ object Dedup {
     val losers = resolveClusters(pairs, idA, idB, maxIters)
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") > m)
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** [[dedupCorpus]] with QUALITY-AWARE retention: each near-dup cluster
+    * keeps its highest-`scoreCol` member (ties broken toward the smaller
+    * id) instead of blindly keeping the minimum id. The retention rule a
+    * production pipeline actually wants once a quality signal exists —
+    * near-dup clusters usually mix a clean canonical page with mojibake
+    * mirrors and ad-wrapped scrapes, and min-id retention picks among them
+    * arbitrarily; scoring by [[graft.ops.Lm.lmScore]] or
+    * [[graft.ops.Cleaning.gopherQualityGate]]-style stats keeps the copy
+    * worth training on. `scoreCol` is read off `docs` itself (any numeric
+    * column); docs in no pair always pass.
+    *
+    * Scale shape: cluster membership comes from [[resolveClusters]] (the
+    * star fixpoint), scores reach members via one equi-join on the doc id
+    * (the cluster-members side is pairs-sized, not corpus-sized), and the
+    * per-cluster argmax is a window partitioned by RESOLVED cluster — task
+    * size bounded by the largest near-dup cluster, exactly like
+    * [[dedupCorpusCapped]], never by the corpus. */
+  def dedupCorpusBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("__score").desc, col("id"))
+    val losers = resolveClusters(pairs, idA, idB, maxIters)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
       .select(col("id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }

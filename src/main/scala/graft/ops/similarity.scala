@@ -174,6 +174,46 @@ object Similarity {
       .distinct()
   }
 
+  /** CROSS-corpus semantic hits — the embedding analog of n-gram
+    * benchmark decontamination ([[graft.ops.Cleaning.decontaminate]]):
+    * for every corpus vector, count the BENCH vectors within cosine ≥
+    * `threshold`, searching only shared IVF cells. Centroids are seeded
+    * and (optionally) Lloyd-refined from the BENCH side — the fixed
+    * reference set the search protects, and the small side — then both
+    * sides are assigned: bench to its single nearest cell, corpus to its
+    * `nProbe` nearest (multiprobe recovers corpus vectors that fall just
+    * across a cell boundary from their bench near-dup — the standard IVF
+    * probe trade, same knob as [[ivfTopK]]). Returns one row per corpus
+    * vector WITH ≥1 hit: `(idCol, n_hits)`.
+    *
+    * Scale shape: the bench side (eval suites — thousands of vectors) is
+    * BROADCAST after assignment, so the cell match is a broadcast
+    * equi-join: the corpus never shuffles, and per-corpus-row work is
+    * bounded by the largest bench CELL (≤ bench size), so no hot-cell
+    * guard is needed — unlike the self-join in [[semanticNearDupPairs]]
+    * there is no quadratic corpus term to cap, and capping would silently
+    * UNDER-decontaminate. A (corpus, bench) pair can meet in at most one
+    * cell (the bench side holds exactly one), so hits are never
+    * double-counted across probes. */
+  def semanticCrossHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nCentroids: Int, nProbe: Int = 1,
+      lloydIters: Int = 0): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cents = refineCentroids(bench, vecCol,
+      seedCentroids(bench, idCol, vecCol, nCentroids), lloydIters)
+    def asg(df: DataFrame, probes: Int) =
+      cellRanks(df.select(col(idCol).as("__id"), col(vecCol).as("__v")),
+          "__id", "__v", cents, maxRank = probes)
+        .withColumn("__n", norm("__v"))
+        .drop("__rk")
+    asg(corpus, nProbe).as("x")
+      .join(broadcast(asg(bench, 1).as("y")), col("x.__cell") === col("y.__cell"))
+      .withColumn("cosine", dot("x.__v", "y.__v") / (col("x.__n") * col("y.__n")))
+      .where(col("cosine") >= threshold)
+      .groupBy(col("x.__id").as(idCol))
+      .agg(count(lit(1)).cast("int").as("n_hits"))
+  }
+
   /** The cells [[semanticNearDupPairs]] would drop at `maxCell`, with
     * member counts — the audit/log surface (no silent caps). */
   def semanticOversizeCells(corpus: DataFrame, idCol: String, vecCol: String,

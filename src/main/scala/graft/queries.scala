@@ -777,6 +777,64 @@ object Queries {
            |WHERE doc_id NOT IN (SELECT id FROM losers)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Quality-aware cluster dedup (ops.Dedup.dedupCorpusBest): every
+    * near-dup cluster keeps its highest-scoring member (score = word
+    * count here; clones carry two planted extra words, so the CLONE must
+    * beat the original — distinguishable from min-id retention), ties
+    * broken toward the smaller id (the 20≤id<25 equal-text pairs pin the
+    * tie-break). Oracle: recursive components → rank by (score desc, id)
+    * within component → NOT IN beyond rank 1. */
+  private val qDedupBest = QueryDef(
+    "q_dedup_best",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 30).select($"doc_id", $"text")
+      val corpus = base
+        .union(base.where($"doc_id" < 20)
+          .select(($"doc_id" + 1000).as("doc_id"), concat($"text", lit(" extra extra")).as("text")))
+        .union(base.where($"doc_id" < 10).select(($"doc_id" + 2000).as("doc_id"), $"text"))
+        .union(base.where($"doc_id" >= 20 && $"doc_id" < 25)
+          .select(($"doc_id" + 5000).as("doc_id"), $"text"))
+        .withColumn("nw", size(split($"text", " ")))
+      val pairs = base.where($"doc_id" < 20)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 1000).as("id_b"))
+        .union(base.where($"doc_id" < 10)
+          .select(($"doc_id" + 2000).as("id_a"), ($"doc_id" + 1000).as("id_b")))
+        .union(base.where($"doc_id" >= 20 && $"doc_id" < 25)
+          .select($"doc_id".as("id_a"), ($"doc_id" + 5000).as("id_b")))
+      ops.Dedup.dedupCorpusBest(corpus, "doc_id", "nw", pairs)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+           |corpus AS (
+           |  SELECT doc_id, text FROM base
+           |  UNION ALL SELECT doc_id + 1000, text || ' extra extra' FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, text FROM base WHERE doc_id < 10
+           |  UNION ALL SELECT doc_id + 5000, text FROM base WHERE doc_id >= 20 AND doc_id < 25),
+           |pairs AS (
+           |  SELECT doc_id AS id_a, doc_id + 1000 AS id_b FROM base WHERE doc_id < 20
+           |  UNION ALL SELECT doc_id + 2000, doc_id + 1000 FROM base WHERE doc_id < 10
+           |  UNION ALL SELECT doc_id, doc_id + 5000 FROM base WHERE doc_id >= 20 AND doc_id < 25),
+           |nodes AS (SELECT DISTINCT id FROM
+           |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+           |comp AS (SELECT id, min(r) AS cid FROM reach GROUP BY id),
+           |scored AS (SELECT comp.id, comp.cid,
+           |    len(string_split(corpus.text, ' ')) AS nw
+           |  FROM comp JOIN corpus ON corpus.doc_id = comp.id),
+           |rk AS (SELECT id, row_number() OVER (
+           |    PARTITION BY cid ORDER BY nw DESC, id) AS r FROM scored),
+           |losers AS (SELECT id FROM rk WHERE r > 1)
+           |SELECT doc_id, md5(text) AS h FROM corpus
+           |WHERE doc_id NOT IN (SELECT id FROM losers)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Incremental dedup (ops.Dedup.incrementalDedup) — admit only delta
     * rows that survive dedup against an immutable already-deduped corpus:
     * exact copies and LSH-verified near-dups of the corpus are dropped,
@@ -1016,6 +1074,55 @@ object Queries {
            |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon)
            |       THEN 1 ELSE 0 END AS INT) AS kept
            |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Text normalization + fuzzy-exact dedup (ops.Cleaning.normalizeText /
+    * dedupKey, ops.Dedup.normalizedDedup): documents are wrapped in
+    * planted mess (leading/trailing runs, a tab, accented words, an
+    * ellipsis, an apostrophe, a newline), and each id<15 doc gets an
+    * UPPERCASED "!!"-suffixed clone at id+1000 whose dedup KEY is equal by
+    * construction — normalizedDedup must drop every clone while byte-exact
+    * dedup would keep all of them. Output = survivors with md5 of both
+    * canonical forms; the oracle replays the lower/translate/regex chain
+    * character-for-character (the accent map is shared verbatim). */
+  private val qTextNormalize = QueryDef(
+    "q_text_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 40).select($"doc_id", $"text")
+      val messy = base.select($"doc_id",
+        concat(lit("  "), upper(substring($"text", 1, 40)), lit("\t"),
+          lit("Élan ÇAFÉ… it's   OK "), lit("\n")).as("text"))
+      val clones = messy.where($"doc_id" < 15)
+        .select(($"doc_id" + 1000).as("doc_id"),
+          concat(upper($"text"), lit(" !!")).as("text"))
+      val corpus = messy.union(clones)
+      ops.Dedup.normalizedDedup(corpus, "doc_id", "text")
+        .select($"doc_id",
+          md5(ops.Cleaning.normalizeText($"text")).as("nnorm"),
+          md5(ops.Cleaning.dedupKey($"text")).as("nkey"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val from = ops.Cleaning.AccentFrom
+      val to = ops.Cleaning.AccentTo
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+         |m AS (SELECT doc_id,
+         |    '  ' || upper(substr(text, 1, 40)) || chr(9) ||
+         |    'Élan ÇAFÉ… it''s   OK ' || chr(10) AS text
+         |  FROM base),
+         |corpus AS (SELECT doc_id, text FROM m
+         |  UNION ALL SELECT doc_id + 1000, upper(text) || ' !!' FROM m WHERE doc_id < 15),
+         |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    translate(lower(text), '$from', '$to'),
+         |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), '  +', ' ', 'g')) AS n
+         |  FROM corpus),
+         |keyed AS (SELECT doc_id, n, trim(regexp_replace(regexp_replace(
+         |    n, '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS k
+         |  FROM norm),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY md5(k))
+         |SELECT keyed.doc_id, md5(n) AS nnorm, md5(k) AS nkey
+         |FROM keyed JOIN keep USING (doc_id) ORDER BY keyed.doc_id""".stripMargin
+    })
 
   /** Bigram-LM training counts (ops.Lm.bigramCounts — the oracle-exact
     * integer half of the CCNet-style quality gate): word bigrams of a
@@ -1873,6 +1980,75 @@ object Queries {
            |WHERE vec_id NOT IN (SELECT id FROM losers)
            |ORDER BY vec_id""".stripMargin))
 
+  /** Semantic benchmark decontamination (ops.Cleaning.semanticDecontaminate
+    * / ops.Similarity.semanticCrossHits): the corpus carries planted exact
+    * and first-dim-perturbed copies of benchmark embeddings; centroids are
+    * seeded from the BENCH side (4 seeds, md5-id order), bench vectors
+    * assign to their single nearest cell, corpus vectors probe their TWO
+    * nearest, and any (corpus, bench) cosine ≥ 0.99 inside a shared cell
+    * marks the corpus row contaminated. The oracle replays seeding, both
+    * assignments, the cosine and the hit counts over the same
+    * integer-quantized vectors. */
+  private val qSemanticDecon = QueryDef(
+    "q_semantic_decon",
+    (s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      val bench = e.where($"vec_id" < 8)
+      val corpus = e.where($"vec_id" >= 100 && $"vec_id" < 200)
+        .union(bench.where($"vec_id" < 4).select(($"vec_id" + 2000).as("vec_id"), $"qv"))
+        .union(bench.where($"vec_id" < 2).select(($"vec_id" + 3000).as("vec_id"),
+          expr("concat(array(qv[0] + 100L), slice(qv, 2, size(qv) - 1))").as("qv")))
+      ops.Cleaning.semanticDecontaminate(corpus, bench, "vec_id", "qv",
+          threshold = 0.99, nCentroids = 4, nProbe = 2)
+        .select($"vec_id", $"n_hits", $"keep")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |bench AS (SELECT vec_id, qv FROM e WHERE vec_id < 8),
+           |corpus AS (
+           |  SELECT vec_id, qv FROM e WHERE vec_id >= 100 AND vec_id < 200
+           |  UNION ALL SELECT vec_id + 2000, qv FROM bench WHERE vec_id < 4
+           |  UNION ALL SELECT vec_id + 3000, list_concat([qv[1] + 100], qv[2:len(qv)])
+           |    FROM bench WHERE vec_id < 2),
+           |cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           |    qv AS cv
+           |  FROM bench ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
+           |db AS (SELECT bench.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(bench.qv)),
+           |      j -> (cents.cv[j+1] - bench.qv[j+1]) * (cents.cv[j+1] - bench.qv[j+1]))) AS sqd
+           |  FROM bench, cents),
+           |ab AS (SELECT vec_id, cid AS cell FROM
+           |  (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+           |   FROM db) WHERE rk = 1),
+           |dc AS (SELECT corpus.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(corpus.qv)),
+           |      j -> (cents.cv[j+1] - corpus.qv[j+1]) * (cents.cv[j+1] - corpus.qv[j+1]))) AS sqd
+           |  FROM corpus, cents),
+           |ac AS (SELECT vec_id, cid AS cell FROM
+           |  (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+           |   FROM dc) WHERE rk <= 2),
+           |bn AS (SELECT b.vec_id, a.cell, b.qv,
+           |    CAST(list_sum(list_transform(b.qv, x -> x*x)) AS BIGINT) AS nrm
+           |  FROM bench b JOIN ab a ON a.vec_id = b.vec_id),
+           |cn AS (SELECT c.vec_id, a.cell, c.qv,
+           |    CAST(list_sum(list_transform(c.qv, x -> x*x)) AS BIGINT) AS nrm
+           |  FROM corpus c JOIN ac a ON a.vec_id = c.vec_id),
+           |hits AS (SELECT cn.vec_id, CAST(count(*) AS INT) AS n_hits
+           |  FROM cn JOIN bn ON cn.cell = bn.cell
+           |  WHERE CAST(list_sum(list_transform(range(len(cn.qv)),
+           |          j -> cn.qv[j+1] * bn.qv[j+1])) AS DOUBLE)
+           |        / (sqrt(CAST(cn.nrm AS DOUBLE)) * sqrt(CAST(bn.nrm AS DOUBLE))) >= 0.99
+           |  GROUP BY cn.vec_id)
+           |SELECT c.vec_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+           |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 0 ELSE 1 END AS INT) AS keep
+           |FROM corpus c LEFT JOIN hits h USING (vec_id)
+           |ORDER BY c.vec_id""".stripMargin))
+
   /** Product quantization ANN (ops.Pq): m=4 subspaces × k=8 codes over
     * integer-quantized embeddings; codebook = the subvectors of the eight
     * vec_id%32==0 corpus rows (code = vec_id/32 — deterministic, so the
@@ -2709,6 +2885,52 @@ object Queries {
          |FROM nl LEFT JOIN reb USING (doc_id) ORDER BY nl.doc_id""".stripMargin
     })
 
+  /** DOMAIN-scoped repeated-line pruning (ops.Cleaning
+    * .pruneRepeatedLinesByDomain): the planted boilerplate line repeats
+    * across ≥5 docs of domain a.test (pruned there) but appears in exactly
+    * ONE doc of b.test (kept there — the global rule q_line_dedup would
+    * have pruned it everywhere or nowhere). Same replay as q_line_dedup
+    * with the hot set keyed on (domain, line hash). */
+  private val qLineDomain = QueryDef(
+    "q_line_domain",
+    (s, dir) => {
+      import s.implicits._
+      val spam = ops.Cleaning.BoilerLine
+      val p = t(s, dir, "documents").where($"doc_id" < 60)
+        .select($"doc_id",
+          when($"doc_id" % 2 === 0, "a.test").otherwise("b.test").as("domain"),
+          when($"doc_id" % 4 === 0 || $"doc_id" === 3, concat(lit(s"$spam "), $"text"))
+            .otherwise($"text").as("ptext"))
+      ops.Cleaning.pruneRepeatedLinesByDomain(p, "doc_id", "domain", "ptext", 8, 5)
+        .select($"doc_id", $"domain", $"n_lines", $"n_kept", md5($"new_text").as("sig"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val spam = ops.Cleaning.BoilerLine
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'a.test' ELSE 'b.test' END AS domain,
+         |    CASE WHEN doc_id % 4 = 0 OR doc_id = 3 THEN '$spam ' || text
+         |         ELSE text END AS ptext
+         |  FROM documents WHERE doc_id < 60),
+         |ww AS (SELECT doc_id, domain, string_split(ptext, ' ') AS w FROM p),
+         |lines AS (SELECT doc_id, domain, i AS pos,
+         |    array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+         |  FROM (SELECT doc_id, domain, w,
+         |          unnest(range(0, ((len(w)-1)//8) + 1)) AS i FROM ww)),
+         |hot AS (SELECT domain, md5(line) AS lh FROM lines
+         |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 5),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  LEFT JOIN hot ON hot.domain = l.domain AND hot.lh = md5(l.line)
+         |  WHERE hot.lh IS NULL),
+         |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |    string_agg(line, ' ' ORDER BY pos) AS new_text FROM kept GROUP BY doc_id),
+         |nl AS (SELECT doc_id, domain, CAST(((len(w)-1)//8) + 1 AS INT) AS n_lines FROM ww)
+         |SELECT nl.doc_id, nl.domain, nl.n_lines,
+         |  CAST(coalesce(reb.n_kept, 0) AS INT) AS n_kept,
+         |  md5(coalesce(reb.new_text, '')) AS sig
+         |FROM nl LEFT JOIN reb USING (doc_id) ORDER BY nl.doc_id""".stripMargin
+    })
+
   /** Deterministic mixture sampling + train/test split (ops.Sampling):
     * per-source keep rates in basis points over the md5-hash of doc_id,
     * then a salted-hash split label; per-source rollup of kept / test
@@ -3498,18 +3720,19 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ, qDedupCapped,
-    qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon,
+    qDedupBest, qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon, qTextNormalize,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
     qNbTrain, qNbClassify, qDsir, qBm25,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
-    qSemanticDedup,
+    qSemanticDedup, qSemanticDecon,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
+    qLineDomain,
     qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

@@ -362,4 +362,41 @@ class CleaningSpec extends AnyFunSuite {
     // line repeats in 3 docs < threshold 5 → nothing pruned
     assert(out.where($"n_kept" =!= $"n_lines").count() == 0)
   }
+
+  test("pruneRepeatedLinesByDomain prunes per-site boilerplate only on its own domain") {
+    val foot = "f1 f2 f3 f4 f5 f6 f7 f8"
+    // domain a: the footer repeats across 5 docs (>= maxDocs) → pruned
+    // domain b: the SAME footer appears in 1 doc → kept there
+    val docs = (0L until 5L).map(i =>
+        (i, "a.test", s"$foot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")) ++
+      Seq((10L, "b.test", s"$foot v1 v2 v3 v4 v5 v6 v7 v8"))
+    val out = ops.Cleaning.pruneRepeatedLinesByDomain(
+        docs.toDF("doc_id", "domain", "text"), "doc_id", "domain", "text", 8, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    (0L until 5L).foreach { i =>
+      val (dom, nLines, nKept, txt) = out(i)
+      assert(dom == "a.test" && nLines == 2 && nKept == 1)
+      assert(txt == s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h")
+    }
+    val (_, nl10, nk10, txt10) = out(10L)
+    assert(nl10 == 2 && nk10 == 2, "footer under threshold on b.test must survive")
+    assert(txt10.startsWith(foot))
+  }
+
+  // ---- text normalization ----
+
+  test("normalizeText: case, accents, control chars, runs; dedupKey strips punctuation") {
+    val r = Seq((1L, "  FoO\tBÀR  \nÉlan… don't!  ")).toDF("doc_id", "text")
+      .select(ops.Cleaning.normalizeText($"text").as("n"),
+        ops.Cleaning.dedupKey($"text").as("k"))
+      .head()
+    assert(r.getString(0) == "foo bar elan… don't!")
+    assert(r.getString(1) == "foo bar elan dont")
+    // NULL propagates through both forms
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(ops.Cleaning.normalizeText($"text").as("n"),
+        ops.Cleaning.dedupKey($"text").as("k")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

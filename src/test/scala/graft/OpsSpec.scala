@@ -210,6 +210,38 @@ class OpsSpec extends AnyFunSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("dedupCorpusBest keeps the highest-scoring cluster member, ties to the smaller id") {
+    // clusters: {1, 5, 7} with scores 3/9/9 → 5 wins (9 ties to smaller
+    // id); {2, 3} with scores 4/8 → 3 wins over the SMALLER id 2 (argmax,
+    // not min-id); 0/4 unpaired pass
+    val docs = Seq((0L, 1), (1L, 3), (2L, 4), (3L, 8), (4L, 2), (5L, 9), (7L, 9))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 5L), (5L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = ops.Dedup.dedupCorpusBest(docs, "doc_id", "score", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 5L))
+    // a constant score degrades exactly to min-id retention == dedupCorpus
+    val const = docs.withColumn("score", lit(1))
+    assert(ops.Dedup.dedupCorpusBest(const, "doc_id", "score", pairs)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      ops.Dedup.dedupCorpus(docs, "doc_id", pairs)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("normalizedDedup collapses case/punct/whitespace variants; byte-exact dedup keeps them") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),          // same key as 1 → dropped (1 is smaller)
+      (3L, "HELLO\tWORLD"),         // same key → dropped
+      (4L, "héllo world"),          // accent folds → same key → dropped
+      (5L, "hello worlds")          // different key → kept
+    ).toDF("doc_id", "text")
+    val kept = ops.Dedup.normalizedDedup(docs, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+    assert(ops.Dedup.exactDedup(docs, "doc_id", "text").count() == 5)
+  }
+
   test("full pipeline: nearDupPairs → dedupCorpus removes exactly the planted dups") {
     val base = documents.select($"doc_id", $"text").where($"doc_id" < 30)
     val planted = base.select(($"doc_id" + 1000).as("doc_id"),
@@ -1040,6 +1072,53 @@ class OpsSpec extends AnyFunSuite {
     val floodIds = (1 to 40).map(i => 5000L + i).toSet + 0L
     assert(guarded.where($"id_a".isin(floodIds.toSeq: _*) ||
       $"id_b".isin(floodIds.toSeq: _*)).count() == 0)
+  }
+
+  test("semanticCrossHits == probed-cell brute-force ground truth; planted bench copies all hit") {
+    val e = embeddings.select($"vec_id",
+      expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+    val bench = e.where($"vec_id" < 8).localCheckpoint()
+    val corpus = e.where($"vec_id" >= 100 && $"vec_id" < 160)
+      .union(bench.where($"vec_id" < 4).select(($"vec_id" + 2000).as("vec_id"), $"qv"))
+      .union(bench.where($"vec_id" < 2).select(($"vec_id" + 3000).as("vec_id"),
+        expr("concat(array(qv[0] + 100L), slice(qv, 2, size(qv) - 1))").as("qv")))
+      .localCheckpoint()
+    val t = 0.99
+    val got = ops.Similarity.semanticCrossHits(corpus, bench, "vec_id", "qv",
+        threshold = t, nCentroids = 4, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // ground truth: bench-seeded centroids, bench in its nearest cell,
+    // corpus probing its 2 nearest — a hit iff the bench cell is among the
+    // corpus row's probed cells and exact cosine clears the threshold
+    val cents = ops.Similarity.seedCentroids(bench, "vec_id", "qv", 4)
+    def sqd(c: Seq[Double], v: Array[Long]) =
+      c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+    def probed(v: Array[Long], k: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (sqd(c, v), i) }.sorted.take(k).map(_._2)
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => (x * y).toDouble }.sum
+      dot / (math.sqrt(a.map(x => (x * x).toDouble).sum) *
+        math.sqrt(b.map(x => (x * x).toDouble).sum))
+    }
+    val benchRows = bench.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val corpusRows = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val expected = corpusRows.map { case (cid, cv) =>
+      val cells = probed(cv, 2).toSet
+      cid -> benchRows.count { case (_, bv) =>
+        cells.contains(probed(bv, 1).head) && cos(cv, bv) >= t }
+    }.filter(_._2 > 0).toMap
+    assert(got == expected, s"diff: ${got.toSet.diff(expected.toSet)} / ${expected.toSet.diff(got.toSet)}")
+    // every planted exact copy sits in its bench twin's cell → must hit
+    (0L until 4L).foreach(i => assert(got.getOrElse(i + 2000, 0) >= 1, s"exact copy $i"))
+
+    // the decontamination wrapper: one row per corpus doc, keep == (hits == 0)
+    val keep = ops.Cleaning.semanticDecontaminate(corpus, bench, "vec_id", "qv",
+        threshold = t, nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(keep.length == corpusRows.length)
+    keep.foreach { case (id, n, k) =>
+      assert(n == expected.getOrElse(id, 0) && k == (if (n > 0) 0 else 1), s"row $id") }
   }
 
   test("hashEmbed: word-order invariant, duplicate docs identical, L1 bounded by word count") {
