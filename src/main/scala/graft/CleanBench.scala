@@ -173,6 +173,55 @@ object CleanBench {
         .agg(count(lit(1))).head().getLong(0)
     }
 
+    // 10. normalized dedup at width: every odd doc is an UPPERCASED
+    //     "!!"-suffixed mirror of the even doc below it — the whole
+    //     normalization chain (lower/translate/regex×3) runs map-side
+    //     inside the partial agg and exactly half the corpus survives
+    val ndocs = spark.range(nDocs).select($"id".as("doc_id"),
+        when($"id" % 2 === 0,
+          concat(lit("alpha "), ($"id" / 2).cast("long"), lit(" beta gamma delta")))
+        .otherwise(
+          concat(lit("ALPHA "), ($"id" / 2).cast("long"), lit(" BETA GAMMA DELTA !!")))
+        .as("text"))
+      .cache()
+    ndocs.count()
+    val (normKept, tNorm) = timed {
+      ops.Dedup.normalizedDedup(ndocs, "doc_id", "text").count()
+    }
+
+    // 11. DOMAIN-scoped line pruning over the same corpus as stage 1
+    //     (source = 8 domains): the boilerplate line is hot WITHIN every
+    //     domain (~0.3·n/8 docs each ≫ 5), so the outcome matches the
+    //     global rule here — the measured delta is the per-domain key
+    //     (domain, lh) shuffle replacing the broadcast hot set
+    val (domKept, tDom) = timed {
+      ops.Cleaning.pruneRepeatedLinesByDomain(
+          docs.withColumnRenamed("source", "domain"),
+          "doc_id", "domain", "text", 8, 5)
+        .agg(sum($"n_kept")).head().getLong(0)
+    }
+
+    // 12. semantic decontamination at width: 16-dim xxhash64-derived
+    //     integer vectors (signed, so random cosines center on 0), bench
+    //     = 1000 exact copies sampled every n/1000 ids — each must hit
+    //     its corpus twin (and the twin itself) through the 256-cell /
+    //     2-probe search; the corpus side is one assign pass + a
+    //     broadcast cell join, never a shuffle
+    val dim = 16
+    val vec = array((0 until dim).map(j =>
+      xxhash64($"doc_id", lit(j)) % 1000): _*)
+    val edocs = spark.range(nDocs).select($"id".as("doc_id"))
+      .withColumn("v", vec).cache()
+    edocs.count()
+    val ebench = edocs.where($"doc_id" % (nDocs / 1000) === 0)
+      .select(($"doc_id" + 1000000000L).as("doc_id"), $"v").cache()
+    ebench.count()
+    val (semContam, tSem) = timed {
+      ops.Cleaning.semanticDecontaminate(edocs, ebench, "doc_id", "v",
+          threshold = 0.999, nCentroids = 256, nProbe = 2)
+        .where($"keep" === 0).count()
+    }
+
     println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
       f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
       f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
@@ -182,7 +231,10 @@ object CleanBench {
       f""""sb_score_sum":$sbSum,"sb_sec":$tSb%.2f,""" +
       f""""c4_kept":$c4Kept,"c4_sec":$tC4%.2f,""" +
       f""""nb_preds":$nbPreds,"nb_sec":$tNb%.2f,""" +
-      f""""dsir_selected":$dsirSel,"dsir_sec":$tDsir%.2f}""")
+      f""""dsir_selected":$dsirSel,"dsir_sec":$tDsir%.2f,""" +
+      f""""norm_kept":$normKept,"norm_sec":$tNorm%.2f,""" +
+      f""""dom_kept_lines":$domKept,"dom_sec":$tDom%.2f,""" +
+      f""""sem_contaminated":$semContam,"sem_sec":$tSem%.2f}""")
     spark.stop()
   }
 }

@@ -147,9 +147,15 @@ object CorpusMain {
         "doc_id")
     }
 
-    // 4. dedup: exact keep-first, then LSH near-dup cluster resolution
+    // 4. dedup: NORMALIZED keep-first (keyed on Cleaning.dedupKey — the
+    //    fuzzy-exact form real crawls need; on THIS corpus the generator
+    //    vocabulary is lowercase alnum, so the key provably equals the
+    //    text and decisions are byte-identical to exactDedup — the value
+    //    at this width is the normalization chain running map-side inside
+    //    the partial agg, the plan that must survive 100 TB), then LSH
+    //    near-dup cluster resolution
     val exact = stage("exact") {
-      ops.Dedup.exactDedup(cleaned, "doc_id", "text")
+      ops.Dedup.normalizedDedup(cleaned, "doc_id", "text")
     }
     val deduped = stage("deduped") {
       val pairs = ops.Dedup.nearDupPairs(exact, "doc_id", "text", threshold = 0.8)

@@ -110,6 +110,45 @@ object Sampling {
       .drop("cum0")
   }
 
+  /** SEQUENCE packing — the step after [[packShards]]: concatenate each
+    * shard's documents (in id order) into one token stream and cut it
+    * into fixed-`seqLen` training rows, sequences crossing document
+    * boundaries exactly as a GPT-style pretraining loader does. Returns
+    * one row per sequence: the `shardCols` + `(seq, toks, n_toks)`; the
+    * final ragged tail is EMITTED with `n_toks < seqLen` (callers pad or
+    * drop — silently discarding it here would be a hidden data cut).
+    *
+    * Scale shape: one grouped row per shard briefly holds that shard's
+    * whole token stream, so per-task memory is bounded by the PACKING
+    * BUDGET (the [[packShards]] contract: a shard never exceeds budget +
+    * one document) — never by the corpus. Size the budget for executor
+    * memory (a 1M-token budget ≈ 10s of MB of strings) and the rest is
+    * pure column algebra: array_sort by (id) inside the aggregate makes
+    * the concatenation order deterministic under any partitioning, and
+    * the slicing is a per-row transform + posexplode, no second shuffle. */
+  def packSequences(df: DataFrame, idCol: String, shardCols: Seq[String],
+                    toksCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(shardCols.nonEmpty, "shardCols must name at least one column")
+    val flat = df
+      .select(shardCols.map(col) :+ col(idCol).as("__pid") :+ toksCol.as("__toks"): _*)
+      .groupBy(shardCols.map(col): _*)
+      // null-toks docs contribute nothing (filtered INSIDE the aggregate
+      // expression): flatten() returns NULL when ANY nested array is null,
+      // so without the filter one null row would silently drop its whole
+      // shard — the exact hidden-cut failure mode this operator avoids
+      .agg(expr("flatten(transform(filter(array_sort(collect_list(struct(__pid, __toks))), " +
+          "s -> s.__toks IS NOT NULL), s -> s.__toks))")
+        .as("__flat"))
+      .where(size(col("__flat")) > 0)
+    flat
+      .withColumn("__seqs", expr(
+        s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
+          s"i -> slice(__flat, i * $seqLen + 1, $seqLen))"))
+      .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "toks")): _*)
+      .withColumn("n_toks", size(col("toks")))
+  }
+
   // ------------------------------------------------------------------
   // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
   // select pretraining documents whose distribution matches a small

@@ -2988,6 +2988,46 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Sequence packing (ops.Sampling.packSequences): pack docs into
+    * 500-token shards per source, then concatenate each shard's docs in
+    * id order and cut fixed 64-token training sequences across document
+    * boundaries, ragged tail emitted short. The oracle replays the shard
+    * cumsum, the order-deterministic concatenation (DuckDB `list(...
+    * ORDER BY doc_id)` + flatten) and the slicing. */
+  private val qPackSequences = QueryDef(
+    "q_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val packed = ops.Sampling.packShards(
+        t(s, dir, "documents").where($"doc_id" < 200)
+          .select($"doc_id", $"source", $"text"),
+        "doc_id", "source",
+        size(split($"text", " ")).cast("bigint"), budget = 500)
+      ops.Sampling.packSequences(
+          packed.withColumn("toks", split($"text", " ")),
+          "doc_id", Seq("source", "shard"), $"toks", seqLen = 64)
+        .select($"source", $"shard", $"seq",
+          md5(array_join($"toks", " ")).as("h"), $"n_toks")
+        .orderBy($"source", $"shard", $"seq")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents WHERE doc_id < 200),
+           |p AS (SELECT doc_id, source, w,
+           |    CAST(coalesce(sum(CAST(len(w) AS BIGINT))
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS INT) AS shard
+           |  FROM d),
+           |f AS (SELECT source, shard, flatten(list(w ORDER BY doc_id)) AS flat
+           |  FROM p GROUP BY source, shard),
+           |s AS (SELECT source, shard, CAST(i AS INT) AS seq,
+           |    flat[i*64+1 : i*64+64] AS toks
+           |  FROM (SELECT source, shard, flat,
+           |          unnest(range(0, ((len(flat)-1)//64) + 1)) AS i FROM f)
+           |  WHERE len(flat) > 0)
+           |SELECT source, shard, seq, md5(array_to_string(toks, ' ')) AS h,
+           |  CAST(len(toks) AS INT) AS n_toks
+           |FROM s ORDER BY source, shard, seq""".stripMargin))
+
   /** Blocklist filtering (ops.Cleaning): drop blocked sources (broadcast
     * anti-join) then gate on blockword content fraction — the C4-style
     * badlist stage. Sources src3/src7 are blocked; the blockword list
@@ -3733,7 +3773,7 @@ object Queries {
     qTokenRegex, qTokens, qBpe,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain,
-    qMixtureSample, qTokenPack, qHashEmbed, qCleanProfile, qChunkWindows,
+    qMixtureSample, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,
     qMediaMeta, qMediaFeatures,

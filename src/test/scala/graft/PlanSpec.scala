@@ -299,6 +299,43 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("semanticCrossHits: bench side broadcasts after assignment; no product joins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+    val bench = e.where($"vec_id" < 8).localCheckpoint()
+    val corpus = e.where($"vec_id" >= 50).localCheckpoint()
+    val p = ops.Similarity.semanticCrossHits(corpus, bench, "vec_id", "qv",
+        threshold = 0.99, nCentroids = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // the cell match must be a broadcast hash equi-join on the bench side —
+    // the corpus side never reshuffles for it — and nothing may plan a
+    // product join (the within-cell search is an equi-join by construction)
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("pruneRepeatedLinesByDomain: removal is a (domain, line) equi anti-join, never a window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source".as("domain"), $"text")
+    val p = ops.Cleaning.pruneRepeatedLinesByDomain(
+        docs, "doc_id", "domain", "text", 8, 5)
+      .queryExecution.executedPlan.toString
+    // the hot set is per-site and unbounded at web scale, so unlike the
+    // global form it is deliberately NOT broadcast-hinted; the removal must
+    // still be an equi anti-join (shuffled or AQE-converted), the counting
+    // a partial agg, and no stage may buffer a domain in a window
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("WindowExec") && !p.contains("Window "), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("readingOrderK and the extract->layout adapter plan no product joins; boundary join stays per-doc") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -208,4 +208,57 @@ class PropertySpec extends AnyFunSuite {
     assert(hits(docs.repartition(13)) == baseHits)
     assert(hits(docs.coalesce(1)) == baseHits)
   }
+
+  test("late-round-5 ops are partition-invariant: normalized dedup, best retention, domain pruning, cross-hits") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+
+    // normalizedDedup: every doc gets an UPPERCASED mirror — keepers must
+    // be exactly the originals, under any partitioning
+    val mirrored = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 100000, upper($"text")))
+    def normIds(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.normalizedDedup(df, "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+    val baseNorm = normIds(mirrored)
+    assert(baseNorm.forall(_ < 100000), "every mirror must collapse onto its original")
+    assert(normIds(mirrored.repartition(13)) == baseNorm)
+    assert(normIds(mirrored.coalesce(1)) == baseNorm)
+
+    // dedupCorpusBest: fixed pair graph, score = doc_id % 7
+    val scored = docs.select($"doc_id", ($"doc_id" % 7).as("score"))
+    val pairs = Seq((1L, 5L), (5L, 7L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def bestIds(df: org.apache.spark.sql.DataFrame) =
+      ops.Dedup.dedupCorpusBest(df, "doc_id", "score", pairs)
+        .select($"doc_id").as[Long].collect().toSet
+    val baseBest = bestIds(scored)
+    assert(bestIds(scored.repartition(13)) == baseBest)
+    assert(bestIds(scored.coalesce(1)) == baseBest)
+
+    // pruneRepeatedLinesByDomain: planted per-source boilerplate
+    val planted = docs.select($"doc_id", $"source".as("domain"),
+      when($"doc_id" % 3 === 0,
+        concat(lit(ops.Cleaning.BoilerLine + " "), $"text")).otherwise($"text").as("text"))
+    def pruned(df: org.apache.spark.sql.DataFrame) =
+      ops.Cleaning.pruneRepeatedLinesByDomain(df, "doc_id", "domain", "text", 8, 5)
+        .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    val basePruned = pruned(planted)
+    assert(pruned(planted.repartition(13)) == basePruned)
+
+    // semanticCrossHits: hit counts stable under corpus repartitioning
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+    val bench = e.where($"vec_id" < 8).localCheckpoint()
+    val corpus = e.where($"vec_id" >= 8)
+      .union(bench.select($"vec_id" + 4000, $"qv")).localCheckpoint()
+    def xhits(df: org.apache.spark.sql.DataFrame) =
+      ops.Similarity.semanticCrossHits(df, bench, "vec_id", "qv",
+          threshold = 0.99, nCentroids = 4, nProbe = 2)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val baseX = xhits(corpus)
+    assert((0L until 8L).forall(i => baseX.getOrElse(i + 4000, 0) >= 1))
+    assert(xhits(corpus.repartition(13)) == baseX)
+  }
 }

@@ -97,6 +97,46 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(10L) == 0 && out(11L) == 1)
   }
 
+  test("packSequences cuts fixed-length sequences across doc boundaries, emits the ragged tail") {
+    // one shard holds docs 1..3 (tokens a1..a5, b1..b3, c1..c2 = 10 toks);
+    // seqLen 4 → [a1..a4], [a5 b1 b2 b3], [c1 c2] (tail of 2)
+    val docs = Seq(
+      (1L, "s", Seq("a1", "a2", "a3", "a4", "a5")),
+      (2L, "s", Seq("b1", "b2", "b3")),
+      (3L, "s", Seq("c1", "c2")))
+      .toDF("doc_id", "shard", "toks")
+    val out = ops.Sampling.packSequences(docs, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq")
+      .select($"seq", $"toks", $"n_toks")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1).toList, r.getInt(2)))
+    assert(out.toList == List(
+      (0, List("a1", "a2", "a3", "a4"), 4),
+      (1, List("a5", "b1", "b2", "b3"), 4),
+      (2, List("c1", "c2"), 2)))
+    // concatenation order is id order regardless of input row order, and
+    // the output is partition-invariant
+    val shuffled = docs.orderBy(rand(7)).repartition(5)
+    val again = ops.Sampling.packSequences(shuffled, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq")
+      .select($"seq", $"toks", $"n_toks")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1).toList, r.getInt(2)))
+    assert(again.toList == out.toList)
+    // exact multiple → no ragged tail
+    val exact = Seq((1L, "s", Seq("a", "b", "c", "d"))).toDF("doc_id", "shard", "toks")
+    val eo = ops.Sampling.packSequences(exact, "doc_id", Seq("shard"), $"toks", 2)
+      .select($"n_toks").as[Int].collect().toList
+    assert(eo == List(2, 2))
+    // a null-toks doc contributes nothing but must NOT nuke its shard
+    // (flatten() is null-poisoning without the in-aggregate filter)
+    val withNull = docs.union(
+      Seq((0L, "s", null: Seq[String])).toDF("doc_id", "shard", "toks"))
+    val nn = ops.Sampling.packSequences(withNull, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq")
+      .select($"seq", $"toks", $"n_toks")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1).toList, r.getInt(2)))
+    assert(nn.toList == out.toList)
+  }
+
   // ---- DSIR importance resampling ----
 
   test("gumbelQ is deterministic, salted, and Gumbel-shaped (mean near Euler–Mascheroni)") {
