@@ -38,29 +38,68 @@ object Sampling {
     * codegen blowup (the same hazard class as a literal IVF codebook). */
   val RatesLiteralMax = 64
 
-  /** Mixture sampling: keep each row iff hashBp(id) < rate(stratum), with
-    * per-stratum rates in basis points (10000 = keep all). Rows of strata
-    * absent from `ratesBp` keep `defaultBp`. Small rate maps compile to a
-    * pure map-side CASE filter (shuffle-free); maps above
+  /** Resolve a per-stratum basis-point table to a Column: small maps
+    * compile to a pure map-side CASE (shuffle-free); maps above
     * [[RatesLiteralMax]] reach executors as a BROADCAST rate-table join —
-    * still map-side, never a plan literal. At 100 TB this composes with
-    * predicate pushdown (the md5 filter itself cannot push into parquet,
-    * but stratum pruning can). */
-  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
-                    ratesBp: Map[String, Int], defaultBp: Int): DataFrame =
-    if (ratesBp.size <= RatesLiteralMax) {
-      val rate = ratesBp.toSeq.sortBy(_._1).foldRight(lit(defaultBp)) {
-        case ((s, bp), els) => when(col(stratumCol) === s, bp).otherwise(els)
+    * still map-side, never a plan literal (a 10k-entry when-chain is a
+    * codegen blowup). Returns (joined frame, bp column, columns the
+    * caller must drop). Shared by [[mixtureSample]] and
+    * [[mixtureEpochs]] so the two can never drift. */
+  private def resolveBp(df: DataFrame, stratumCol: String,
+      bpMap: Map[String, Int], defaultBp: Int): (DataFrame, Column, Seq[String]) =
+    if (bpMap.size <= RatesLiteralMax) {
+      val bp = bpMap.toSeq.sortBy(_._1).foldRight(lit(defaultBp)) {
+        case ((s, v), els) => when(col(stratumCol) === s, v).otherwise(els)
       }
-      df.where(hashBp(col(idCol)) < rate)
+      (df, bp, Nil)
     } else {
       val spark = df.sparkSession
       import spark.implicits._
-      val rates = ratesBp.toSeq.toDF("__stratum", "__bp")
-      df.join(broadcast(rates), col(stratumCol) === col("__stratum"), "left")
-        .where(hashBp(col(idCol)) < coalesce(col("__bp"), lit(defaultBp)))
-        .drop("__stratum", "__bp")
+      val rates = bpMap.toSeq.toDF("__stratum", "__bp")
+      (df.join(broadcast(rates), col(stratumCol) === col("__stratum"), "left"),
+        coalesce(col("__bp"), lit(defaultBp)), Seq("__stratum", "__bp"))
     }
+
+  /** Mixture sampling: keep each row iff hashBp(id) < rate(stratum), with
+    * per-stratum rates in basis points (10000 = keep all). Rows of strata
+    * absent from `ratesBp` keep `defaultBp`. Plan shape per [[resolveBp]]:
+    * map-side CASE or broadcast rate join, never a shuffle. At 100 TB
+    * this composes with predicate pushdown (the md5 filter itself cannot
+    * push into parquet, but stratum pruning can). */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    val (d, bp, drops) = resolveBp(df, stratumCol, ratesBp, defaultBp)
+    d.where(hashBp(col(idCol)) < bp).drop(drops: _*)
+  }
+
+  /** Fractional-EPOCH mixture — the UPSAMPLING half of a data recipe
+    * ([[mixtureSample]] can only keep or drop): each row is emitted
+    * ⌊e⌋ times plus one more iff hashBp(id) < frac(e)·10⁴, where
+    * e = epochsBp(stratum)/10⁴ (34000 = 3.4 epochs of that source —
+    * every doc 3 times, a deterministic 40% of docs a 4th time). Each
+    * copy carries a 0-based `epoch` column so downstream splits and
+    * shuffles can decorrelate copies; `epochsBp < 10000` reduces EXACTLY
+    * to [[mixtureSample]] (same hash, same threshold) with epoch ≡ 0.
+    *
+    * Scale shape: per-row CASE/broadcast bp resolution ([[resolveBp]]),
+    * then `explode(sequence(...))` — map-side fan-out bounded by
+    * ⌈max epochs⌉ per row, no shuffle; the output inherits the input's
+    * partitioning with skew bounded by the epoch factor (cap epochsBp —
+    * real recipes stay under ~10 epochs — rather than relying on AQE to
+    * split a pathological 1000× stratum). */
+  def mixtureEpochs(df: DataFrame, idCol: String, stratumCol: String,
+                    epochsBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    require(epochsBp.values.forall(_ >= 0) && defaultBp >= 0,
+      "epoch basis points must be >= 0")
+    val (d, bp, drops) = resolveBp(df, stratumCol, epochsBp, defaultBp)
+    d.withColumn("__bp", bp)
+      .withColumn("__copies",
+        expr("__bp div 10000").cast("int") +
+          when(hashBp(col(idCol)) < col("__bp") % 10000, 1).otherwise(0))
+      .where(col("__copies") > 0)
+      .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
+      .drop((drops :+ "__bp" :+ "__copies"): _*)
+  }
 
   /** Deterministic split label: "test" for the `testBp`/10⁴ fraction of
     * ids, "train" otherwise. Salting the key decorrelates the split from

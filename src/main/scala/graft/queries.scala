@@ -2965,6 +2965,35 @@ object Queries {
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** Fractional-epoch upsampling (ops.Sampling.mixtureEpochs): src0 runs
+    * 3.4 epochs (every doc 3×, a deterministic hash-selected 40% a 4th
+    * time), src1 downsamples to 25% (reducing exactly to mixtureSample),
+    * src2 drops entirely, everything else runs one epoch. The oracle
+    * replays the bp resolution, the ⌊e⌋ + fractional-hash copy count,
+    * and the per-copy epoch fan-out via range/unnest. */
+  private val qMixtureEpochs = QueryDef(
+    "q_mixture_epochs",
+    (s, dir) => {
+      import s.implicits._
+      val epochs = Map("src0" -> 34000, "src1" -> 2500, "src2" -> 0)
+      ops.Sampling.mixtureEpochs(
+          t(s, dir, "documents").select($"doc_id", $"source"),
+          "doc_id", "source", epochs, defaultBp = 10000)
+        .orderBy($"doc_id", $"epoch")
+    },
+    Some {
+      val h = ops.Sampling.hashBpSql("doc_id")
+      s"""WITH s AS (SELECT doc_id, source, $h AS h FROM documents),
+         |b AS (SELECT doc_id, source, h, CASE source
+         |    WHEN 'src0' THEN 34000 WHEN 'src1' THEN 2500 WHEN 'src2' THEN 0
+         |    ELSE 10000 END AS bp FROM s),
+         |c AS (SELECT doc_id, source,
+         |    (bp // 10000) + CASE WHEN h < bp % 10000 THEN 1 ELSE 0 END AS copies
+         |  FROM b)
+         |SELECT doc_id, source, CAST(unnest(range(copies)) AS INT) AS epoch
+         |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin
+    })
+
   /** Token-budget shard packing (ops.Sampling.packShards): documents fill
     * 500-token training shards per source in id order — exclusive window
     * cumsum div budget, identical frame semantics in both engines. */
@@ -3773,7 +3802,7 @@ object Queries {
     qTokenRegex, qTokens, qBpe,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain,
-    qMixtureSample, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,
+    qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,
     qMediaMeta, qMediaFeatures,

@@ -66,6 +66,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("mixtureEpochs replicates by floor(e), hash-selects the fraction, and reduces to mixtureSample below 1 epoch") {
+    val docs = documents.select($"doc_id", $"source")
+    val epochs = Map("src0" -> 34000, "src1" -> 2500, "src2" -> 0)
+    val out = ops.Sampling.mixtureEpochs(docs, "doc_id", "source", epochs, 10000)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "epoch"))
+    val byId = out.groupBy($"doc_id").agg(
+        count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"))
+      .join(docs, "doc_id")
+      .select($"doc_id", $"source", $"n", $"mx", $"mn")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    val h = docs.select($"doc_id", ops.Sampling.hashBp($"doc_id").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // src0 at 3.4 epochs: 3 copies + a 4th iff hashBp < 4000; epochs 0..n-1
+    docs.where($"source" === "src0").select($"doc_id").as[Long].collect().foreach { id =>
+      val want = 3 + (if (h(id) < 4000) 1 else 0)
+      val (_, n, mx, mn) = byId(id)
+      assert(n == want && mn == 0 && mx == want - 1, s"doc $id")
+    }
+    // src2 at 0 epochs vanishes entirely
+    assert(!byId.values.exists(_._1 == "src2"))
+    // below one epoch the kept set equals mixtureSample with the same bp
+    val sampled = ops.Sampling.mixtureSample(docs.where($"source" === "src1"),
+      "doc_id", "source", Map("src1" -> 2500), 10000)
+      .select($"doc_id").as[Long].collect().toSet
+    val epoched = byId.collect { case (id, ("src1", _, _, _)) => id }.toSet
+    assert(epoched == sampled)
+    assert(epoched.forall(id => byId(id)._2 == 1 && byId(id)._3 == 0))
+    // absent strata run defaultBp epochs (here exactly one)
+    assert(byId.collect { case (id, ("src5", n, _, _)) => n }.forall(_ == 1L))
+    // partition-invariant
+    val again = ops.Sampling.mixtureEpochs(docs.repartition(13), "doc_id",
+        "source", epochs, 10000)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == byId.map { case (id, (_, n, _, _)) => id -> n })
+  }
+
   test("packShardsBucketed: per-bucket packing equals flat packing of that bucket") {
     val docs = documents.select($"doc_id", $"source",
       size(split($"text", " ")).cast("long").as("n"))
