@@ -102,6 +102,15 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == byId.map { case (id, (_, n, _, _)) => id -> n })
+    // broadcast rate-table path (big maps) matches the literal CASE path,
+    // including the __bp self-replacement on the joined frame
+    val big = epochs ++
+      (0 until ops.Sampling.RatesLiteralMax + 10).map(i => s"zz$i" -> 1)
+    val viaJoin = ops.Sampling.mixtureEpochs(docs, "doc_id", "source", big, 10000)
+    assert(viaJoin.columns.toSeq == Seq("doc_id", "source", "epoch"))
+    val joinCounts = viaJoin.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joinCounts == byId.map { case (id, (_, n, _, _)) => id -> n })
   }
 
   test("packShardsBucketed: per-bucket packing equals flat packing of that bucket") {
