@@ -205,8 +205,10 @@ object CleanBench {
     //     integer vectors (signed, so random cosines center on 0), bench
     //     = 1000 exact copies sampled every n/1000 ids — each must hit
     //     its corpus twin (and the twin itself) through the 256-cell /
-    //     2-probe search; the corpus side is one assign pass + a
-    //     broadcast cell join, never a shuffle
+    //     2-probe search; at 256 > CodebookLiteralMax centroids the
+    //     corpus-side assign is the broadcast-codebook path (one per-id
+    //     hash-agg exchange — the 36 s plan, vs 159 s for the window
+    //     form it replaced), then the cell match is a broadcast join
     val dim = 16
     val vec = array((0 until dim).map(j =>
       xxhash64($"doc_id", lit(j)) % 1000): _*)

@@ -74,12 +74,21 @@ object Sampling {
 
   /** Fractional-EPOCH mixture — the UPSAMPLING half of a data recipe
     * ([[mixtureSample]] can only keep or drop): each row is emitted
-    * ⌊e⌋ times plus one more iff hashBp(id) < frac(e)·10⁴, where
+    * ⌊e⌋ times plus one more iff hashBp(id ++ salt) < frac(e)·10⁴, where
     * e = epochsBp(stratum)/10⁴ (34000 = 3.4 epochs of that source —
     * every doc 3 times, a deterministic 40% of docs a 4th time). Each
     * copy carries a 0-based `epoch` column so downstream splits and
-    * shuffles can decorrelate copies; `epochsBp < 10000` reduces EXACTLY
-    * to [[mixtureSample]] (same hash, same threshold) with epoch ≡ 0.
+    * shuffles can decorrelate copies.
+    *
+    * The fractional draw is SALTED by default for the same reason
+    * [[splitLabel]]'s is: unsalted, it would be fully correlated with
+    * any [[mixtureSample]] run on the same ids (survivors of a 25% keep
+    * all have hashBp(id) < 2500, so at 3.4 epochs EVERY survivor would
+    * take the 4th copy — effective 4.0 epochs, a silent 17%
+    * over-sample). Pass `salt = ""` when sub-epoch rates must reduce
+    * EXACTLY to [[mixtureSample]]'s kept set (same hash, same
+    * threshold, epoch ≡ 0) — and only compose that form with samplers
+    * using a different salt.
     *
     * Scale shape: per-row CASE/broadcast bp resolution ([[resolveBp]]),
     * then `explode(sequence(...))` — map-side fan-out bounded by
@@ -88,14 +97,18 @@ object Sampling {
     * real recipes stay under ~10 epochs — rather than relying on AQE to
     * split a pathological 1000× stratum). */
   def mixtureEpochs(df: DataFrame, idCol: String, stratumCol: String,
-                    epochsBp: Map[String, Int], defaultBp: Int): DataFrame = {
+                    epochsBp: Map[String, Int], defaultBp: Int,
+                    salt: String = "epoch"): DataFrame = {
     require(epochsBp.values.forall(_ >= 0) && defaultBp >= 0,
       "epoch basis points must be >= 0")
     val (d, bp, drops) = resolveBp(df, stratumCol, epochsBp, defaultBp)
+    val fracHash =
+      if (salt.isEmpty) hashBp(col(idCol))
+      else hashBp(concat(col(idCol).cast("string"), lit(salt)))
     d.withColumn("__bp", bp)
       .withColumn("__copies",
         expr("__bp div 10000").cast("int") +
-          when(hashBp(col(idCol)) < col("__bp") % 10000, 1).otherwise(0))
+          when(fracHash < col("__bp") % 10000, 1).otherwise(0))
       .where(col("__copies") > 0)
       .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
       .drop((drops :+ "__bp" :+ "__copies"): _*)

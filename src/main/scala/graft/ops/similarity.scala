@@ -272,6 +272,12 @@ object Similarity {
   /** Ranked centroid cells per vector: (all input columns, __cell, __rk)
     * with __rk = 1..maxRank ascending by (squared-L2, centroid id).
     *
+    * PRECONDITION: `idCol` is unique. The large-codebook path regroups
+    * the exploded candidates per id (and so did the old per-id window it
+    * replaced): duplicate ids would merge both rows' candidate cells and
+    * pair them with one arbitrarily-chosen vector. Every caller feeds
+    * unique ids (corpus/probe keys); dedupe first if yours are not.
+    *
     * Physical shape by codebook size:
     *  - ≤ [[CodebookLiteralMax]]: `typedLit` codebook + in-row rank array —
     *    narrow, zero shuffle (the original IVF assign).

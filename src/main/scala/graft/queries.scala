@@ -2967,8 +2967,9 @@ object Queries {
 
   /** Fractional-epoch upsampling (ops.Sampling.mixtureEpochs): src0 runs
     * 3.4 epochs (every doc 3×, a deterministic hash-selected 40% a 4th
-    * time), src1 downsamples to 25% (reducing exactly to mixtureSample),
-    * src2 drops entirely, everything else runs one epoch. The oracle
+    * time), src1 downsamples to 25%, src2 drops entirely, everything
+    * else runs one epoch; the fractional draw uses the default "epoch"
+    * salt (decorrelated from mixtureSample's unsalted hash). The oracle
     * replays the bp resolution, the ⌊e⌋ + fractional-hash copy count,
     * and the per-copy epoch fan-out via range/unnest. */
   private val qMixtureEpochs = QueryDef(
@@ -2982,7 +2983,7 @@ object Queries {
         .orderBy($"doc_id", $"epoch")
     },
     Some {
-      val h = ops.Sampling.hashBpSql("doc_id")
+      val h = ops.Sampling.hashBpSql("CAST(doc_id AS VARCHAR) || 'epoch'")
       s"""WITH s AS (SELECT doc_id, source, $h AS h FROM documents),
          |b AS (SELECT doc_id, source, h, CASE source
          |    WHEN 'src0' THEN 34000 WHEN 'src1' THEN 2500 WHEN 'src2' THEN 0

@@ -77,9 +77,10 @@ class SamplingSpec extends AnyFunSuite {
       .select($"doc_id", $"source", $"n", $"mx", $"mn")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4)))
       .toMap
-    val h = docs.select($"doc_id", ops.Sampling.hashBp($"doc_id").as("h"))
+    val h = docs.select($"doc_id",
+        ops.Sampling.hashBp(concat($"doc_id".cast("string"), lit("epoch"))).as("h"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // src0 at 3.4 epochs: 3 copies + a 4th iff hashBp < 4000; epochs 0..n-1
+    // src0 at 3.4 epochs: 3 copies + a 4th iff the SALTED hash < 4000
     docs.where($"source" === "src0").select($"doc_id").as[Long].collect().foreach { id =>
       val want = 3 + (if (h(id) < 4000) 1 else 0)
       val (_, n, mx, mn) = byId(id)
@@ -87,13 +88,24 @@ class SamplingSpec extends AnyFunSuite {
     }
     // src2 at 0 epochs vanishes entirely
     assert(!byId.values.exists(_._1 == "src2"))
-    // below one epoch the kept set equals mixtureSample with the same bp
+    // with salt="" the sub-epoch kept set equals mixtureSample EXACTLY
     val sampled = ops.Sampling.mixtureSample(docs.where($"source" === "src1"),
       "doc_id", "source", Map("src1" -> 2500), 10000)
       .select($"doc_id").as[Long].collect().toSet
-    val epoched = byId.collect { case (id, ("src1", _, _, _)) => id }.toSet
-    assert(epoched == sampled)
-    assert(epoched.forall(id => byId(id)._2 == 1 && byId(id)._3 == 0))
+    val unsalted = ops.Sampling.mixtureEpochs(docs.where($"source" === "src1"),
+        "doc_id", "source", Map("src1" -> 2500), 10000, salt = "")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(unsalted == sampled)
+    // the default salt decorrelates: composing a 25% mixtureSample with
+    // 3.4 epochs must NOT hand every survivor the fractional 4th copy
+    val survivors = ops.Sampling.mixtureSample(docs, "doc_id", "source",
+      Map.empty, 2500)
+    val comp = ops.Sampling.mixtureEpochs(survivors, "doc_id", "source",
+        Map.empty[String, Int], 34000)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select($"n").as[Long].collect()
+    val frac4 = comp.count(_ == 4).toDouble / comp.length
+    assert(frac4 > 0.2 && frac4 < 0.6, s"fourth-copy fraction $frac4 not ~0.4")
     // absent strata run defaultBp epochs (here exactly one)
     assert(byId.collect { case (id, ("src5", n, _, _)) => n }.forall(_ == 1L))
     // partition-invariant
