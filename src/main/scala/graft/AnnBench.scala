@@ -79,6 +79,28 @@ object AnnBench {
       pairs(ops.Similarity.ivfTopK(corpus, probes, "vec_id", "vec", k,
         nCentroids = 64, nProbe = 8, lloydIters = 2))
     }
+    // At-rest IVF index (buildIvfIndex → ivfTopKIndexed): training and
+    // assignment amortize into a one-time BUILD; the probe batch then
+    // reads only its probed cells' partitions (partition-pruned scan).
+    // Same geometry as the in-job IVF above, so recall must MATCH it —
+    // a determinism check on the persist/reload round trip.
+    val ixDir = java.nio.file.Files.createTempDirectory("annbench_ivf").toString
+    val (_, tIvfBuild) = timed {
+      ops.Similarity.buildIvfIndex(corpus, "vec_id", "vec",
+        nCentroids = 64, lloydIters = 2, path = ixDir)
+    }
+    var ivfxCells = -1
+    val (ivfx, tIvfProbe) = timed {
+      val q = ops.Similarity.ivfTopKIndexed(spark, ixDir, probes,
+        "vec_id", "vec", k, nProbe = 8)
+      ivfxCells = q.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.getOrElse("Location", "").contains("annbench_ivf") =>
+          f.selectedPartitions.partitionCount
+      }.headOption.getOrElse(-1)
+      pairs(q)
+    }
+
     var pqR = Set.empty[(Long, Long)]
     val (pq, tPq) = timed {
       val cb = ops.Pq.trainPq(corpus, "vec",
@@ -105,6 +127,8 @@ object AnnBench {
       f""""brute_sec":$tBrute%.1f,""" +
       f""""lsh_recall":${recall(lsh)}%.3f,"lsh_sec":$tLsh%.1f,""" +
       f""""ivf_recall":${recall(ivf)}%.3f,"ivf_sec":$tIvf%.1f,""" +
+      f""""ivfx_recall":${recall(ivfx)}%.3f,"ivfx_build_sec":$tIvfBuild%.1f,""" +
+      f""""ivfx_probe_sec":$tIvfProbe%.1f,"ivfx_cells_scanned":$ivfxCells,"ivfx_cells_total":64,""" +
       f""""pq_recall":${recall(pq)}%.3f,"pq_sec":$tPq%.1f,""" +
       f""""pq_rerank_recall":${recall(pqR)}%.3f,""" +
       f""""ivfpq_recall":${recall(ivfpq)}%.3f,"ivfpq_sec":$tIvfPq%.1f,""" +

@@ -296,6 +296,23 @@ object Cleaning {
     bindOnce(c4CleanLines(t, minLineWords))(c =>
       c4PageGate(t, c, minSentences))
 
+  /** INTRA-document line dedup: newline-split `t`, keep only the FIRST
+    * occurrence of each distinct line, rejoin (order-preserving) — the
+    * within-page twin of the cross-corpus [[pruneRepeatedLines]]
+    * (RefinedWeb/Dolma-style "remove duplicated lines within document":
+    * nav bars, cookie banners and footers repeat INSIDE a page long before
+    * they repeat across the crawl). Pure per-row array algebra — narrow,
+    * no shuffle, unlike the cross-doc form which must aggregate line
+    * counts corpus-wide. Cost is O(L²) string compares per doc in the
+    * line COUNT L (array_position scans from the front per line) — lines
+    * per page are bounded small; for the corpus-frequency variant with
+    * its partial-agg shape see [[pruneRepeatedLines]]. The line array is
+    * [[bindOnce]]-bound so the split runs once per row, not once per
+    * line. */
+  def dedupLinesWithinDoc(t: Column): Column =
+    bindOnce(split(t, "\n"))(ls =>
+      array_join(filter(ls, (l, i) => array_position(ls, l) === i + 1), "\n"))
+
   /** Sliding-window chunking for context-window preparation: word windows
     * of `maxTokens` starting every `maxTokens - overlap` words (the
     * standard stride-with-overlap split of long documents into training

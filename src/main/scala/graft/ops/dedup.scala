@@ -54,21 +54,31 @@ object Dedup {
   /** MinHash signature: k salted min-md5 values over word 3-gram shingles.
     * Adds `sig` (array<string>, length k). Docs with fewer than 3 words get
     * an empty signature (they never spuriously collide). */
-  def minhashSignatures(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
-    val sigs = (0 until k).map(i =>
-      expr(s"array_min(transform(__shingles, s -> md5(concat('$i:', s))))"))
-    df.withColumn("__ws", split(col(textCol), " "))
-      .withColumn("__shingles",
-        when(size(col("__ws")) >= 3,
-          expr("""transform(sequence(0, size(__ws) - 3),
-                 |  i -> concat_ws(' ', element_at(__ws, i + 1),
-                 |                      element_at(__ws, i + 2),
-                 |                      element_at(__ws, i + 3)))""".stripMargin))
-          .otherwise(array()))
-      .withColumn("sig",
-        when(size(col("__shingles")) > 0, array(sigs: _*))
-          .otherwise(array().cast("array<string>")))
+  def minhashSignatures(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    sigOverShingles(
+      df.withColumn("__ws", split(col(textCol), " "))
+        .withColumn("__shingles",
+          when(size(col("__ws")) >= 3,
+            expr("""transform(sequence(0, size(__ws) - 3),
+                   |  i -> concat_ws(' ', element_at(__ws, i + 1),
+                   |                      element_at(__ws, i + 2),
+                   |                      element_at(__ws, i + 3)))""".stripMargin))
+            .otherwise(array())),
+      "__shingles", k)
       .drop("__ws", "__shingles")
+
+  /** k salted min-md5 values over an ALREADY-materialized shingle array
+    * column: adds `sig` (array<string>, length k; empty when there are no
+    * shingles — such rows never spuriously collide). The signature core
+    * shared by the word-shingle text path above and
+    * [[graft.ops.Media.binarySignatures]]'s byte-shingle path. */
+  private[ops] def sigOverShingles(df: DataFrame, shCol: String,
+      k: Int): DataFrame = {
+    val sigs = (0 until k).map(i =>
+      expr(s"array_min(transform($shCol, s -> md5(concat('$i:', s))))"))
+    df.withColumn("sig",
+      when(size(col(shCol)) > 0, array(sigs: _*))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Band hashes for a signature column: `bands` md5 band digests. When the

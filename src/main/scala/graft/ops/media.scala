@@ -179,6 +179,72 @@ object Media {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Binary near-dup — MinHash-LSH over BYTE shingles. The media analog
+  // of text near-dup detection, and REAL (no codec needed): re-encoded
+  // or truncated copies of the same asset share long byte runs, so byte
+  // n-gram Jaccard separates them from unrelated payloads. Same scale
+  // shape as the text path: narrow signature map → banded equi-join with
+  // the hot-bucket guard → pair-driven exact verify; the quadratic term
+  // only ever exists inside a bucket.
+  // ------------------------------------------------------------------
+
+  /** Byte n-gram shingles of a binary column, as hex strings: shingle i =
+    * bytes [i, i+n), stepping ONE BYTE (substrings of the hex rendering at
+    * even offsets — never split mid-byte). Payloads shorter than n bytes
+    * get an empty array (and never spuriously collide downstream). */
+  private def byteShingles(binCol: String, n: Int) =
+    when(length(col(binCol)) >= n,
+      expr(s"""transform(sequence(0, (length(__hx) div 2) - $n),
+              |  i -> substring(__hx, 2 * i + 1, ${2 * n}))""".stripMargin))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signatures over byte shingles: adds `sig` (array<string>,
+    * length k). The signature core (k salted min-md5 values) is shared
+    * with the text path ([[graft.ops.Dedup.minhashSignatures]]); only the
+    * shingle basis differs. Feed the result to
+    * [[graft.ops.Dedup.lshCandidatePairs]] — banding, the hot-bucket
+    * guard and the oversize audit all apply unchanged. */
+  def binarySignatures(df: DataFrame, binCol: String, n: Int = 8,
+      k: Int = 8): DataFrame =
+    Dedup.sigOverShingles(
+        df.withColumn("__hx", hex(col(binCol)))
+          .withColumn("__bsh", byteShingles(binCol, n)),
+        "__bsh", k)
+      .drop("__hx", "__bsh")
+
+  /** Exact byte-shingle-set Jaccard for candidate pairs — the verify
+    * stage after banding (the binary analog of Dedup.jaccardVerify):
+    * pair-driven equi-joins against the payload table, never all-pairs. */
+  def binaryJaccardVerify(df: DataFrame, idCol: String, binCol: String,
+      pairs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sets = df.withColumn("__hx", hex(col(binCol)))
+      .select(col(idCol).as("__id"),
+        array_distinct(byteShingles(binCol, n)).as("__sset"))
+    pairs
+      .join(sets.as("sa"), col("id_a") === col("sa.__id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      .withColumn("inter", size(array_intersect(col("sa.__sset"), col("sb.__sset"))))
+      .withColumn("uni", size(array_union(col("sa.__sset"), col("sb.__sset"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full binary near-dup pipeline: byte-shingle MinHash → LSH banded
+    * candidates (hot buckets guarded, auditable via
+    * Dedup.lshOversizeBuckets over [[binarySignatures]]) → exact
+    * byte-shingle Jaccard. Returns (id_a, id_b, jaccard ≥ threshold),
+    * id_a < id_b. */
+  def binaryNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      n: Int = 8, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
+      maxBucket: Int = 4096): DataFrame = {
+    val sigs = binarySignatures(df.select(col(idCol), col(binCol)), binCol, n, k)
+      .select(col(idCol), col("sig"))
+    val cands = Dedup.lshCandidatePairs(sigs, idCol, bands, maxBucket)
+    binaryJaccardVerify(df, idCol, binCol, cands, n, threshold)
+  }
+
   /** Resize stage stub: emits the target geometry + a deterministic
     * checksum of (payload, w, h) standing in for resized bytes — the real
     * part is the stage shape (pure row map, no shuffle; a real impl swaps

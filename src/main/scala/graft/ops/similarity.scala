@@ -405,6 +405,107 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
   }
 
+  // ------------------------------------------------------------------
+  // AT-REST IVF index — the ANN analog of the persisted dedup index
+  // (ops/dedup.scala buildIndex): train/seed the codebook ONCE, assign
+  // every corpus vector to its cell, and write the corpus PARTITIONED BY
+  // cell. A probe batch then reads only its nProbe cell partitions via a
+  // partition `IN` filter — at 100 TB the scan cost of a query batch is
+  // (nProbe / nCentroids) × corpus bytes instead of the whole table, and
+  // the (expensive) Lloyd training amortizes over every query against
+  // the same index instead of rerunning per job ([[ivfTopK]] retrains
+  // in-query; it remains the right call for one-shot corpus-vs-corpus
+  // jobs where no index will be reused).
+  // ------------------------------------------------------------------
+
+  /** Build an at-rest IVF index under `path`: `path/centroids` holds the
+    * codebook as (cell INT, cv ARRAY<DOUBLE>) — nCentroids rows, one file —
+    * and `path/cells` holds every corpus row plus its assignment, written
+    * `partitionBy("cell")` so probes can partition-prune. All input columns
+    * are carried through: the index co-locates the full payload (id,
+    * vector, any metadata) by cell. Codebook seeds are the deterministic
+    * md5-ordered sample ([[seedCentroids]]), optionally Lloyd-refined
+    * (`lloydIters` > 0) — training state stays executor-side
+    * ([[refineCentroids]]); the only driver transit is the final codebook,
+    * which must reach the driver anyway to be written. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, lloydIters: Int, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = refineCentroids(corpus, vecCol,
+      seedCentroids(corpus, idCol, vecCol, nCentroids), lloydIters)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cellRanks(corpus, idCol, vecCol, cents, maxRank = 1)
+      .withColumn("cell", col("__cell").cast("int"))
+      .drop("__cell", "__rk")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Append new vectors to an existing at-rest index WITHOUT retraining:
+    * assign against the stored codebook (so old and new rows agree on cell
+    * geometry) and append to the partitioned cells table — the incremental
+    * ingest path (the dedup-index analog is `admitIndexedBatch`). Appended
+    * rows land in new files inside their cell directories; queries see the
+    * union. The codebook is NOT re-fit — after heavy drift, rebuild. */
+  def ivfIndexAppend(rows: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = rows.sparkSession
+    val cents = loadCodebook(spark, path)
+    cellRanks(rows, idCol, vecCol, cents, maxRank = 1)
+      .withColumn("cell", col("__cell").cast("int"))
+      .drop("__cell", "__rk")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** The stored codebook, cell-ordered (tiny: nCentroids × dims). */
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** IVF cosine top-k against an AT-REST index built by [[buildIvfIndex]]:
+    * rank each probe's `nProbe` nearest cells against the stored codebook,
+    * then scan `path/cells` with `cell IN (probed cells)` — a PARTITION
+    * filter (PlanSpec asserts it reaches the scan), so only the probed
+    * cells' bytes are read. The probed-cell set is collected to the driver
+    * to become the literal `IN` list — config-sized (≤ probes × nProbe,
+    * and ≤ nCentroids absolutely), the same bounded-collect contract as
+    * dedup's pruneBucket. Probe batches are request-like (bounded); for a
+    * corpus-scale probe side use [[ivfTopK]], whose cell join needs no
+    * literal pruning. Returns (probe_id, cand_id, cosine, rn ≤ k), exact
+    * cosine within the probed cells, ties → lowest cand_id. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val cents = loadCodebook(spark, path)
+    require(nProbe <= cents.length,
+      s"nProbe $nProbe exceeds the index's ${cents.length} cells")
+    val p = cellRanks(
+        probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+        "probe_id", "__pv", cents, maxRank = nProbe)
+      .withColumn("__pn", norm("__pv"))
+      .withColumn("cell", col("__cell").cast("int"))
+      .drop("__cell", "__rk")
+      .localCheckpoint() // ranked once; reused for the prune AND the join
+    val probedCells = p.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // config-sized: ≤ nCentroids
+    val cands = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells.map(c => c: Any): _*))
+      .withColumnRenamed(idCol, "cand_id")
+      .withColumnRenamed(vecCol, "__cv")
+      .withColumn("__cn", norm("__cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    p.join(cands, Seq("cell"))
+      .where(col("probe_id") =!= col("cand_id"))
+      .withColumn("cosine", dot("__pv", "__cv") / (col("__pn") * col("__cn")))
+      .select(col("probe_id"), col("cand_id"), col("cosine"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= k)
+  }
+
   /** IVF cosine top-k: corpus assigned to its nearest centroid cell once;
     * each probe explodes to its `nProbe` nearest cells; candidates come
     * from an equi-join on the cell id and are ranked by exact cosine.

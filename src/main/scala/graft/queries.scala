@@ -1918,6 +1918,60 @@ object Queries {
            |FROM pc JOIN cells USING (cell) WHERE probe <> cand
            |GROUP BY probe ORDER BY probe""".stripMargin))
 
+  /** AT-REST IVF index (ops.Similarity.buildIvfIndex → ivfTopKIndexed):
+    * the codebook and the cell-PARTITIONED corpus are written to parquet
+    * INSIDE the query and probed back with a partition `IN` filter — the
+    * persisted-index contract for ANN (the dedup-index analog: train and
+    * assign once, every later probe batch reads only its nProbe cells'
+    * bytes). Seeds are the deterministic md5-ordered sample with no Lloyd
+    * refinement so the oracle can replay seeding, assignment, probe-cell
+    * ranking and the within-cell exact cosine top-k from the embeddings
+    * table directly — the Spark side additionally proves the round trip
+    * through the partitioned at-rest layout. */
+  private val qEmbedIvfIndex = QueryDef(
+    "q_embed_ivf_index",
+    (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "embeddings").where($"vec_id" < 300)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      val ixPath = s"$corpusDir/ivf_index_demo"
+      ops.Similarity.buildIvfIndex(q, "vec_id", "qv", nCentroids = 8,
+        lloydIters = 0, path = ixPath)
+      val probes = q.where($"vec_id" < 3)
+      ops.Similarity.ivfTopKIndexed(s, ixPath, probes, "vec_id", "qv",
+          k = 5, nProbe = 2)
+        .select($"probe_id", $"cand_id", $"rn")
+        .orderBy($"probe_id", $"rn")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 300),
+           |cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           |    qv AS cv FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+           |d AS (SELECT q.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(q.qv)),
+           |      j -> (cents.cv[j+1] - q.qv[j+1]) * (cents.cv[j+1] - q.qv[j+1]))) AS sqd
+           |  FROM q, cents),
+           |r AS (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk FROM d),
+           |qn AS (SELECT vec_id, qv,
+           |    sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)) AS nrm FROM q),
+           |cells AS (SELECT vec_id AS cand_id, cid AS cell FROM r WHERE rk = 1),
+           |pc AS (SELECT vec_id AS probe_id, cid AS cell FROM r
+           |       WHERE vec_id < 3 AND rk <= 2),
+           |pairs AS (SELECT pc.probe_id, cells.cand_id,
+           |    CAST(list_sum(list_transform(range(len(p.qv)),
+           |      j -> p.qv[j+1] * c.qv[j+1])) AS DOUBLE) / (p.nrm * c.nrm) AS cosine
+           |  FROM pc JOIN cells USING (cell)
+           |  JOIN qn p ON p.vec_id = pc.probe_id
+           |  JOIN qn c ON c.vec_id = cells.cand_id
+           |  WHERE pc.probe_id <> cells.cand_id)
+           |SELECT probe_id, cand_id, rn FROM (
+           |  SELECT probe_id, cand_id, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cosine DESC, cand_id) AS rn FROM pairs)
+           |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin))
+
   /** SemDeDup at cluster granularity (ops.Dedup.semanticDedup): IVF cell
     * assignment (4 deterministic md5-ordered seed centroids, exact integer
     * squared-L2 argmin with index tie-break) → within-cell cosine pairs ≥
@@ -2931,6 +2985,43 @@ object Queries {
          |FROM nl LEFT JOIN reb USING (doc_id) ORDER BY nl.doc_id""".stripMargin
     })
 
+  /** INTRA-document line dedup (ops.Cleaning.dedupLinesWithinDoc): keep
+    * only the FIRST occurrence of each distinct line within a page —
+    * pure per-row array algebra, no shuffle (the within-page twin of the
+    * corpus-wide q_line_dedup). Pages are planted with repeated lines
+    * (line 1 and line 2 each appear twice); the oracle replays the
+    * first-occurrence filter with DuckDB's indexed list_filter. */
+  private val qLineDedupDoc = QueryDef(
+    "q_line_dedup_doc",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"doc_id" < 200)
+        .select($"doc_id", concat_ws("\n",
+          substring($"text", 1, 40), substring($"text", 41, 40),
+          substring($"text", 1, 40), substring($"text", 81, 40),
+          substring($"text", 41, 40)).as("ptext"))
+      docs.select($"doc_id",
+          size(split($"ptext", "\n")).cast("int").as("n_lines"),
+          ops.Cleaning.dedupLinesWithinDoc($"ptext").as("clean"))
+        .select($"doc_id", $"n_lines",
+          size(split($"clean", "\n")).cast("int").as("n_kept"),
+          md5($"clean").as("sig"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10) ||
+           |    substr(text, 1, 40) || chr(10) || substr(text, 81, 40) || chr(10) ||
+           |    substr(text, 41, 40) AS ptext
+           |  FROM documents WHERE doc_id < 200),
+           |ls AS (SELECT doc_id, string_split(ptext, chr(10)) AS l FROM d),
+           |kept AS (SELECT doc_id,
+           |    list_filter(l, (x, i) -> list_position(l, x) = i) AS k FROM ls)
+           |SELECT ls.doc_id, CAST(len(l) AS INT) AS n_lines,
+           |  CAST(len(k) AS INT) AS n_kept,
+           |  md5(array_to_string(k, chr(10))) AS sig
+           |FROM ls JOIN kept ON kept.doc_id = ls.doc_id
+           |ORDER BY ls.doc_id""".stripMargin))
+
   /** Deterministic mixture sampling + train/test split (ops.Sampling):
     * per-source keep rates in basis points over the md5-hash of doc_id,
     * then a salted-hash split label; per-source rollup of kept / test
@@ -3377,6 +3468,62 @@ object Queries {
            |FROM p LEFT JOIN ch ON ch.doc_id = p.doc_id
            |GROUP BY p.doc_id, pl ORDER BY p.doc_id""".stripMargin))
 
+  /** Binary near-dup (ops.Media.binaryNearDupPairs): MinHash-LSH over
+    * BYTE shingles of an opaque payload column — the media analog of text
+    * near-dup, codec-free. Planted truncated copies (the 60-byte prefix of
+    * each 64-byte payload — byte-shingle Jaccard ≈ 0.93) must surface;
+    * the oracle replays hex-rendered byte shingles, the 8-value salted
+    * signature, 4-band candidate join and exact shingle-set Jaccard. */
+  private val qMediaNearDup = QueryDef(
+    "q_media_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 40)
+        .select($"doc_id", $"text")
+      val corpus = base
+        .select($"doc_id", encode(substring($"text", 1, 64), "utf-8").as("payload"))
+        .union(base.select(($"doc_id" + 1000).as("doc_id"),
+          encode(substring($"text", 1, 60), "utf-8").as("payload")))
+      ops.Media.binaryNearDupPairs(corpus, "doc_id", "payload",
+          n = 4, k = 8, bands = 4, threshold = 0.5)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH base AS (SELECT doc_id, substr(text, 1, 64) AS pl
+           |              FROM documents WHERE doc_id < 40),
+           |corpus AS (SELECT doc_id, pl FROM base
+           |           UNION ALL SELECT doc_id + 1000, substr(pl, 1, 60) FROM base),
+           |hx AS (SELECT doc_id, hex(pl) AS h FROM corpus),
+           |sh AS (SELECT doc_id, substr(h, 2*i + 1, 8) AS shingle
+           |       FROM (SELECT doc_id, h, unnest(range(len(h)//2 - 3)) AS i
+           |             FROM hx WHERE len(h) >= 8)),
+           |sig AS (SELECT doc_id,
+           |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+           |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+           |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+           |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sig
+           |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(list_transform(
+           |    range(len(h)//2 - 3), i -> substr(h, 2*i + 1, 8))) AS sset
+           |  FROM hx WHERE len(h) >= 8),
+           |j AS (SELECT id_a, id_b,
+           |    len(list_intersect(sa.sset, sb.sset)) AS inter,
+           |    len(list_distinct(list_concat(sa.sset, sb.sset))) AS uni
+           |  FROM cand JOIN sets sa ON sa.doc_id = id_a
+           |            JOIN sets sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+           |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin))
+
   // ------------------------------------------------------------------
   // Extraction pipeline queries — FULL DuckDB oracles (round 2): the
   // generated corpus is staged once per JVM to a fixed absolute path so
@@ -3795,18 +3942,19 @@ object Queries {
     qNbTrain, qNbClassify, qDsir, qBm25,
     qCorpusPipeline,
     qFingerprint,
-    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf, qEmbedPq,
+    qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
+    qEmbedIvfIndex, qEmbedPq,
     qSemanticDedup, qSemanticDecon,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
-    qLineDomain,
+    qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,
-    qMediaMeta, qMediaFeatures,
+    qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

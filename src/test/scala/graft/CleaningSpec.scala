@@ -386,6 +386,21 @@ class CleaningSpec extends AnyFunSuite {
 
   // ---- text normalization ----
 
+  test("dedupLinesWithinDoc keeps the first occurrence of each line, order-preserving") {
+    val df = textDf(
+      (1L, "nav bar\nreal content\nnav bar\nmore text\nreal content"),
+      (2L, "a\nb\nc"),           // no repeats → unchanged
+      (3L, "x\nx\nx"),           // all same → one line
+      (4L, "p\n\nq\n\np"))       // repeated EMPTY lines dedup too
+    val out = df.select($"doc_id",
+        ops.Cleaning.dedupLinesWithinDoc($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "nav bar\nreal content\nmore text")
+    assert(out(2L) == "a\nb\nc")
+    assert(out(3L) == "x")
+    assert(out(4L) == "p\n\nq")
+  }
+
   test("normalizeText: case, accents, control chars, runs; dedupKey strips punctuation") {
     val r = Seq((1L, "  FoO\tBÀR  \nÉlan… don't!  ")).toDF("doc_id", "text")
       .select(ops.Cleaning.normalizeText($"text").as("n"),

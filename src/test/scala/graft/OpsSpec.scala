@@ -581,6 +581,56 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf == brute, s"exact IVF must equal brute force")
   }
 
+  test("binaryNearDupPairs finds planted truncated payload copies and skips unrelated payloads") {
+    val base = documents.where($"doc_id" < 30).select($"doc_id", $"text")
+    // planted near-dups: the 60-byte prefix of each 64-byte payload —
+    // byte-shingle sets are nested, Jaccard ≈ 57/61
+    val corpus = base
+      .select($"doc_id", encode(substring($"text", 1, 64), "utf-8").as("payload"))
+      .union(base.select(($"doc_id" + 1000).as("doc_id"),
+        encode(substring($"text", 1, 60), "utf-8").as("payload")))
+    val pairs = ops.Media.binaryNearDupPairs(corpus, "doc_id", "payload",
+        n = 4, k = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val missing = (0L until 30L).filterNot(i => pairs.contains((i, i + 1000)))
+    assert(missing.isEmpty, s"planted binary near-dups not found: $missing")
+    pairs.foreach { case (p, j) => assert(j >= 0.5 && j <= 1.0, s"$p -> $j") }
+    // payloads shorter than the shingle width never collide
+    val tiny = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](1, 2)))
+      .toDF("doc_id", "payload")
+    assert(ops.Media.binaryNearDupPairs(tiny, "doc_id", "payload",
+      n = 4, k = 8, bands = 4, threshold = 0.0).count() == 0,
+      "sub-shingle payloads must get empty signatures, not constant collisions")
+  }
+
+  test("at-rest IVF index: append assigns with the stored codebook; nProbe == nCells over the appended index equals brute force") {
+    val emb = embeddings.where($"vec_id" < 120).select($"vec_id", $"embedding")
+    val a = emb.where($"vec_id" < 90)
+    val b = emb.where($"vec_id" >= 90)
+    val ixDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    ops.Similarity.buildIvfIndex(a, "vec_id", "embedding",
+      nCentroids = 4, lloydIters = 1, path = ixDir)
+    ops.Similarity.ivfIndexAppend(b, "vec_id", "embedding", ixDir)
+    // every row (built + appended) lands in the partitioned cells table
+    val stored = spark.read.parquet(s"$ixDir/cells")
+    assert(stored.count() == emb.count() &&
+      stored.where($"vec_id" >= 90).count() == b.count(),
+      "append must land every new row in the cells table")
+    // probing ALL cells makes the indexed search exact, so it must equal
+    // brute force over the union — which only holds if the appended rows
+    // were assigned with the SAME codebook geometry as the built ones
+    val probes = emb.where($"vec_id" < 2)
+    val viaIndex = ops.Similarity.ivfTopKIndexed(spark, ixDir, probes,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = ops.Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", k = 5)
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(viaIndex == brute,
+      "nProbe == nCells over the at-rest index must equal brute force")
+  }
+
   test("trainProfiles: derived profiles recover every fixture the hand-authored ones do; continuous CJK detected") {
     val labeled = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
     val trained = ops.TextStats.trainProfiles(labeled, "lang", "text", topN = 40)

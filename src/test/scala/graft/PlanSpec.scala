@@ -284,6 +284,34 @@ class PlanSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("ivfTopKIndexed: the cells scan carries a cell partition filter and probes fewer partitions than exist") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"vec_id" < 150).select($"vec_id", $"embedding")
+    val ixDir = java.nio.file.Files.createTempDirectory("ivf_plan").toString
+    ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, lloydIters = 0, path = ixDir)
+    val probes = emb.where($"vec_id" < 2)
+    val q = ops.Similarity.ivfTopKIndexed(spark, ixDir, probes,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    val p = q.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      "cells scan must carry a partition filter on cell:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // 2 probes × nProbe 2 reach at most 4 of the 8 cell directories —
+    // the scan's selected partitions must actually shrink
+    val scanned = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.getOrElse("Location", "").contains("ivf_plan") =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ <= 4),
+      s"probed-cell pruning must select <= 4 of 8 partitions, got $scanned")
+  }
+
   test("semanticNearDupPairs plans a cell equi-join, never a cartesian product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
