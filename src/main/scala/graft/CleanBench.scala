@@ -224,6 +224,32 @@ object CleanBench {
         .where($"keep" === 0).count()
     }
 
+    // 13. INTRA-doc line dedup over the same multi-line corpus as stage 7:
+    //     pure per-row array algebra (split once via bindOnce, O(L²)
+    //     first-occurrence filter in the small per-page line count) —
+    //     must scale like the map-side C4 stage, no shuffle at all
+    val (docLineKept, tDocLine) = timed {
+      cdocs.select(ops.Cleaning.dedupLinesWithinDoc($"text").as("c"))
+        .agg(sum(size(split($"c", "\n")))).head().getLong(0)
+    }
+
+    // 14. binary near-dup at width (nDocs/4 payloads, 1% planted
+    //     truncated twins): byte-shingle MinHash is 8 salted mins over
+    //     ~61 shingles per 64-byte payload — the signature map is the
+    //     new cost; banding/verify reuse the text machinery benched in
+    //     DedupBench. Expected pairs ≥ planted twins.
+    val bdocs = docs.where($"doc_id" < nDocs / 4)
+      .select($"doc_id", encode(substring($"text", 1, 64), "utf-8").as("payload"))
+    val btwins = bdocs.where($"doc_id" % 100 === 0)
+      .select(($"doc_id" + nDocs.toLong).as("doc_id"),
+        encode(substring(decode($"payload", "utf-8"), 1, 56), "utf-8").as("payload"))
+    val bcorpus = bdocs.union(btwins).cache()
+    bcorpus.count()
+    val (binPairs, tBin) = timed {
+      ops.Media.binaryNearDupPairs(bcorpus, "doc_id", "payload",
+        n = 4, k = 8, bands = 4, threshold = 0.5).count()
+    }
+
     println(f"""{"metric":"cleaning_scale","n_docs":$nDocs,"bench_docs":$benchDocs,""" +
       f""""prune_kept_lines":$prunedKept,"prune_sec":$tPrune%.2f,""" +
       f""""contaminated":$contaminated,"decon_sec":$tDecon%.2f,""" +
@@ -236,7 +262,9 @@ object CleanBench {
       f""""dsir_selected":$dsirSel,"dsir_sec":$tDsir%.2f,""" +
       f""""norm_kept":$normKept,"norm_sec":$tNorm%.2f,""" +
       f""""dom_kept_lines":$domKept,"dom_sec":$tDom%.2f,""" +
-      f""""sem_contaminated":$semContam,"sem_sec":$tSem%.2f}""")
+      f""""sem_contaminated":$semContam,"sem_sec":$tSem%.2f,""" +
+      f""""docline_kept":$docLineKept,"docline_sec":$tDocLine%.2f,""" +
+      f""""bin_pairs":$binPairs,"bin_sec":$tBin%.2f}""")
     spark.stop()
   }
 }

@@ -76,6 +76,30 @@ object Bpe {
     "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r",
     "e" -> "s", "an" -> "d")
 
+  /** Tokenizer diagnostics per stratum — the numbers a trained merge
+    * table is judged by before a corpus is committed to it: FERTILITY
+    * (BPE tokens per whitespace word, basis points; ≥ 10000 by
+    * construction, since merges never cross the boundary symbol — lower
+    * is better) and COMPRESSION (chars per BPE token, basis points —
+    * higher is better). One corpus scan, partial-agg rollup, all integer
+    * math (floor-division ratios), so the oracle replays it exactly and
+    * the numbers are bit-stable across engines. Empty strata yield NULL
+    * ratios rather than dividing by zero. */
+  def tokenizerStats(df: DataFrame, stratumCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(bpeTokenCount(col(textCol), merges).cast("bigint")).as("bpe_tokens"),
+        sum(size(split(col(textCol), " ")).cast("bigint")).as("words"),
+        sum(length(col(textCol)).cast("bigint")).as("chars"))
+      .withColumn("fertility_bp",
+        when(col("words") > 0,
+          expr("(bpe_tokens * 10000) div words")).cast("int"))
+      .withColumn("compression_bp",
+        when(col("bpe_tokens") > 0,
+          expr("(chars * 10000) div bpe_tokens")).cast("int"))
+
   /** SQL replay of `applyMerges(symbolize(c))` — the merged symbol string,
     * generated from the same merge constant the Spark side uses. Boundary
     * appears as chr(1), never as a raw control byte. */

@@ -478,8 +478,25 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cents = loadCodebook(spark, path)
+    val (p, probedCells) = rankProbes(probes, idCol, vecCol, cents, nProbe)
+    val cands = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells.map(c => c: Any): _*))
+    topKWithinCells(p, cands, idCol, vecCol, k)
+  }
+
+  /** Probe-side half of an indexed IVF search, shared by the at-rest
+    * [[ivfTopKIndexed]] and the manifest-committed streaming index
+    * ([[graft.streaming.VectorIndexStream]]) so their decisions are the
+    * same plan by construction: rank every probe's `nProbe` nearest cells
+    * against `cents`, localCheckpoint once (the ranking feeds both the
+    * prune and the join), and return the deduped probed-cell list — the
+    * config-sized collect (≤ probes × nProbe, ≤ nCentroids absolutely)
+    * that becomes the pruning literal. */
+  private[graft] def rankProbes(probes: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Seq[Double]],
+      nProbe: Int): (DataFrame, Seq[Int]) = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     require(nProbe <= cents.length,
       s"nProbe $nProbe exceeds the index's ${cents.length} cells")
     val p = cellRanks(
@@ -491,8 +508,16 @@ object Similarity {
       .localCheckpoint() // ranked once; reused for the prune AND the join
     val probedCells = p.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // config-sized: ≤ nCentroids
-    val cands = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probedCells.map(c => c: Any): _*))
+    (p, probedCells)
+  }
+
+  /** Candidate-side half: exact cosine top-k of ranked probes (from
+    * [[rankProbes]]: probe_id, __pv, __pn, cell) against candidate rows
+    * (`idCol`, `vecCol`, cell) — a pure equi-join on the cell id, ties →
+    * lowest cand_id, identical to the in-query [[ivfTopK]] ranking. */
+  private[graft] def topKWithinCells(p: DataFrame, candRows: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cands = candRows
       .withColumnRenamed(idCol, "cand_id")
       .withColumnRenamed(vecCol, "__cv")
       .withColumn("__cn", norm("__cv"))

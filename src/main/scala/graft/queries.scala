@@ -1972,6 +1972,76 @@ object Queries {
            |    ORDER BY cosine DESC, cand_id) AS rn FROM pairs)
            |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin))
 
+  /** STREAMING vector index (streaming.VectorIndexStream): two embedding
+    * waves ingested as two manifest-committed micro-batches into a table
+    * whose buckets ARE the IVF cells — the codebook is the md5-ordered
+    * seed sample of the FIRST wave only (lloydIters = 0 so the oracle can
+    * replay training), wave 2 is assigned against that committed codebook,
+    * and the probe reads only its nProbe cells' files from the snapshot.
+    * The oracle replays seeding (wave-1 ids only), assignment of ALL rows,
+    * probe-cell ranking and the within-cell exact cosine top-k; the Spark
+    * side additionally proves the round trip through the streaming
+    * commit/probe machinery (exactly-once, snapshot-planned scan). */
+  private val qEmbedIndexStream = QueryDef(
+    "q_embed_index_stream",
+    (s, dir) => {
+      import s.implicits._
+      val q = t(s, dir, "embeddings").where($"vec_id" < 300)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      val root = s"$corpusDir/vec_index_stream"
+      Queries.synchronized {
+        val tbl = s"$root/t"
+        if (new Manifest(tbl, s.sessionState.newHadoopConf()).head().isEmpty) {
+          // two sequential stream runs = two batches: wave 1 bootstraps the
+          // codebook, wave 2 must be assigned against it (never re-fit)
+          q.where($"vec_id" < 150).coalesce(1).write
+            .mode("append").parquet(s"$root/in")
+          streaming.VectorIndexStream.runVectorIndexStream(s, s"$root/in",
+            tbl, s"$root/ckpt", q, idCol = "vec_id", vecCol = "qv",
+            nCells = 8, lloydIters = 0).awaitTermination()
+          q.where($"vec_id" >= 150).coalesce(1).write
+            .mode("append").parquet(s"$root/in")
+          streaming.VectorIndexStream.runVectorIndexStream(s, s"$root/in",
+            tbl, s"$root/ckpt", q, idCol = "vec_id", vecCol = "qv",
+            nCells = 8, lloydIters = 0).awaitTermination()
+        }
+      }
+      streaming.VectorIndexStream.topKSnapshot(s, s"$root/t",
+          q.where($"vec_id" < 3), "vec_id", "qv", k = 5, nProbe = 2,
+          nCells = 8)
+        .select($"probe_id", $"cand_id", $"rn")
+        .orderBy($"probe_id", $"rn")
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 300),
+           |cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           |    qv AS cv FROM q WHERE vec_id < 150
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+           |d AS (SELECT q.vec_id, cents.cid,
+           |    list_sum(list_transform(range(len(q.qv)),
+           |      j -> (cents.cv[j+1] - q.qv[j+1]) * (cents.cv[j+1] - q.qv[j+1]))) AS sqd
+           |  FROM q, cents),
+           |r AS (SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk FROM d),
+           |qn AS (SELECT vec_id, qv,
+           |    sqrt(CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)) AS nrm FROM q),
+           |cells AS (SELECT vec_id AS cand_id, cid AS cell FROM r WHERE rk = 1),
+           |pc AS (SELECT vec_id AS probe_id, cid AS cell FROM r
+           |       WHERE vec_id < 3 AND rk <= 2),
+           |pairs AS (SELECT pc.probe_id, cells.cand_id,
+           |    CAST(list_sum(list_transform(range(len(p.qv)),
+           |      j -> p.qv[j+1] * c.qv[j+1])) AS DOUBLE) / (p.nrm * c.nrm) AS cosine
+           |  FROM pc JOIN cells USING (cell)
+           |  JOIN qn p ON p.vec_id = pc.probe_id
+           |  JOIN qn c ON c.vec_id = cells.cand_id
+           |  WHERE pc.probe_id <> cells.cand_id)
+           |SELECT probe_id, cand_id, rn FROM (
+           |  SELECT probe_id, cand_id, row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cosine DESC, cand_id) AS rn FROM pairs)
+           |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin))
+
   /** SemDeDup at cluster granularity (ops.Dedup.semanticDedup): IVF cell
     * assignment (4 deterministic md5-ordered seed centroids, exact integer
     * squared-L2 argmin with index tie-break) → within-cell cosine pairs ≥
@@ -2541,6 +2611,40 @@ object Queries {
          |  array_to_string(toks[1:8], '|') AS head,
          |  CAST(${ops.Bpe.tokenCountSql("mrg", "text")} AS INT) AS cnt_alg
          |FROM t ORDER BY doc_id""".stripMargin
+    })
+
+  /** Tokenizer diagnostics (ops.Bpe.tokenizerStats): per-source fertility
+    * (BPE tokens per word) and compression (chars per token) in basis
+    * points — the rollup a trained merge table is judged by before a
+    * corpus commits to it. Integer floor-division ratios; the oracle
+    * replays the merge chain and both ratios from the shared constants. */
+  private val qBpeStats = QueryDef(
+    "q_bpe_stats",
+    (s, dir) => {
+      import s.implicits._
+      ops.Bpe.tokenizerStats(
+          t(s, dir, "documents").where($"doc_id" < 300)
+            .select($"source", $"text"),
+          "source", "text", ops.Bpe.DemoMerges)
+        .orderBy($"source")
+    },
+    Some {
+      val m = ops.Bpe.mergedSql("text", ops.Bpe.DemoMerges)
+      val cnt = ops.Bpe.tokenCountSql("mrg", "text")
+      s"""WITH m AS (SELECT source, text, $m AS mrg
+         |  FROM documents WHERE doc_id < 300),
+         |per AS (SELECT source,
+         |    CAST($cnt AS BIGINT) AS tok,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |    CAST(length(text) AS BIGINT) AS ch
+         |  FROM m)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(w) AS BIGINT) AS words,
+         |  CAST(sum(ch) AS BIGINT) AS chars,
+         |  CAST(CASE WHEN sum(w) > 0 THEN (sum(tok) * 10000) // sum(w) END AS INT) AS fertility_bp,
+         |  CAST(CASE WHEN sum(tok) > 0 THEN (sum(ch) * 10000) // sum(tok) END AS INT) AS compression_bp
+         |FROM per GROUP BY source ORDER BY source""".stripMargin
     })
 
   /** Token counting: whitespace tokens + long-token subset. */
@@ -3943,12 +4047,12 @@ object Queries {
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
-    qEmbedIvfIndex, qEmbedPq,
+    qEmbedIvfIndex, qEmbedIndexStream, qEmbedPq,
     qSemanticDedup, qSemanticDecon,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
-    qTokenRegex, qTokens, qBpe,
+    qTokenRegex, qTokens, qBpe, qBpeStats,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,

@@ -1,0 +1,240 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.ops.Similarity
+
+/** Streaming IVF vector index — the ANN twin of
+  * [[EventStream.runIndexedCorpusStream]]: embedding rows arrive as a
+  * parquet stream and are committed into a manifest table whose data
+  * buckets ARE the IVF cells, so a probe batch reads only its probed
+  * cells' files straight from the snapshot (manifest-level pruning — the
+  * scan's file list never includes an unprobed cell, stronger than a
+  * partition filter over a full listing) with snapshot isolation and
+  * time travel for free.
+  *
+  * Why this exists at 100 TB: [[graft.ops.Similarity.ivfIndexAppend]]
+  * already ingests incrementally into the plain at-rest layout, but a
+  * plain `mode("append")` parquet write is not atomic with anything — a
+  * crashed ingest leaves half-written cells visible to every probe, and
+  * re-delivered micro-batches double-index. Here each micro-batch commits
+  * all touched cell buckets + the ingest-metrics row in ONE snapshot
+  * guarded by the per-stream batch watermark ([[EventStream.streamIdFor]]
+  * exactly-once), so probes only ever see fully-committed batches and
+  * crash leftovers stay GC-able orphans.
+  *
+  * Table layout, parameterized by `nCells` (N):
+  *  - buckets `0 .. N-1`: vector rows, bucket = the row's nearest-centroid
+  *    cell under the COMMITTED codebook (all input columns carried — the
+  *    index co-locates the payload by cell, like [[Similarity.buildIvfIndex]]);
+  *  - bucket `N` ([[codebookBucketFor]]): the codebook (cell INT,
+  *    cv ARRAY<DOUBLE>), trained ONCE on the first non-empty batch
+  *    (deterministic md5-ordered seeds + `lloydIters` DataFrame-side Lloyd
+  *    rounds) and committed in that batch's snapshot — every later batch
+  *    assigns against it, so old and new rows agree on cell geometry;
+  *  - bucket `N+1` ([[metricsBucketFor]]): one ingest-metrics row per
+  *    committed micro-batch (batch_id, input_rows, indexed, dropped_null,
+  *    cells_touched, trained), committed WITH the data.
+  *
+  * The codebook is never re-fit (after heavy drift, rebuild the table);
+  * a layout stamp (`__layout:ivf_cells`) makes a table written with one
+  * `nCells` refuse to open under another, exactly like the corpus
+  * stream's `corpusBuckets` stamp. */
+object VectorIndexStream {
+
+  /** Manifest bucket holding the codebook rows. */
+  def codebookBucketFor(nCells: Int): Int = nCells
+
+  /** Manifest bucket holding one ingest-metrics row per batch. */
+  def metricsBucketFor(nCells: Int): Int = nCells + 1
+
+  /** Reserved watermark-map key stamping the table's cell count into every
+    * snapshot (carried forward by commits and compaction). Misreading the
+    * layout would be silent corruption: cell buckets parsed as codebook /
+    * metrics and vice versa. */
+  private[graft] val LayoutKey = "__layout:ivf_cells"
+
+  private def requireLayout(snap: Option[graft.Manifest.Snapshot],
+      nCells: Int, tableDir: String): Unit =
+    snap.flatMap(_.streamWatermarks.get(LayoutKey)).foreach { n =>
+      require(n == nCells.toLong,
+        s"vector-index table at $tableDir was written with nCells=$n but " +
+          s"opened with nCells=$nCells — bucket namespaces would be misread")
+    }
+
+  /** Committed codebook of the table, cell-ordered (tiny: nCells × dims).
+    * Empty before the first non-empty batch commits. */
+  def readCodebook(spark: SparkSession, tableDir: String, nCells: Int,
+      asOf: Option[Int] = None): Seq[Seq[Double]] = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), nCells, tableDir)
+    val cb = codebookBucketFor(nCells)
+    val hasRows = asOf.map(m.snapshotById).orElse(m.head())
+      .exists(_.buckets.exists(b => b.bucket == cb && b.rows > 0))
+    if (!hasRows) Nil
+    else m.readData(spark, Some(Set(cb)), asOf)
+      .select(col("cell"), col("cv")).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** All committed vector rows (bucket column dropped) — the full-scan
+    * reader; probes should use [[topKSnapshot]], which prunes. */
+  def readVectors(spark: SparkSession, tableDir: String,
+      nCells: Int): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), nCells, tableDir)
+    m.readData(spark, Some((0 until nCells).toSet)).drop("bucket")
+  }
+
+  /** Per-micro-batch ingest metrics, one row per committed batch. */
+  def readIngestMetrics(spark: SparkSession, tableDir: String,
+      nCells: Int): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), nCells, tableDir)
+    m.readData(spark, Some(Set(metricsBucketFor(nCells)))).drop("bucket")
+  }
+
+  /** Exact cosine top-k against the COMMITTED index: rank each probe's
+    * `nProbe` nearest cells against the committed codebook, then read ONLY
+    * those cells' buckets from the snapshot — the candidate scan's file
+    * list comes from the manifest pruned to the probed cells, so a query
+    * batch reads ~(nProbe / nCells) of the table's bytes no matter how
+    * many batches have been ingested. `asOf` pins a snapshot (probe the
+    * index as of batch k — reproducible serving). Returns (probe_id,
+    * cand_id, cosine, rn ≤ k), ranking identical to
+    * [[Similarity.ivfTopKIndexed]] by construction (shared helpers). */
+  def topKSnapshot(spark: SparkSession, tableDir: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, nCells: Int,
+      asOf: Option[Int] = None): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(m.head(), nCells, tableDir)
+    val cents = readCodebook(spark, tableDir, nCells, asOf)
+    require(cents.nonEmpty,
+      s"vector-index table at $tableDir has no committed codebook yet")
+    val (p, probedCells) = Similarity.rankProbes(probes, idCol, vecCol,
+      cents, nProbe)
+    val snap = asOf.map(m.snapshotById).orElse(m.head()).get
+    val hasFiles = snap.buckets
+      .exists(b => probedCells.contains(b.bucket) && b.files.nonEmpty)
+    if (!hasFiles) // none of the probed cells committed any vectors yet
+      return probes.select(col(idCol).as("probe_id"), col(idCol).as("cand_id"))
+        .withColumn("cosine", lit(0.0)).withColumn("rn", lit(1))
+        .where(lit(false))
+    val cands = m.readData(spark, Some(probedCells.toSet), asOf)
+      .withColumnRenamed("bucket", "cell")
+    Similarity.topKWithinCells(p, cands, idCol, vecCol, k)
+  }
+
+  /** Run the ingest stream: parquet files under `inDir` → one manifest
+    * commit per micro-batch. `schemaFrom` supplies the input schema (any
+    * columns; `idCol` unique, `vecCol` numeric array). The first non-empty
+    * batch trains the codebook (md5-ordered seeds + `lloydIters` Lloyd
+    * rounds over that batch) and commits it with its rows. */
+  def runVectorIndexStream(spark: SparkSession, inDir: String,
+      tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nCells: Int = 16, lloydIters: Int = 2): StreamingQuery = {
+    val streamId = EventStream.streamIdFor(
+      checkpointDir, spark.sessionState.newHadoopConf())
+    spark.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId, tableDir, streamId, idCol, vecCol,
+          nCells, lloydIters)
+      }
+      .start()
+  }
+
+  private[graft] def indexBatch(batch: DataFrame, batchId: Long,
+      tableDir: String, streamId: String, idCol: String, vecCol: String,
+      nCells: Int, lloydIters: Int): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(!batch.columns.contains("bucket"),
+      "vector schema must not carry a 'bucket' column (manifest partition name)")
+    require(!batch.columns.contains("cell"),
+      "vector schema must not carry a 'cell' column (probe-join name)")
+    val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val prev = table.head()
+    requireLayout(prev, nCells, tableDir)
+    if (EventStream.isRedelivered(prev, streamId, "", batchId))
+      return // re-delivered
+    val cbBucket = codebookBucketFor(nCells)
+    val mBucket = metricsBucketFor(nCells)
+    // bootstrap while no codebook row is COMMITTED (an empty first batch
+    // commits its watermark but trains nothing — the next batch bootstraps)
+    val committed = prev
+      .exists(_.buckets.exists(b => b.bucket == cbBucket && b.rows > 0))
+    // rows with null id or vector cannot be assigned (and a null id would
+    // break probe ranking) — dropped, but COUNTED in the metrics row
+    val rows = batch
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull).localCheckpoint()
+    val nInput = batch.count()
+    val nRows = rows.count()
+    val cents: Seq[Seq[Double]] =
+      if (committed) readCodebook(spark, tableDir, nCells)
+      else if (nRows == 0L) Nil
+      else Similarity.refineCentroids(rows, vecCol,
+        Similarity.seedCentroids(rows, idCol, vecCol, nCells), lloydIters)
+    val assigned =
+      if (nRows == 0L) None
+      else Some(graft.ops.Similarity.cellRanks(rows, idCol, vecCol, cents,
+          maxRank = 1)
+        .withColumn("bucket", col("__cell").cast("int"))
+        .drop("__cell", "__rk").localCheckpoint())
+
+    // per-cell admitted counts (≤ nCells entries) and the id watermark
+    val perCell: Map[Int, Long] = assigned.map(
+      _.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+    val wm = assigned.map(
+      _.agg(max(col(idCol).cast("string"))).head().getString(0))
+      .flatMap(Option(_)).getOrElse("")
+
+    val allBuckets = (0 until nCells) :+ cbBucket :+ mBucket
+    val pre: Map[Int, Set[String]] =
+      allBuckets.map(b => b -> table.listBucketFiles(b).toSet).toMap
+    assigned.foreach(_.write.mode("append").partitionBy("bucket")
+      .parquet(s"$tableDir/data"))
+    val trained = !committed && cents.nonEmpty
+    if (trained)
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+        .coalesce(1).write.mode("append")
+        .parquet(s"$tableDir/data/bucket=$cbBucket")
+    Seq((batchId, nInput, nRows, nInput - nRows, perCell.size.toLong, trained))
+      .toDF("batch_id", "input_rows", "indexed", "dropped_null",
+        "cells_touched", "trained")
+      .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")
+
+    def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
+    val prevStates: Map[Int, graft.Manifest.BucketState] =
+      prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
+    def grown(bucket: Int, nRowsAdded: Long) = {
+      val p = prevStates.get(bucket)
+      graft.Manifest.BucketState(bucket,
+        p.map(_.rows).getOrElse(0L) + nRowsAdded,
+        Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
+        p.map(_.files).getOrElse(Nil) ++ newFiles(bucket))
+    }
+    // ONE commit covers the touched cells + codebook + metrics + the
+    // exactly-once watermark; untouched cell buckets are still committed
+    // (rows += 0, no new files) so bucket states never go stale. Even an
+    // all-null batch commits — the watermark must advance or re-delivery
+    // would replay it forever, and its metrics row records the decision.
+    table.commit(f"vecidx-batch-$batchId%06d",
+      (0 until nCells).map(b => grown(b, perCell.getOrElse(b, 0L))) ++
+        Seq(grown(cbBucket, if (trained) cents.length.toLong else 0L),
+          grown(mBucket, 1L)),
+      streamWatermark = Some(streamId -> batchId),
+      extraWatermarks = Map(LayoutKey -> nCells.toLong))
+  }
+}

@@ -631,6 +631,24 @@ class OpsSpec extends AnyFunSuite {
       "nProbe == nCells over the at-rest index must equal brute force")
   }
 
+  test("tokenizerStats: fertility >= 1 token/word by construction; ratios and totals replay exactly") {
+    val df = documents.where($"doc_id" < 100).select($"source", $"text")
+    val st = ops.Bpe.tokenizerStats(df, "source", "text", ops.Bpe.DemoMerges)
+      .collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val (tok, w, ch) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getInt(5) >= 10000, s"fertility ${r.getInt(5)} < 1 tok/word")
+      assert(r.getInt(5) == tok * 10000 / w && r.getInt(6) == ch * 10000 / tok,
+        "ratios must be the integer floor divisions of the totals")
+    }
+    val perRow = df.select(sum(
+      ops.Bpe.bpeTokenCount($"text", ops.Bpe.DemoMerges).cast("bigint")))
+      .head().getLong(0)
+    assert(st.map(_.getLong(2)).sum == perRow,
+      "stratum totals must sum to the per-row token count")
+  }
+
   test("trainProfiles: derived profiles recover every fixture the hand-authored ones do; continuous CJK detected") {
     val labeled = ops.TextStats.plantedFixtures.toDF("fid", "lang", "text")
     val trained = ops.TextStats.trainProfiles(labeled, "lang", "text", topN = 40)

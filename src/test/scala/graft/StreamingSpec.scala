@@ -591,6 +591,123 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivery must be a no-op after compaction")
   }
 
+  test("vector-index stream: codebook trains once, probes prune to probed cells, full-probe == brute force") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_vix_in_").toString
+    val tbl = Files.createTempDirectory("graft_vix_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vix_ckpt_").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val wave1 = emb.where($"vec_id" < 120)
+    val wave2 = emb.where($"vec_id" >= 120 && $"vec_id" < 240)
+    val nCells = 8
+
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 1).awaitTermination()
+    val cb1 = streaming.VectorIndexStream.readCodebook(spark, tbl, nCells)
+    assert(cb1.size == nCells, "bootstrap must train a full codebook")
+
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 1).awaitTermination()
+    assert(streaming.VectorIndexStream.readCodebook(spark, tbl, nCells) == cb1,
+      "the codebook is trained ONCE at bootstrap, never re-fit by later batches")
+    val all = streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+    assert(all.count() == 240)
+
+    // placement contract: every committed row sits in the cell its vector
+    // is nearest to under the COMMITTED codebook (wave-2 rows included —
+    // they were assigned against the bootstrap codebook, not a re-fit one)
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val placed = m.readData(spark, Some((0 until nCells).toSet))
+    val expected = ops.Similarity.cellRanks(
+      placed.drop("bucket"), "vec_id", "embedding", cb1, maxRank = 1)
+    assert(placed.join(expected.select($"vec_id", $"__cell"), "vec_id")
+      .where($"bucket" =!= $"__cell".cast("int")).count() == 0,
+      "every row must live in its nearest cell under the committed codebook")
+
+    // full probe (nProbe == nCells) is exact: equals brute force
+    val probes = emb.where($"vec_id" < 3)
+    def keyset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = keyset(streaming.VectorIndexStream.topKSnapshot(spark, tbl,
+      probes, "vec_id", "embedding", k = 5, nProbe = nCells, nCells = nCells))
+    val exp = keyset(ops.Similarity.bruteForceTopK(all, probes,
+      "vec_id", "embedding", k = 5))
+    assert(got == exp, "nProbe == nCells over the committed index must equal brute force")
+
+    // manifest-level pruning: an nProbe=1 probe's candidate scan reads ONLY
+    // the probed cells' committed files (the probe side is checkpointed, so
+    // inputFiles of the result IS the candidate file list). Paths are
+    // URI-normalized: the manifest records Hadoop's file:/x spelling,
+    // inputFiles returns file:///x — same files.
+    def fnorm(p: String) = new java.net.URI(p).getPath
+    val (_, probedCells) = ops.Similarity.rankProbes(
+      probes, "vec_id", "embedding", cb1, nProbe = 1)
+    val probedFiles = m.head().get.buckets
+      .filter(b => probedCells.contains(b.bucket)).flatMap(_.files)
+      .map(fnorm).toSet
+    val otherFiles = m.head().get.buckets
+      .filterNot(b => probedCells.contains(b.bucket)).flatMap(_.files)
+      .map(fnorm).toSet
+    val narrow = streaming.VectorIndexStream.topKSnapshot(spark, tbl,
+      probes, "vec_id", "embedding", k = 5, nProbe = 1, nCells = nCells)
+    val scanned = narrow.inputFiles.map(fnorm).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(probedFiles),
+      s"probe must scan only probed cells' files; extra: ${scanned -- probedFiles}")
+    assert((scanned & otherFiles).isEmpty)
+
+    // time travel: pin the wave-1 snapshot — no wave-2 candidate can appear
+    val asOf0 = streaming.VectorIndexStream.topKSnapshot(spark, tbl, probes,
+      "vec_id", "embedding", k = 5, nProbe = nCells, nCells = nCells,
+      asOf = Some(0))
+    assert(asOf0.where($"cand_id" >= 120).count() == 0 && asOf0.count() > 0)
+
+    // ingest metrics: one committed row per batch; only batch 0 trained
+    val mx = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
+      .orderBy($"batch_id").collect()
+    assert(mx.length == 2)
+    mx.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    assert(mx(0).getBoolean(5) && !mx(1).getBoolean(5))
+
+    // crash window: files in a cell bucket without a commit stay invisible
+    // orphans; a re-delivered batch id is a no-op
+    val beforeId = m.head().get.id
+    wave1.limit(5).withColumn("bucket", lit(0)).drop("bucket")
+      .write.mode("append").parquet(s"$tbl/data/bucket=0")
+    assert(streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+      .count() == 240, "uncommitted crash files must stay invisible")
+    assert(m.orphanFiles().nonEmpty)
+    val sid = streaming.EventStream.streamIdFor(ckpt, spark.sessionState.newHadoopConf())
+    streaming.VectorIndexStream.indexBatch(wave1, 0L, tbl, sid,
+      "vec_id", "embedding", nCells, lloydIters = 1)
+    assert(m.head().get.id == beforeId,
+      "re-delivered batch must not commit")
+  }
+
+  test("vector-index layout stamp: a table written with nCells=N refuses to open under a different N") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_vixl_in_").toString
+    val tbl = Files.createTempDirectory("graft_vixl_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vixl_ckpt_").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").where($"vec_id" < 60)
+    emb.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = 4, lloydIters = 0).awaitTermination()
+    assert(streaming.VectorIndexStream.readVectors(spark, tbl, 4).count() == 60)
+    val probes = emb.where($"vec_id" < 2)
+    for (bad <- Seq(2, 8)) {
+      val e = intercept[IllegalArgumentException] {
+        streaming.VectorIndexStream.topKSnapshot(spark, tbl, probes,
+          "vec_id", "embedding", k = 3, nProbe = 1, nCells = bad)
+      }
+      assert(e.getMessage.contains("nCells"))
+    }
+  }
+
   test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
     // the cleaning/mixing stages are stateless column algebra, so the SAME
     // operator objects compose into readStream with no code changes — the
