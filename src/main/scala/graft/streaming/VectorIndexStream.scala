@@ -184,12 +184,17 @@ object VectorIndexStream {
       else if (nRows == 0L) Nil
       else Similarity.refineCentroids(rows, vecCol,
         Similarity.seedCentroids(rows, idCol, vecCol, nCells), lloydIters)
+    // one shuffle by cell before the partitioned write: without it every
+    // task holds rows of every cell, so a batch writes O(tasks × nCells)
+    // small files — the metadata plane (snapshot JSON, probe file opens)
+    // then grows nCells× faster than it needs to between compactions
     val assigned =
       if (nRows == 0L) None
       else Some(graft.ops.Similarity.cellRanks(rows, idCol, vecCol, cents,
           maxRank = 1)
         .withColumn("bucket", col("__cell").cast("int"))
-        .drop("__cell", "__rk").localCheckpoint())
+        .drop("__cell", "__rk")
+        .repartition(col("bucket")).localCheckpoint())
 
     // per-cell admitted counts (≤ nCells entries) and the id watermark
     val perCell: Map[Int, Long] = assigned.map(

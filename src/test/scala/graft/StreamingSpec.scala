@@ -687,6 +687,60 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivered batch must not commit")
   }
 
+  test("vector-index table compacts per namespace; probes, stamp and exactly-once guard survive compaction + GC") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_vixc_in_").toString
+    val tbl = Files.createTempDirectory("graft_vixc_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vixc_ckpt_").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val nCells = 4
+    // three waves → three commits → fragmented cell buckets
+    for (w <- 0 until 3) {
+      emb.where($"vec_id" >= w * 80 && $"vec_id" < (w + 1) * 80)
+        .coalesce(1).write.mode("append").parquet(in)
+      streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+        emb, nCells = nCells, lloydIters = 1).awaitTermination()
+    }
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    assert(m.head().get.buckets.filter(_.bucket < nCells)
+      .exists(_.files.length >= 2),
+      "per-batch appends must fragment at least one cell bucket")
+    val probes = emb.where($"vec_id" < 3)
+    def result() = streaming.VectorIndexStream.topKSnapshot(spark, tbl,
+      probes, "vec_id", "embedding", k = 5, nProbe = 2, nCells = nCells)
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val golden = result()
+    val cb = streaming.VectorIndexStream.readCodebook(spark, tbl, nCells)
+    // cell buckets share the vector schema → one compact call covers all
+    // four; codebook and metrics namespaces compact separately
+    ExtractJob.compact(spark, tbl, only = Some((0 until nCells).toSet))
+    ExtractJob.compact(spark, tbl,
+      only = Some(Set(streaming.VectorIndexStream.metricsBucketFor(nCells))))
+    val headC = m.head().get
+    assert(headC.buckets.filter(_.bucket < nCells).forall(_.files.length == 1))
+    assert(result() == golden, "compaction must not change probe results")
+    assert(streaming.VectorIndexStream.readCodebook(spark, tbl, nCells) == cb)
+    // layout stamp rode through the compaction commits
+    intercept[IllegalArgumentException] {
+      streaming.VectorIndexStream.topKSnapshot(spark, tbl, probes,
+        "vec_id", "embedding", k = 5, nProbe = 1, nCells = 8)
+    }
+    // GC the pre-compaction orphans; the HEAD probe is untouched
+    assert(m.orphanFiles().nonEmpty)
+    m.removeOrphans()
+    assert(m.orphanFiles().isEmpty && result() == golden)
+    // exactly-once guard survives compaction: replaying batch 0 is a no-op
+    val sid = streaming.EventStream.streamIdFor(
+      ckpt, spark.sessionState.newHadoopConf())
+    val beforeId = m.head().get.id
+    streaming.VectorIndexStream.indexBatch(emb.where($"vec_id" < 80), 0L,
+      tbl, sid, "vec_id", "embedding", nCells, lloydIters = 1)
+    assert(m.head().get.id == beforeId && result() == golden,
+      "re-delivery must be a no-op after compaction")
+  }
+
   test("vector-index layout stamp: a table written with nCells=N refuses to open under a different N") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_vixl_in_").toString
