@@ -153,7 +153,11 @@ object EventStream {
     val pre: Map[Int, Set[String]] =
       buckets.map(b => b -> table.listBucketFiles(b).toSet).toMap
 
-    batch.write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
+    // one shuffle by bucket first: otherwise every task holds rows of every
+    // bucket and a micro-batch writes O(tasks × buckets) small files — the
+    // snapshot JSON and every downstream scan pay for it until compaction
+    batch.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
 
     val newFiles: Map[Int, Seq[String]] =
       buckets.map(b => b -> table.listBucketFiles(b).filterNot(pre(b))).toMap
@@ -526,7 +530,11 @@ object EventStream {
 
     val pre: Map[Int, Set[String]] = (cBuckets :+ ixBucket :+ mBucket)
       .map(b => b -> table.listBucketFiles(b).toSet).toMap
+    // shuffle by sub-bucket before the partitioned write (one file per
+    // touched sub-bucket per batch instead of O(tasks × corpusBuckets) —
+    // a daily-ingest stream runs thousands of batches between compactions)
     admitted.withColumn("bucket", corpusBucketOf(corpusBuckets)(col(idCol)))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
     idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$ixBucket")
     metricsRow.coalesce(1).write.mode("append")
