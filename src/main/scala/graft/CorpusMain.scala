@@ -242,12 +242,18 @@ object CorpusMain {
         ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
     }
     val profile = stage("profile") {
+      // tokenizer diagnostics ride along: per-domain fertility (BPE
+      // tokens/word) and compression (chars/token) under the tokenizer
+      // the shards were packed with — the report that says whether the
+      // trained merge table actually fits each domain's text
       packed.groupBy($"domain")
         .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
           countDistinct($"shard").as("shards"),
           sum(when($"lm_bucket" === "head", 1L).otherwise(0L)).as("head_docs"),
           sum(when($"lm_bucket" === "middle", 1L).otherwise(0L)).as("middle_docs"),
           sum(when($"lm_bucket" === "tail", 1L).otherwise(0L)).as("tail_docs"))
+        .join(ops.Bpe.tokenizerStats(packed, "domain", "text", merges)
+          .select($"domain", $"fertility_bp", $"compression_bp"), Seq("domain"))
     }
 
     val totals = profile.agg(sum($"docs"), sum($"shards")).head()

@@ -140,4 +140,41 @@ object Bm25 {
       .orderBy(col("score_q").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * merge per-query ranked lists from heterogeneous retrievers (BM25 +
+    * an ANN path is THE hybrid-search composition; any number of lists
+    * works) into one ranking without comparing their incomparable scores:
+    * only RANKS cross the boundary.
+    *
+    * Each input list carries (queryCol, docCol, rankCol) with rank ≥ 1
+    * and at most one row per (query, doc) — exactly what a top-k emits.
+    * A doc's fused score is Σ over the lists that returned it of
+    * floor(10⁹ / (kRrf + rank)) — the RRF 1/(k₀+rank) term scaled to
+    * integers at the one floor, so fused scores are bit-reproducible
+    * across engines (the [[Lm]] doctrine). Output: (queryCol, docCol,
+    * rrf_q, lists_hit, rn ≤ k), ties → smaller doc.
+    *
+    * Scale shape: the inputs are top-k lists (|queries| × k rows — tiny
+    * relative to any corpus; the corpus-sized work already happened
+    * inside each retriever), so the union + partial-agg sum is cheap and
+    * the per-query window ranks at most #lists × k candidates — bounded
+    * by construction, never by data volume. */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: no input lists")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val contrib = expr(
+      s"cast(1000000000 as bigint) div " +
+        s"(cast($kRrf as bigint) + cast(`$rankCol` as bigint))")
+    val u = lists.map(_.select(col(queryCol), col(docCol), contrib.as("__c")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol)).orderBy(col("rrf_q").desc, col(docCol).asc)
+    u.groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("__c")).as("rrf_q"), count(lit(1)).as("lists_hit"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+  }
 }

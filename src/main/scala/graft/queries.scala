@@ -1460,6 +1460,49 @@ object Queries {
     * the corpus, CHECKS df against the staged rows via the join, and
     * replays the scoring arithmetic with the same literal expressions
     * ((1.2 + 1.0), (1.0 - 0.75)) so every double op is bit-identical. */
+  private val qRrfFuse = QueryDef(
+    "q_rrf_fuse",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // two deterministic per-source rankings standing in for retriever
+      // output (Bm25.rrfFuse never looks at how a list was ranked — only
+      // ranks cross the fusion boundary; the real BM25+ANN composition is
+      // exercised in OpsSpec): longest-docs and md5-shuffled top-10s
+      val docs = t(s, dir, "documents").where($"doc_id" < 400)
+        .select($"source", $"doc_id", $"text")
+      val wA = Window.partitionBy($"source")
+        .orderBy(length($"text").desc, $"doc_id".asc)
+      val wB = Window.partitionBy($"source")
+        .orderBy(md5($"text").asc, $"doc_id".asc)
+      val listA = docs.select($"source", $"doc_id",
+        row_number().over(wA).as("rn")).where($"rn" <= 10)
+      val listB = docs.select($"source", $"doc_id",
+        row_number().over(wB).as("rn")).where($"rn" <= 10)
+      ops.Bm25.rrfFuse(Seq(listA, listB), "source", "doc_id", "rn", k = 5)
+        .orderBy($"source", $"rn")
+    },
+    Some("""WITH docs AS (SELECT source, doc_id, text FROM documents
+           |    WHERE doc_id < 400),
+           |la AS (SELECT source, doc_id, row_number() OVER (
+           |    PARTITION BY source ORDER BY length(text) DESC, doc_id) AS rn
+           |  FROM docs),
+           |lb AS (SELECT source, doc_id, row_number() OVER (
+           |    PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+           |  FROM docs),
+           |u AS (SELECT source, doc_id, 1000000000 // (60 + rn) AS c
+           |    FROM la WHERE rn <= 10
+           |  UNION ALL
+           |  SELECT source, doc_id, 1000000000 // (60 + rn) AS c
+           |    FROM lb WHERE rn <= 10),
+           |f AS (SELECT source, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+           |    CAST(count(*) AS BIGINT) AS lists_hit
+           |  FROM u GROUP BY source, doc_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY rrf_q DESC, doc_id) AS rn FROM f)
+           |SELECT source, doc_id, rrf_q, lists_hit, rn FROM r
+           |WHERE rn <= 5 ORDER BY source, rn""".stripMargin))
+
   private val qBm25 = QueryDef(
     "q_bm25", {
       val dictPath = s"$corpusDir/bm25_dict"
@@ -4043,7 +4086,7 @@ object Queries {
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ, qDedupCapped,
     qDedupBest, qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon, qTextNormalize,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
-    qNbTrain, qNbClassify, qDsir, qBm25,
+    qNbTrain, qNbClassify, qDsir, qBm25, qRrfFuse,
     qCorpusPipeline,
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,

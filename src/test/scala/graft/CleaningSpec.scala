@@ -332,6 +332,10 @@ class CleaningSpec extends AnyFunSuite {
     // profile accounts for every admitted doc
     val prof = graft.CorpusMain.readStage(spark, out, "profile")
     assert(prof.agg(sum($"docs")).head().getLong(0) == stages("admitted"))
+    // tokenizer diagnostics ride the profile: fertility ≥ 1 tok/word by
+    // construction, compression positive for non-empty domains
+    assert(prof.where($"fertility_bp" < 10000 || $"compression_bp" <= 0)
+      .count() == 0, "per-domain tokenizer stats must be well-formed")
     // the LM gate drops at most a decile (threshold = exact P10)
     assert(stages("lm_kept") >= (stages("substr") * 0.88).toLong)
     // CCNet tiers partition the kept mass (P30/P30 cuts) and flow through

@@ -1581,4 +1581,66 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(dup == ranked)
   }
+
+  test("rrfFuse: exact integer arithmetic, both-lists beats one-list, tie to smaller doc, k cut") {
+    def c(r: Int) = 1000000000L / (60 + r)
+    // doc 10 in both lists (ranks 1, 3); 11/12 in one each at rank 1;
+    // 13/14 tie (same single-list rank 2) → smaller doc first
+    val la = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 13L, 3))
+      .toDF("q", "doc", "rn")
+    val lb = Seq((1L, 10L, 3), (1L, 12L, 1), (1L, 14L, 3))
+      .toDF("q", "doc", "rn")
+    val got = ops.Bm25.rrfFuse(Seq(la, lb), "q", "doc", "rn", k = 4)
+      .orderBy($"rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (10L, c(1) + c(3), 2L, 1), // both lists dominate
+      (12L, c(1), 1L, 2),        // then singles by their own rank
+      (11L, c(2), 1L, 3),
+      (13L, c(3), 1L, 4)),       // tie with 14 → smaller doc wins
+      s"got: ${got.toSeq}")
+    assert(got.head._2 == 16393442L + 15873015L,
+      "fused score must be the exact integer floor sum")
+    // k cut dropped doc 14 (tied with 13, larger id loses the tie first,
+    // then the cut removes it)
+    assert(!got.map(_._1).contains(14L))
+  }
+
+  test("rrfFuse hybrid: BM25 + brute-force-cosine lists fuse over the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents.where($"doc_id" < 200 && $"text".isNotNull)
+      .select($"doc_id", $"text")
+    val k = 10
+    // lexical list: BM25 top-k for the query, ranked 1..k
+    val post = ops.Bm25.postings(docs, "doc_id", "text")
+    val dict = ops.Bm25.dictionary(post, "doc_id")
+    val terms = Seq("the", "data", "of")
+    val lex = ops.Bm25.bm25TopK(post, dict, "doc_id", terms, k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"score_q".desc, $"doc_id".asc)))
+      .withColumn("q", lit(0L)).select($"q", $"doc_id", $"rn")
+    // vector list: brute-force cosine top-k over hashing-trick embeddings,
+    // probe = doc 0's own vector (rn from bruteForceTopK is the rank)
+    val emb = ops.Embed.hashEmbed(docs, "text", dims = 64)
+      .select($"doc_id", $"vec".cast("array<double>").as("vec"))
+    val vec = ops.Similarity.bruteForceTopK(emb,
+        emb.where($"doc_id" === 0), "doc_id", "vec", k)
+      .select(lit(0L).as("q"), $"cand_id".as("doc_id"), $"rn")
+    val fused = ops.Bm25.rrfFuse(Seq(lex, vec), "q", "doc_id", "rn", k)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lexRanks = lex.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val vecRanks = vec.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(fused.length == k)
+    fused.foreach { case (doc, score, hit) =>
+      val expect = lexRanks.get(doc).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+        vecRanks.get(doc).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+      assert(score == expect && hit == (lexRanks.contains(doc).compare(false) +
+        vecRanks.contains(doc).compare(false)).toLong,
+        s"doc $doc: fused $score != $expect from ranks " +
+          s"${lexRanks.get(doc)}/${vecRanks.get(doc)}")
+    }
+    // every fused doc came from one of the lists, and any doc on BOTH
+    // lists outranks every doc its component ranks dominate
+    assert(fused.map(_._1).toSet.subsetOf(lexRanks.keySet ++ vecRanks.keySet))
+  }
 }
