@@ -36,7 +36,10 @@ import graft.ops.Similarity
   *    assigns against it, so old and new rows agree on cell geometry;
   *  - bucket `N+1` ([[metricsBucketFor]]): one ingest-metrics row per
   *    committed micro-batch (batch_id, input_rows, indexed, dropped_null,
-  *    cells_touched, trained), committed WITH the data.
+  *    cells_touched, trained, assign_msd_q — the batch's mean squared
+  *    assignment distance in micro-units, −1 for an empty batch; the
+  *    drift signal that makes the frozen codebook operable), committed
+  *    WITH the data.
   *
   * The codebook is never re-fit (after heavy drift, rebuild the table);
   * a layout stamp (`__layout:ivf_cells`) makes a table written with one
@@ -131,11 +134,17 @@ object VectorIndexStream {
     * commit per micro-batch. `schemaFrom` supplies the input schema (any
     * columns; `idCol` unique, `vecCol` numeric array). The first non-empty
     * batch trains the codebook (md5-ordered seeds + `lloydIters` Lloyd
-    * rounds over that batch) and commits it with its rows. */
+    * rounds over that batch) and commits it with its rows — UNLESS
+    * `initialCodebook` is given, in which case THAT codebook (e.g. Lloyd
+    * over an offline representative sample — batch 1 of a live feed is
+    * rarely representative) is committed with the first batch and trained
+    * in-stream never happens. A codebook already committed in the table
+    * always wins over both (restart safety). */
   def runVectorIndexStream(spark: SparkSession, inDir: String,
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nCells: Int = 16, lloydIters: Int = 2): StreamingQuery = {
+      nCells: Int = 16, lloydIters: Int = 2,
+      initialCodebook: Option[Seq[Seq[Double]]] = None): StreamingQuery = {
     val streamId = EventStream.streamIdFor(
       checkpointDir, spark.sessionState.newHadoopConf())
     spark.readStream.schema(schemaFrom.schema)
@@ -147,14 +156,15 @@ object VectorIndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexBatch(batch, batchId, tableDir, streamId, idCol, vecCol,
-          nCells, lloydIters)
+          nCells, lloydIters, initialCodebook)
       }
       .start()
   }
 
   private[graft] def indexBatch(batch: DataFrame, batchId: Long,
       tableDir: String, streamId: String, idCol: String, vecCol: String,
-      nCells: Int, lloydIters: Int): Unit = {
+      nCells: Int, lloydIters: Int,
+      initialCodebook: Option[Seq[Seq[Double]]] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
@@ -179,11 +189,17 @@ object VectorIndexStream {
       .where(col(idCol).isNotNull && col(vecCol).isNotNull).localCheckpoint()
     val nInput = batch.count()
     val nRows = rows.count()
+    initialCodebook.foreach { cb =>
+      require(cb.nonEmpty && cb.length <= nCells,
+        s"initialCodebook must have 1..$nCells centroids, got ${cb.length}")
+    }
     val cents: Seq[Seq[Double]] =
       if (committed) readCodebook(spark, tableDir, nCells)
-      else if (nRows == 0L) Nil
-      else Similarity.refineCentroids(rows, vecCol,
-        Similarity.seedCentroids(rows, idCol, vecCol, nCells), lloydIters)
+      else initialCodebook.getOrElse {
+        if (nRows == 0L) Nil
+        else Similarity.refineCentroids(rows, vecCol,
+          Similarity.seedCentroids(rows, idCol, vecCol, nCells), lloydIters)
+      }
     // one shuffle by cell before the partitioned write: without it every
     // task holds rows of every cell, so a batch writes O(tasks × nCells)
     // small files — the metadata plane (snapshot JSON, probe file opens)
@@ -201,6 +217,20 @@ object VectorIndexStream {
       _.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
       .getOrElse(Map.empty)
+    // drift signal: mean squared distance of this batch's rows to their
+    // assigned centroids, floored to integer micro-units (−1 = no rows).
+    // The codebook is frozen, so a rising assign_msd_q across batches is
+    // the operator's rebuild trigger — without it "never re-fit" is an
+    // unobservable liability. One narrow broadcast join on the cell id.
+    val msdQ: Long = assigned.map { a =>
+      val cb = cents.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("bucket", "__centv2")
+      val sqd = expr(s"""aggregate(zip_with(__centv2, $vecCol,
+        |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
+        |  0D, (acc, v) -> acc + v)""".stripMargin)
+      math.floor(a.join(broadcast(cb), "bucket")
+        .agg(avg(sqd)).head().getDouble(0) * 1e6).toLong
+    }.getOrElse(-1L)
     val wm = assigned.map(
       _.agg(max(col(idCol).cast("string"))).head().getString(0))
       .flatMap(Option(_)).getOrElse("")
@@ -215,9 +245,10 @@ object VectorIndexStream {
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
         .coalesce(1).write.mode("append")
         .parquet(s"$tableDir/data/bucket=$cbBucket")
-    Seq((batchId, nInput, nRows, nInput - nRows, perCell.size.toLong, trained))
+    Seq((batchId, nInput, nRows, nInput - nRows, perCell.size.toLong, trained,
+        msdQ))
       .toDF("batch_id", "input_rows", "indexed", "dropped_null",
-        "cells_touched", "trained")
+        "cells_touched", "trained", "assign_msd_q")
       .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")
 
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))

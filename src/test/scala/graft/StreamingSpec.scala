@@ -665,12 +665,26 @@ class StreamingSpec extends AnyFunSuite {
       asOf = Some(0))
     assert(asOf0.where($"cand_id" >= 120).count() == 0 && asOf0.count() > 0)
 
-    // ingest metrics: one committed row per batch; only batch 0 trained
+    // ingest metrics: one committed row per batch; only batch 0 trained;
+    // the drift signal (mean squared assignment distance) is present
     val mx = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
       .orderBy($"batch_id").collect()
     assert(mx.length == 2)
     mx.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
     assert(mx(0).getBoolean(5) && !mx(1).getBoolean(5))
+    mx.foreach(r => assert(r.getLong(6) >= 0L,
+      "non-empty batches must record a mean squared assignment distance"))
+    // recompute batch 2's drift signal from the committed rows: wave-2
+    // ids, distance to their assigned cells' centroids
+    val sqdOf = expr("""aggregate(zip_with(cv, embedding,
+      |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
+      |  0D, (acc, v) -> acc + v)""".stripMargin)
+    val cbDf = cb1.zipWithIndex.map { case (c, i) => (i, c) }.toDF("bucket", "cv")
+    val expectMsd = math.floor(m.readData(spark, Some((0 until nCells).toSet))
+      .where($"vec_id" >= 120).join(cbDf, "bucket")
+      .agg(avg(sqdOf)).head().getDouble(0) * 1e6).toLong
+    assert(mx(1).getLong(6) == expectMsd,
+      s"assign_msd_q must replay exactly: ${mx(1).getLong(6)} != $expectMsd")
 
     // crash window: files in a cell bucket without a commit stay invisible
     // orphans; a re-delivered batch id is a no-op
@@ -685,6 +699,47 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding", nCells, lloydIters = 1)
     assert(m.head().get.id == beforeId,
       "re-delivered batch must not commit")
+  }
+
+  test("vector-index stream: a supplied initialCodebook is committed verbatim and never re-fit") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_vixi_in_").toString
+    val tbl = Files.createTempDirectory("graft_vixi_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vixi_ckpt_").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val nCells = 4
+    // an offline codebook trained on a DIFFERENT slice than the stream
+    // will ever see — exactly the production split
+    val offline = ops.Similarity.refineCentroids(
+      emb.where($"vec_id" >= 300), "embedding",
+      ops.Similarity.seedCentroids(
+        emb.where($"vec_id" >= 300), "vec_id", "embedding", nCells), 1)
+    emb.where($"vec_id" < 100).coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 3,
+      initialCodebook = Some(offline)).awaitTermination()
+    assert(streaming.VectorIndexStream.readCodebook(spark, tbl, nCells)
+      == offline.map(_.toSeq),
+      "the supplied codebook must be committed verbatim (no in-stream Lloyd)")
+    // placement honors the SUPPLIED geometry
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val placed = m.readData(spark, Some((0 until nCells).toSet))
+    val expected = ops.Similarity.cellRanks(
+      placed.drop("bucket"), "vec_id", "embedding", offline, maxRank = 1)
+    assert(placed.join(expected.select($"vec_id", $"__cell"), "vec_id")
+      .where($"bucket" =!= $"__cell".cast("int")).count() == 0)
+    val mx = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
+      .collect()
+    assert(mx.length == 1 && mx(0).getBoolean(5),
+      "committing the supplied codebook counts as this table's training")
+    // oversized codebook refused before anything is written
+    val e = intercept[IllegalArgumentException] {
+      streaming.VectorIndexStream.indexBatch(emb.where($"vec_id" < 5), 9L,
+        tbl, "other-stream", "vec_id", "embedding", nCells, 1,
+        initialCodebook = Some(Seq.fill(nCells + 1)(Seq(0.0))))
+    }
+    assert(e.getMessage.contains("initialCodebook"))
   }
 
   test("vector-index table compacts per namespace; probes, stamp and exactly-once guard survive compaction + GC") {
