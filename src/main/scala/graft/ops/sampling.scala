@@ -201,6 +201,69 @@ object Sampling {
       .withColumn("n_toks", size(col("toks")))
   }
 
+  /** [[packSequences]] that additionally carries DOCUMENT BOUNDARIES: each
+    * output sequence gets a `doc_ids` array aligned 1:1 with `toks`
+    * (doc_ids(i) = the id of the document token i came from). A training
+    * loader needs this to build the cross-document attention mask — a
+    * packed sequence without boundaries silently lets documents attend to
+    * each other. Same shapes and preconditions as [[packSequences]]; the
+    * id flat is built by `array_repeat` inside the same aggregate, so the
+    * two flats cannot desynchronize (one ordering, one filter). */
+  def packSequencesWithBounds(df: DataFrame, idCol: String,
+      shardCols: Seq[String], toksCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(shardCols.nonEmpty, "shardCols must name at least one column")
+    val flat = df
+      .select(shardCols.map(col) :+ col(idCol).as("__pid") :+ toksCol.as("__toks"): _*)
+      .groupBy(shardCols.map(col): _*)
+      .agg(expr("filter(array_sort(collect_list(struct(__pid, __toks))), " +
+          "s -> s.__toks IS NOT NULL)").as("__docs"))
+      .withColumn("__flat", expr("flatten(transform(__docs, s -> s.__toks))"))
+      .withColumn("__ids", expr(
+        "flatten(transform(__docs, s -> array_repeat(s.__pid, size(s.__toks))))"))
+      .where(size(col("__flat")) > 0)
+    flat
+      .withColumn("__seqs", expr(
+        s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
+          s"i -> named_struct('t', slice(__flat, i * $seqLen + 1, $seqLen), " +
+          s"'d', slice(__ids, i * $seqLen + 1, $seqLen)))"))
+      .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "__s")): _*)
+      .select(col("*"), col("__s.t").as("toks"), col("__s.d").as("doc_ids"))
+      .drop("__s")
+      .withColumn("n_toks", size(col("toks")))
+  }
+
+  /** Leakage-safe train/eval split: near-duplicate documents must land in
+    * the SAME split — splitting doc-by-doc leaks test content into train
+    * through its near-dup mirrors (the canonical eval-contamination
+    * pitfall; the n-gram/semantic decontaminate operators catch leaks
+    * against an EXTERNAL benchmark, this prevents manufacturing them when
+    * carving the eval set out of the corpus itself). `pairs` is any
+    * near-dup pair relation (LSH, SimHash, semantic); members of a
+    * connected component inherit their component MINIMUM's deterministic
+    * draw ([[hashBp]] of the representative + salt), so the whole cluster
+    * lands together. Unpaired docs draw on their own id. Output: `docs`
+    * plus a `split` column ('test' iff the draw < testBp).
+    *
+    * Scale shape: [[graft.ops.Dedup.resolveClusters]] over the pairs
+    * (pairs-sized, small-star/large-star), then ONE equi-join of the
+    * cluster relation onto the corpus — the cluster side is bounded by
+    * the paired docs, not the corpus. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      testBp: Int, salt: String = "split", idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
+    require(testBp >= 0 && testBp <= 10000,
+      s"testBp must be in [0, 10000], got $testBp")
+    val clusters = graft.ops.Dedup.resolveClusters(pairs, idA, idB, maxIters)
+      .select(col("id").as(idCol), col("cluster_id").as("__rep0"))
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__rep0"), col(idCol)))
+      .withColumn("split",
+        when(hashBp(concat(col("__rep").cast("string"), lit(salt))) < testBp,
+          lit("test")).otherwise(lit("train")))
+      .drop("__rep0", "__rep")
+  }
+
   // ------------------------------------------------------------------
   // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
   // select pretraining documents whose distribution matches a small

@@ -3296,6 +3296,93 @@ object Queries {
            |  CAST(len(toks) AS INT) AS n_toks
            |FROM s ORDER BY source, shard, seq""".stripMargin))
 
+  /** Sequence packing WITH document boundaries
+    * (ops.Sampling.packSequencesWithBounds): each packed sequence carries
+    * a doc_ids array aligned 1:1 with its tokens — what a loader needs to
+    * build the cross-document attention mask. Oracle replays the shard
+    * cumsum, BOTH flats (tokens and repeated ids), and the slicing. */
+  private val qPackBounds = QueryDef(
+    "q_pack_bounds",
+    (s, dir) => {
+      import s.implicits._
+      val packed = ops.Sampling.packShards(
+        t(s, dir, "documents").where($"doc_id" < 200)
+          .select($"doc_id", $"source", $"text"),
+        "doc_id", "source",
+        size(split($"text", " ")).cast("bigint"), budget = 500)
+      ops.Sampling.packSequencesWithBounds(
+          packed.withColumn("toks", split($"text", " ")),
+          "doc_id", Seq("source", "shard"), $"toks", seqLen = 64)
+        .select($"source", $"shard", $"seq",
+          md5(array_join($"toks", " ")).as("h"),
+          md5(array_join($"doc_ids".cast("array<string>"), " ")).as("hd"),
+          $"n_toks")
+        .orderBy($"source", $"shard", $"seq")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           |  FROM documents WHERE doc_id < 200),
+           |p AS (SELECT doc_id, source, w,
+           |    CAST(coalesce(sum(CAST(len(w) AS BIGINT))
+           |      OVER (PARTITION BY source ORDER BY doc_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS INT) AS shard
+           |  FROM d),
+           |f AS (SELECT source, shard, flatten(list(w ORDER BY doc_id)) AS flat,
+           |    flatten(list(list_transform(range(len(w)), x -> doc_id)
+           |      ORDER BY doc_id)) AS ids
+           |  FROM p GROUP BY source, shard),
+           |s AS (SELECT source, shard, CAST(i AS INT) AS seq,
+           |    flat[i*64+1 : i*64+64] AS toks,
+           |    ids[i*64+1 : i*64+64] AS dids
+           |  FROM (SELECT source, shard, flat, ids,
+           |          unnest(range(0, ((len(flat)-1)//64) + 1)) AS i FROM f)
+           |  WHERE len(flat) > 0)
+           |SELECT source, shard, seq, md5(array_to_string(toks, ' ')) AS h,
+           |  md5(array_to_string(dids, ' ')) AS hd,
+           |  CAST(len(toks) AS INT) AS n_toks
+           |FROM s ORDER BY source, shard, seq""".stripMargin))
+
+  /** Leakage-safe train/eval split (ops.Sampling.splitByCluster): planted
+    * near-dup chains {i, i+20, i+40} must land in ONE split (members
+    * inherit the component minimum's hash draw); unpaired docs draw on
+    * their own id. Oracle replays the recursive component resolution and
+    * the portable 60-bit hash split. */
+  private val qSplitCluster = QueryDef(
+    "q_split_cluster",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").where($"doc_id" < 60)
+        .select($"doc_id", $"source")
+      val pairs = base.where($"doc_id" < 10)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 20).as("id_b"))
+        .union(base.where($"doc_id" < 10)
+          .select(($"doc_id" + 20).as("id_a"), ($"doc_id" + 40).as("id_b")))
+      ops.Sampling.splitByCluster(base, pairs, "doc_id", testBp = 3000)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val h = ops.Sampling.hashBpSql(
+        "CAST(coalesce(c.rep, d.doc_id) AS VARCHAR) || 'split'")
+      s"""WITH RECURSIVE docs AS (SELECT doc_id, source FROM documents
+         |    WHERE doc_id < 60),
+         |pairs AS (SELECT doc_id AS id_a, doc_id + 20 AS id_b
+         |    FROM documents WHERE doc_id < 10
+         |  UNION ALL
+         |  SELECT doc_id + 20, doc_id + 40 FROM documents WHERE doc_id < 10),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |c AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN $h < 3000 THEN 'test' ELSE 'train' END AS split
+         |FROM docs d LEFT JOIN c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
   /** Blocklist filtering (ops.Cleaning): drop blocked sources (broadcast
     * anti-join) then gate on blockword content fraction — the C4-style
     * badlist stage. Sources src3/src7 are blocked; the blockword list
@@ -4098,7 +4185,8 @@ object Queries {
     qTokenRegex, qTokens, qBpe, qBpeStats,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain, qLineDedupDoc,
-    qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qHashEmbed, qCleanProfile, qChunkWindows,
+    qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,
+    qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,

@@ -196,6 +196,69 @@ class SamplingSpec extends AnyFunSuite {
     assert(nn.toList == out.toList)
   }
 
+  test("packSequencesWithBounds: doc_ids align 1:1 with tokens and mark the cross-boundary cut") {
+    val docs = Seq(
+      (1L, "s", Seq("a1", "a2", "a3", "a4", "a5")),
+      (2L, "s", Seq("b1", "b2", "b3")),
+      (3L, "s", Seq("c1", "c2")))
+      .toDF("doc_id", "shard", "toks")
+    val out = ops.Sampling.packSequencesWithBounds(
+        docs, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq")
+      .select($"seq", $"toks", $"doc_ids", $"n_toks")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1).toList,
+        r.getSeq[Long](2).toList, r.getInt(3)))
+    assert(out.toList == List(
+      (0, List("a1", "a2", "a3", "a4"), List(1L, 1L, 1L, 1L), 4),
+      (1, List("a5", "b1", "b2", "b3"), List(1L, 2L, 2L, 2L), 4),
+      (2, List("c1", "c2"), List(3L, 3L), 2)),
+      "every token must carry the id of the document it came from")
+    // the token stream is identical to packSequences' — bounds are a
+    // strict addition, never a re-ordering
+    val plain = ops.Sampling.packSequences(docs, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq").select($"toks")
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out.map(_._2).toList == plain)
+    // null-toks docs contribute nothing to EITHER flat
+    val withNull = docs.union(
+      Seq((0L, "s", null: Seq[String])).toDF("doc_id", "shard", "toks"))
+    val nn = ops.Sampling.packSequencesWithBounds(
+        withNull, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq").select($"doc_ids")
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(nn == out.map(_._3).toList)
+  }
+
+  test("splitByCluster: near-dup components co-locate; singletons draw on their own id") {
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    // chains {i, i+20, i+40} for i < 10, deliberately two-hop
+    val pairs = (0L until 10L).map(i => (i, i + 20))
+      .union((0L until 10L).map(i => (i + 20, i + 40)))
+      .toDF("id_a", "id_b")
+    val got = ops.Sampling.splitByCluster(docs, pairs, "doc_id", testBp = 3000)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 60)
+    // every chain member shares the REPRESENTATIVE's (min id) split
+    (0L until 10L).foreach { i =>
+      assert(got(i) == got(i + 20) && got(i) == got(i + 40),
+        s"chain $i split apart: ${got(i)}/${got(i + 20)}/${got(i + 40)}")
+    }
+    // unpaired docs (10..19, 50..59) draw on their own id — replay the hash
+    val draws = docs.where($"doc_id" >= 10 && $"doc_id" < 20)
+      .select($"doc_id", ops.Sampling.hashBp(
+        concat($"doc_id".cast("string"), lit("split"))).as("bp"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    draws.foreach { case (id, bp) =>
+      assert(got(id) == (if (bp < 3000) "test" else "train"))
+    }
+    // boundary rates: 0 → all train, 10000 → all test
+    assert(ops.Sampling.splitByCluster(docs, pairs, "doc_id", 0)
+      .where($"split" === "test").count() == 0)
+    assert(ops.Sampling.splitByCluster(docs, pairs, "doc_id", 10000)
+      .where($"split" === "train").count() == 0)
+  }
+
   // ---- DSIR importance resampling ----
 
   test("gumbelQ is deterministic, salted, and Gumbel-shaped (mean near Euler–Mascheroni)") {
