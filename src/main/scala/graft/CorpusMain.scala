@@ -245,15 +245,24 @@ object CorpusMain {
       // tokenizer diagnostics ride along: per-domain fertility (BPE
       // tokens/word) and compression (chars/token) under the tokenizer
       // the shards were packed with — the report that says whether the
-      // trained merge table actually fits each domain's text
+      // trained merge table actually fits each domain's text. `tokens`
+      // IS bpeTokenCount (the packing weight), so both ratios fold into
+      // this one aggregate — Bpe.tokenizerStats' semantics without
+      // re-running the merge chain over the corpus a second time
       packed.groupBy($"domain")
         .agg(count(lit(1)).as("docs"), sum($"tokens").as("tokens"),
           countDistinct($"shard").as("shards"),
           sum(when($"lm_bucket" === "head", 1L).otherwise(0L)).as("head_docs"),
           sum(when($"lm_bucket" === "middle", 1L).otherwise(0L)).as("middle_docs"),
-          sum(when($"lm_bucket" === "tail", 1L).otherwise(0L)).as("tail_docs"))
-        .join(ops.Bpe.tokenizerStats(packed, "domain", "text", merges)
-          .select($"domain", $"fertility_bp", $"compression_bp"), Seq("domain"))
+          sum(when($"lm_bucket" === "tail", 1L).otherwise(0L)).as("tail_docs"),
+          sum(expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("bigint")).as("__words"),
+          sum(length($"text").cast("bigint")).as("__chars"))
+        .withColumn("fertility_bp", when($"__words" > 0,
+          expr("(tokens * 10000) div __words")).cast("int"))
+        .withColumn("compression_bp", when($"tokens" > 0,
+          expr("(__chars * 10000) div tokens")).cast("int"))
+        .drop("__words", "__chars")
     }
 
     val totals = profile.agg(sum($"docs"), sum($"shards")).head()

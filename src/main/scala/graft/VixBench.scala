@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
 object VixBench {
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(10)
+    require(nBatches >= 2,
+      "VixBench needs >= 2 batches: batch 0 pays the Lloyd bootstrap, so " +
+        "the flatness comparison is batch 1 vs the last batch")
     val batchRows = args.lift(1).map(_.toInt).getOrElse(100000)
     val dims = args.lift(2).map(_.toInt).getOrElse(32)
     val nCells = args.lift(3).map(_.toInt).getOrElse(32)

@@ -78,20 +78,24 @@ object Bpe {
 
   /** Tokenizer diagnostics per stratum — the numbers a trained merge
     * table is judged by before a corpus is committed to it: FERTILITY
-    * (BPE tokens per whitespace word, basis points; ≥ 10000 by
-    * construction, since merges never cross the boundary symbol — lower
-    * is better) and COMPRESSION (chars per BPE token, basis points —
-    * higher is better). One corpus scan, partial-agg rollup, all integer
-    * math (floor-division ratios), so the oracle replays it exactly and
-    * the numbers are bit-stable across engines. Empty strata yield NULL
-    * ratios rather than dividing by zero. */
+    * (BPE tokens per word, basis points; ≥ 10000 by construction —
+    * merges never cross the boundary symbol and every NON-EMPTY word is
+    * ≥ 1 token, and empty words are excluded from the count so
+    * empty/whitespace-only docs cannot break the bound — lower is
+    * better) and COMPRESSION (chars per BPE token, basis points; chars
+    * include whitespace — higher is better). One corpus scan,
+    * partial-agg rollup, all integer math (floor-division ratios), so
+    * the oracle replays it exactly and the numbers are bit-stable across
+    * engines. Strata with no words / no tokens yield NULL ratios rather
+    * than dividing by zero. */
   def tokenizerStats(df: DataFrame, stratumCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
     df.groupBy(col(stratumCol))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(bpeTokenCount(col(textCol), merges).cast("bigint")).as("bpe_tokens"),
-        sum(size(split(col(textCol), " ")).cast("bigint")).as("words"),
+        sum(expr(s"size(filter(split($textCol, ' '), w -> w != ''))")
+          .cast("bigint")).as("words"),
         sum(length(col(textCol)).cast("bigint")).as("chars"))
       .withColumn("fertility_bp",
         when(col("words") > 0,

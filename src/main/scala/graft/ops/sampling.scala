@@ -179,7 +179,29 @@ object Sampling {
     * the concatenation order deterministic under any partitioning, and
     * the slicing is a per-row transform + posexplode, no second shuffle. */
   def packSequences(df: DataFrame, idCol: String, shardCols: Seq[String],
-                    toksCol: Column, seqLen: Int): DataFrame = {
+                    toksCol: Column, seqLen: Int): DataFrame =
+    packedSequences(df, idCol, shardCols, toksCol, seqLen, withBounds = false)
+
+  /** [[packSequences]] that additionally carries DOCUMENT BOUNDARIES: each
+    * output sequence gets a `doc_ids` array aligned 1:1 with `toks`
+    * (doc_ids(i) = the id of the document token i came from). A training
+    * loader needs this to build the cross-document attention mask — a
+    * packed sequence without boundaries silently lets documents attend to
+    * each other. Same shapes and preconditions as [[packSequences]] (one
+    * shared implementation; the id flat is `array_repeat` over the same
+    * ordered+filtered aggregate as the token flat, so the two cannot
+    * desynchronize). */
+  def packSequencesWithBounds(df: DataFrame, idCol: String,
+      shardCols: Seq[String], toksCol: Column, seqLen: Int): DataFrame =
+    packedSequences(df, idCol, shardCols, toksCol, seqLen, withBounds = true)
+
+  /** Shared implementation of [[packSequences]] /
+    * [[packSequencesWithBounds]] — the load-bearing invariants (null-toks
+    * filter INSIDE the aggregate, array_sort ordering, ragged-tail
+    * emission, slice arithmetic) live exactly once. */
+  private def packedSequences(df: DataFrame, idCol: String,
+      shardCols: Seq[String], toksCol: Column, seqLen: Int,
+      withBounds: Boolean): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(shardCols.nonEmpty, "shardCols must name at least one column")
     val flat = df
@@ -189,48 +211,29 @@ object Sampling {
       // expression): flatten() returns NULL when ANY nested array is null,
       // so without the filter one null row would silently drop its whole
       // shard — the exact hidden-cut failure mode this operator avoids
-      .agg(expr("flatten(transform(filter(array_sort(collect_list(struct(__pid, __toks))), " +
-          "s -> s.__toks IS NOT NULL), s -> s.__toks))")
-        .as("__flat"))
-      .where(size(col("__flat")) > 0)
-    flat
-      .withColumn("__seqs", expr(
-        s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
-          s"i -> slice(__flat, i * $seqLen + 1, $seqLen))"))
-      .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "toks")): _*)
-      .withColumn("n_toks", size(col("toks")))
-  }
-
-  /** [[packSequences]] that additionally carries DOCUMENT BOUNDARIES: each
-    * output sequence gets a `doc_ids` array aligned 1:1 with `toks`
-    * (doc_ids(i) = the id of the document token i came from). A training
-    * loader needs this to build the cross-document attention mask — a
-    * packed sequence without boundaries silently lets documents attend to
-    * each other. Same shapes and preconditions as [[packSequences]]; the
-    * id flat is built by `array_repeat` inside the same aggregate, so the
-    * two flats cannot desynchronize (one ordering, one filter). */
-  def packSequencesWithBounds(df: DataFrame, idCol: String,
-      shardCols: Seq[String], toksCol: Column, seqLen: Int): DataFrame = {
-    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    require(shardCols.nonEmpty, "shardCols must name at least one column")
-    val flat = df
-      .select(shardCols.map(col) :+ col(idCol).as("__pid") :+ toksCol.as("__toks"): _*)
-      .groupBy(shardCols.map(col): _*)
       .agg(expr("filter(array_sort(collect_list(struct(__pid, __toks))), " +
           "s -> s.__toks IS NOT NULL)").as("__docs"))
       .withColumn("__flat", expr("flatten(transform(__docs, s -> s.__toks))"))
-      .withColumn("__ids", expr(
-        "flatten(transform(__docs, s -> array_repeat(s.__pid, size(s.__toks))))"))
       .where(size(col("__flat")) > 0)
-    flat
-      .withColumn("__seqs", expr(
-        s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
-          s"i -> named_struct('t', slice(__flat, i * $seqLen + 1, $seqLen), " +
-          s"'d', slice(__ids, i * $seqLen + 1, $seqLen)))"))
-      .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "__s")): _*)
-      .select(col("*"), col("__s.t").as("toks"), col("__s.d").as("doc_ids"))
-      .drop("__s")
-      .withColumn("n_toks", size(col("toks")))
+    if (!withBounds)
+      flat
+        .withColumn("__seqs", expr(
+          s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
+            s"i -> slice(__flat, i * $seqLen + 1, $seqLen))"))
+        .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "toks")): _*)
+        .withColumn("n_toks", size(col("toks")))
+    else
+      flat
+        .withColumn("__ids", expr(
+          "flatten(transform(__docs, s -> array_repeat(s.__pid, size(s.__toks))))"))
+        .withColumn("__seqs", expr(
+          s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
+            s"i -> named_struct('t', slice(__flat, i * $seqLen + 1, $seqLen), " +
+            s"'d', slice(__ids, i * $seqLen + 1, $seqLen)))"))
+        .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "__s")): _*)
+        .select(col("*"), col("__s.t").as("toks"), col("__s.d").as("doc_ids"))
+        .drop("__s")
+        .withColumn("n_toks", size(col("toks")))
   }
 
   /** Leakage-safe train/eval split: near-duplicate documents must land in

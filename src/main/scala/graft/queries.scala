@@ -2678,7 +2678,8 @@ object Queries {
          |  FROM documents WHERE doc_id < 300),
          |per AS (SELECT source,
          |    CAST($cnt AS BIGINT) AS tok,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |      AS BIGINT) AS w,
          |    CAST(length(text) AS BIGINT) AS ch
          |  FROM m)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

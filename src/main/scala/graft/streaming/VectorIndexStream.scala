@@ -212,11 +212,15 @@ object VectorIndexStream {
         .drop("__cell", "__rk")
         .repartition(col("bucket")).localCheckpoint())
 
-    // per-cell admitted counts (≤ nCells entries) and the id watermark
-    val perCell: Map[Int, Long] = assigned.map(
-      _.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-      .getOrElse(Map.empty)
+    // ONE pass over the assigned batch: per-cell counts + per-cell id
+    // watermarks (the commit's bookkeeping) — not one driver action each
+    val perCellRows: Seq[(Int, Long, String)] = assigned.map(
+      _.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__n"), max(col(idCol).cast("string")).as("__w"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
+      .getOrElse(Seq.empty)
+    val perCell: Map[Int, Long] = perCellRows.map(r => r._1 -> r._2).toMap
+    val cellWm: Map[Int, String] = perCellRows.map(r => r._1 -> r._3).toMap
     // drift signal: mean squared distance of this batch's rows to their
     // assigned centroids, floored to integer micro-units (−1 = no rows).
     // The codebook is frozen, so a rising assign_msd_q across batches is
@@ -231,16 +235,20 @@ object VectorIndexStream {
       math.floor(a.join(broadcast(cb), "bucket")
         .agg(avg(sqd)).head().getDouble(0) * 1e6).toLong
     }.getOrElse(-1L)
-    val wm = assigned.map(
-      _.agg(max(col(idCol).cast("string"))).head().getString(0))
-      .flatMap(Option(_)).getOrElse("")
 
-    val allBuckets = (0 until nCells) :+ cbBucket :+ mBucket
+    // only TOUCHED buckets are listed and committed — Manifest.commit
+    // carries every untouched bucket's state forward, so at nCells=1024 a
+    // 3-cell batch issues ~10 listStatus calls, not ~2050 (on object
+    // storage the listing would otherwise dominate the "commit is
+    // metadata" claim)
+    val trained = !committed && cents.nonEmpty
+    val touchedCells = perCell.keys.toSeq.sorted
+    val touched = touchedCells ++
+      (if (trained) Seq(cbBucket) else Nil) :+ mBucket
     val pre: Map[Int, Set[String]] =
-      allBuckets.map(b => b -> table.listBucketFiles(b).toSet).toMap
+      touched.map(b => b -> table.listBucketFiles(b).toSet).toMap
     assigned.foreach(_.write.mode("append").partitionBy("bucket")
       .parquet(s"$tableDir/data"))
-    val trained = !committed && cents.nonEmpty
     if (trained)
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
         .coalesce(1).write.mode("append")
@@ -254,22 +262,21 @@ object VectorIndexStream {
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
     val prevStates: Map[Int, graft.Manifest.BucketState] =
       prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
-    def grown(bucket: Int, nRowsAdded: Long) = {
+    def grown(bucket: Int, nRowsAdded: Long, w: String) = {
       val p = prevStates.get(bucket)
       graft.Manifest.BucketState(bucket,
         p.map(_.rows).getOrElse(0L) + nRowsAdded,
-        Seq(p.map(_.watermarkDocId).getOrElse(""), wm).max,
+        Seq(p.map(_.watermarkDocId).getOrElse(""), w).max,
         p.map(_.files).getOrElse(Nil) ++ newFiles(bucket))
     }
     // ONE commit covers the touched cells + codebook + metrics + the
-    // exactly-once watermark; untouched cell buckets are still committed
-    // (rows += 0, no new files) so bucket states never go stale. Even an
-    // all-null batch commits — the watermark must advance or re-delivery
-    // would replay it forever, and its metrics row records the decision.
+    // exactly-once watermark. Even an all-null batch commits — the
+    // watermark must advance or re-delivery would replay it forever, and
+    // its metrics row records the decision.
     table.commit(f"vecidx-batch-$batchId%06d",
-      (0 until nCells).map(b => grown(b, perCell.getOrElse(b, 0L))) ++
-        Seq(grown(cbBucket, if (trained) cents.length.toLong else 0L),
-          grown(mBucket, 1L)),
+      touchedCells.map(b => grown(b, perCell(b), cellWm(b))) ++
+        (if (trained) Seq(grown(cbBucket, cents.length.toLong, "")) else Nil) :+
+        grown(mBucket, 1L, ""),
       streamWatermark = Some(streamId -> batchId),
       extraWatermarks = Map(LayoutKey -> nCells.toLong))
   }

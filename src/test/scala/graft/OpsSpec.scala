@@ -647,6 +647,18 @@ class OpsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(st.map(_.getLong(2)).sum == perRow,
       "stratum totals must sum to the per-row token count")
+    // empty / whitespace-only docs contribute 0 words AND 0 tokens, so
+    // they cannot break the fertility bound; an all-degenerate stratum
+    // yields NULL ratios rather than a bogus sub-10000 fertility
+    val messy = Seq(("s", ""), ("s", "  "), ("s", "ab ab"), ("t", ""))
+      .toDF("source", "text")
+    val ms = ops.Bpe.tokenizerStats(messy, "source", "text",
+      ops.Bpe.DemoMerges).orderBy($"source").collect()
+    assert(ms(0).getLong(3) == 2L, "only non-empty words counted")
+    assert(ms(0).getInt(5) >= 10000,
+      "degenerate docs must not break the fertility bound")
+    assert(ms(1).isNullAt(5) && ms(1).isNullAt(6),
+      "all-degenerate stratum must yield NULL ratios")
   }
 
   test("trainProfiles: derived profiles recover every fixture the hand-authored ones do; continuous CJK detected") {
