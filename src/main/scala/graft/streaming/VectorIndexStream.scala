@@ -38,8 +38,9 @@ import graft.ops.Similarity
   *    committed micro-batch (batch_id, input_rows, indexed, dropped_null,
   *    cells_touched, trained, assign_msd_q — the batch's mean squared
   *    assignment distance in micro-units, −1 for an empty batch; the
-  *    drift signal that makes the frozen codebook operable), committed
-  *    WITH the data.
+  *    drift signal that makes the frozen codebook operable — and
+  *    near_dropped, the rows the opt-in semantic admission gate
+  *    rejected), committed WITH the data.
   *
   * The codebook is never re-fit (after heavy drift, rebuild the table);
   * a layout stamp (`__layout:ivf_cells`) makes a table written with one
@@ -139,12 +140,19 @@ object VectorIndexStream {
     * over an offline representative sample — batch 1 of a live feed is
     * rarely representative) is committed with the first batch and trained
     * in-stream never happens. A codebook already committed in the table
-    * always wins over both (restart safety). */
+    * always wins over both (restart safety).
+    *
+    * `nearDupCosine = Some(t)` turns on the semantic admission gate:
+    * batch rows within cosine `t` of an already-committed vector in
+    * their own cell (or of a smaller-id row of the same batch, same
+    * cell) are dropped before the write and counted as `near_dropped` —
+    * SemDeDup at ingest, recall bounded by the cell assignment. */
   def runVectorIndexStream(spark: SparkSession, inDir: String,
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, lloydIters: Int = 2,
-      initialCodebook: Option[Seq[Seq[Double]]] = None): StreamingQuery = {
+      initialCodebook: Option[Seq[Seq[Double]]] = None,
+      nearDupCosine: Option[Double] = None): StreamingQuery = {
     val streamId = EventStream.streamIdFor(
       checkpointDir, spark.sessionState.newHadoopConf())
     spark.readStream.schema(schemaFrom.schema)
@@ -156,7 +164,7 @@ object VectorIndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexBatch(batch, batchId, tableDir, streamId, idCol, vecCol,
-          nCells, lloydIters, initialCodebook)
+          nCells, lloydIters, initialCodebook, nearDupCosine)
       }
       .start()
   }
@@ -164,7 +172,8 @@ object VectorIndexStream {
   private[graft] def indexBatch(batch: DataFrame, batchId: Long,
       tableDir: String, streamId: String, idCol: String, vecCol: String,
       nCells: Int, lloydIters: Int,
-      initialCodebook: Option[Seq[Seq[Double]]] = None): Unit = {
+      initialCodebook: Option[Seq[Seq[Double]]] = None,
+      nearDupCosine: Option[Double] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
@@ -212,9 +221,56 @@ object VectorIndexStream {
         .drop("__cell", "__rk")
         .repartition(col("bucket")).localCheckpoint())
 
-    // ONE pass over the assigned batch: per-cell counts + per-cell id
+    // semantic near-dup ADMISSION gate (opt-in, the SemDeDup-at-ingest
+    // composition): a batch row is dropped — and counted in the metrics —
+    // when its cosine to an already-COMMITTED vector in its own cell, or
+    // to a SMALLER-ID row of this batch in the same cell, reaches
+    // `nearDupCosine`. Both sides are assigned under the same frozen
+    // codebook, so an exact duplicate always lands in the dup's cell and
+    // is always caught; recall across cell boundaries is bounded by the
+    // cell assignment (the documented SemDeDup trade — same as
+    // Dedup.semanticDedup). Committed candidates are read manifest-pruned
+    // to the batch's own cells; the intra-batch pass compares against ALL
+    // batch rows including later-dropped ones (transitive poisoning, the
+    // incremental-dedup doctrine). Zero vectors produce NaN cosines and
+    // are never dropped.
+    def nrm(c: String) = expr(
+      s"sqrt(aggregate($c, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    def cosine(x: String, y: String, nx: String, ny: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
+        s"0D, (acc, v) -> acc + v)") / (col(nx) * col(ny))
+    val (admitted, nNearDropped): (Option[DataFrame], Long) =
+      (assigned, nearDupCosine) match {
+        case (Some(a0), Some(t)) =>
+          val a = a0.withColumn("__n1", nrm(vecCol)).localCheckpoint()
+          val batchCells = a.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet // config-sized: ≤ nCells
+          val candCells = batchCells.filter(b => prev.exists(
+            _.buckets.exists(pb => pb.bucket == b && pb.files.nonEmpty)))
+          val intraRhs = a.select(col("bucket"), col(idCol).as("__ia"),
+            col(vecCol).as("__av"), col("__n1").as("__na"))
+          val intraDrops = a.join(intraRhs, "bucket")
+            .where(col("__ia") < col(idCol) &&
+              cosine("__av", vecCol, "__na", "__n1") >= t)
+            .select(col(idCol))
+          val drops = (if (candCells.isEmpty) intraDrops else {
+            val cands = table.readData(spark, Some(candCells))
+              .select(col("bucket"), col(vecCol).as("__cv3"))
+              .withColumn("__n3", nrm("__cv3"))
+            a.join(cands, "bucket")
+              .where(cosine(vecCol, "__cv3", "__n1", "__n3") >= t)
+              .select(col(idCol))
+              .unionByName(intraDrops)
+          }).distinct().localCheckpoint()
+          val kept = a0.join(drops, Seq(idCol), "left_anti").localCheckpoint()
+          val nKept = kept.count()
+          (if (nKept == 0L) None else Some(kept), nRows - nKept)
+        case _ => (assigned, 0L)
+      }
+
+    // ONE pass over the admitted batch: per-cell counts + per-cell id
     // watermarks (the commit's bookkeeping) — not one driver action each
-    val perCellRows: Seq[(Int, Long, String)] = assigned.map(
+    val perCellRows: Seq[(Int, Long, String)] = admitted.map(
       _.groupBy(col("bucket"))
         .agg(count(lit(1)).as("__n"), max(col(idCol).cast("string")).as("__w"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
@@ -226,7 +282,7 @@ object VectorIndexStream {
     // The codebook is frozen, so a rising assign_msd_q across batches is
     // the operator's rebuild trigger — without it "never re-fit" is an
     // unobservable liability. One narrow broadcast join on the cell id.
-    val msdQ: Long = assigned.map { a =>
+    val msdQ: Long = admitted.map { a =>
       val cb = cents.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("bucket", "__centv2")
       val sqd = expr(s"""aggregate(zip_with(__centv2, $vecCol,
@@ -247,16 +303,17 @@ object VectorIndexStream {
       (if (trained) Seq(cbBucket) else Nil) :+ mBucket
     val pre: Map[Int, Set[String]] =
       touched.map(b => b -> table.listBucketFiles(b).toSet).toMap
-    assigned.foreach(_.write.mode("append").partitionBy("bucket")
+    admitted.foreach(_.select(batch.columns.map(col) :+ col("bucket"): _*)
+      .write.mode("append").partitionBy("bucket")
       .parquet(s"$tableDir/data"))
     if (trained)
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
         .coalesce(1).write.mode("append")
         .parquet(s"$tableDir/data/bucket=$cbBucket")
-    Seq((batchId, nInput, nRows, nInput - nRows, perCell.size.toLong, trained,
-        msdQ))
+    Seq((batchId, nInput, nRows - nNearDropped, nInput - nRows,
+        perCell.size.toLong, trained, msdQ, nNearDropped))
       .toDF("batch_id", "input_rows", "indexed", "dropped_null",
-        "cells_touched", "trained", "assign_msd_q")
+        "cells_touched", "trained", "assign_msd_q", "near_dropped")
       .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")
 
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))

@@ -670,7 +670,9 @@ class StreamingSpec extends AnyFunSuite {
     val mx = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
       .orderBy($"batch_id").collect()
     assert(mx.length == 2)
-    mx.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    mx.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(7),
+        "input_rows == indexed + dropped_null + near_dropped"))
     assert(mx(0).getBoolean(5) && !mx(1).getBoolean(5))
     mx.foreach(r => assert(r.getLong(6) >= 0L,
       "non-empty batches must record a mean squared assignment distance"))
@@ -699,6 +701,74 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding", nCells, lloydIters = 1)
     assert(m.head().get.id == beforeId,
       "re-delivered batch must not commit")
+  }
+
+  test("vector-index semantic admission: committed and intra-batch near-dups are dropped and counted") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_vixd_in_").toString
+    val tbl = Files.createTempDirectory("graft_vixd_tbl_").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_vixd_ckpt_").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val nCells = 4
+    val gate = Some(0.9999)
+
+    // wave 1: 100 organic vectors PLUS one intra-batch exact pair
+    // (9000/9001 share vec-400's embedding, which is otherwise absent
+    // from every wave) — keep-first must admit 9000 only
+    val dupVec = emb.where($"vec_id" === 400)
+    val wave1 = emb.where($"vec_id" < 100)
+      .unionByName(dupVec.select(lit(9000L).as("vec_id"), $"embedding"))
+      .unionByName(dupVec.select(lit(9001L).as("vec_id"), $"embedding"))
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 1,
+      nearDupCosine = gate).awaitTermination()
+    val ids1 = streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(ids1.contains(9000L) && !ids1.contains(9001L),
+      "intra-batch exact pair: the smaller id wins, the larger is dropped")
+    assert(ids1.contains(0L), "the organic original is admitted")
+
+    // wave 2: 40 fresh vectors + exact re-ingests of 10 committed ones
+    // under NEW ids — every re-ingest must be caught by the committed side
+    val wave2 = emb.where($"vec_id" >= 100 && $"vec_id" < 140)
+      .unionByName(emb.where($"vec_id" < 10)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 1,
+      nearDupCosine = gate).awaitTermination()
+    val ids2 = streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((0L until 10L).forall(i => !ids2.contains(i + 10000)),
+      "every exact re-ingest of a committed vector must be dropped")
+    assert((100L until 140L).forall(ids2.contains),
+      "fresh vectors must be admitted")
+
+    // metrics account for the gate: wave-1 near_dropped >= 1 (the planted
+    // intra pair; organic >cosine-0.9999 twins may add), wave-2 >= 10,
+    // and input == indexed + dropped_null + near_dropped on every row
+    val mx = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
+      .orderBy($"batch_id").collect()
+    assert(mx.length == 2)
+    mx.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(7)))
+    assert(mx(0).getLong(7) >= 1L && mx(1).getLong(7) >= 10L,
+      s"near_dropped: ${mx.map(_.getLong(7)).toSeq}")
+
+    // the gate changes ADMISSION only — probes over the committed table
+    // still rank identically to brute force at full probe
+    val probes = emb.where($"vec_id" < 3)
+    val all = streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+    def keyset(df: org.apache.spark.sql.DataFrame) = df
+      .select($"probe_id", $"cand_id", $"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(keyset(streaming.VectorIndexStream.topKSnapshot(spark, tbl,
+        probes, "vec_id", "embedding", k = 5, nProbe = nCells,
+        nCells = nCells)) ==
+      keyset(ops.Similarity.bruteForceTopK(all, probes,
+        "vec_id", "embedding", k = 5)))
   }
 
   test("vector-index stream: a supplied initialCodebook is committed verbatim and never re-fit") {
