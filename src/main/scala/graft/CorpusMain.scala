@@ -255,13 +255,11 @@ object CorpusMain {
           sum(when($"lm_bucket" === "head", 1L).otherwise(0L)).as("head_docs"),
           sum(when($"lm_bucket" === "middle", 1L).otherwise(0L)).as("middle_docs"),
           sum(when($"lm_bucket" === "tail", 1L).otherwise(0L)).as("tail_docs"),
-          sum(expr("size(filter(split(text, ' '), w -> w != ''))")
-            .cast("bigint")).as("__words"),
+          sum(ops.Bpe.nonEmptyWordCount("text").cast("bigint")).as("__words"),
           sum(length($"text").cast("bigint")).as("__chars"))
-        .withColumn("fertility_bp", when($"__words" > 0,
-          expr("(tokens * 10000) div __words")).cast("int"))
-        .withColumn("compression_bp", when($"tokens" > 0,
-          expr("(__chars * 10000) div tokens")).cast("int"))
+        .withColumn("fertility_bp", ops.Bpe.fertilityBp("tokens", "__words"))
+        .withColumn("compression_bp",
+          ops.Bpe.compressionBp("__chars", "tokens"))
         .drop("__words", "__chars")
     }
 

@@ -94,15 +94,28 @@ object Bpe {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(bpeTokenCount(col(textCol), merges).cast("bigint")).as("bpe_tokens"),
-        sum(expr(s"size(filter(split($textCol, ' '), w -> w != ''))")
-          .cast("bigint")).as("words"),
+        sum(nonEmptyWordCount(textCol).cast("bigint")).as("words"),
         sum(length(col(textCol)).cast("bigint")).as("chars"))
-      .withColumn("fertility_bp",
-        when(col("words") > 0,
-          expr("(bpe_tokens * 10000) div words")).cast("int"))
-      .withColumn("compression_bp",
-        when(col("bpe_tokens") > 0,
-          expr("(chars * 10000) div bpe_tokens")).cast("int"))
+      .withColumn("fertility_bp", fertilityBp("bpe_tokens", "words"))
+      .withColumn("compression_bp", compressionBp("chars", "bpe_tokens"))
+
+  /** Non-empty whitespace words of a text column — the word count the
+    * fertility bound is stated over (empty/whitespace-only docs → 0). */
+  def nonEmptyWordCount(textCol: String): Column =
+    expr(s"size(filter(split($textCol, ' '), w -> w != ''))")
+
+  /** floor(tokens·10⁴ / words), NULL when words = 0 — defined ONCE so
+    * [[tokenizerStats]] and any pipeline rollup that already carries a
+    * token count (e.g. CorpusMain's profile) cannot drift from the
+    * oracle-pinned formula. */
+  def fertilityBp(tokensCol: String, wordsCol: String): Column =
+    when(col(wordsCol) > 0,
+      expr(s"($tokensCol * 10000) div $wordsCol")).cast("int")
+
+  /** floor(chars·10⁴ / tokens), NULL when tokens = 0. */
+  def compressionBp(charsCol: String, tokensCol: String): Column =
+    when(col(tokensCol) > 0,
+      expr(s"($charsCol * 10000) div $tokensCol")).cast("int")
 
   /** SQL replay of `applyMerges(symbolize(c))` — the merged symbol string,
     * generated from the same merge constant the Spark side uses. Boundary

@@ -40,7 +40,8 @@ import graft.ops.Similarity
   *    assignment distance in micro-units, −1 for an empty batch; the
   *    drift signal that makes the frozen codebook operable — and
   *    near_dropped, the rows the opt-in semantic admission gate
-  *    rejected), committed WITH the data.
+  *    rejected, and gate_skipped_cells, the cells the gate's hot-cell
+  *    guard admitted ungated), committed WITH the data.
   *
   * The codebook is never re-fit (after heavy drift, rebuild the table);
   * a layout stamp (`__layout:ivf_cells`) makes a table written with one
@@ -146,13 +147,17 @@ object VectorIndexStream {
     * batch rows within cosine `t` of an already-committed vector in
     * their own cell (or of a smaller-id row of the same batch, same
     * cell) are dropped before the write and counted as `near_dropped` —
-    * SemDeDup at ingest, recall bounded by the cell assignment. */
+    * SemDeDup at ingest, recall bounded by the cell assignment. Cells
+    * past `maxGateCell` rows on either side are skipped by the gate
+    * (admitted ungated, audited as `gate_skipped_cells`) — the hot-cell
+    * guard; 0 disables the cap. */
   def runVectorIndexStream(spark: SparkSession, inDir: String,
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nCells: Int = 16, lloydIters: Int = 2,
       initialCodebook: Option[Seq[Seq[Double]]] = None,
-      nearDupCosine: Option[Double] = None): StreamingQuery = {
+      nearDupCosine: Option[Double] = None,
+      maxGateCell: Int = 4096): StreamingQuery = {
     val streamId = EventStream.streamIdFor(
       checkpointDir, spark.sessionState.newHadoopConf())
     spark.readStream.schema(schemaFrom.schema)
@@ -164,7 +169,7 @@ object VectorIndexStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexBatch(batch, batchId, tableDir, streamId, idCol, vecCol,
-          nCells, lloydIters, initialCodebook, nearDupCosine)
+          nCells, lloydIters, initialCodebook, nearDupCosine, maxGateCell)
       }
       .start()
   }
@@ -173,7 +178,8 @@ object VectorIndexStream {
       tableDir: String, streamId: String, idCol: String, vecCol: String,
       nCells: Int, lloydIters: Int,
       initialCodebook: Option[Seq[Seq[Double]]] = None,
-      nearDupCosine: Option[Double] = None): Unit = {
+      nearDupCosine: Option[Double] = None,
+      maxGateCell: Int = 4096): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
@@ -232,40 +238,60 @@ object VectorIndexStream {
     // Dedup.semanticDedup). Committed candidates are read manifest-pruned
     // to the batch's own cells; the intra-batch pass compares against ALL
     // batch rows including later-dropped ones (transitive poisoning, the
-    // incremental-dedup doctrine). Zero vectors produce NaN cosines and
-    // are never dropped.
-    def nrm(c: String) = expr(
-      s"sqrt(aggregate($c, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
-    def cosine(x: String, y: String, nx: String, ny: String) = expr(
-      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
-        s"0D, (acc, v) -> acc + v)") / (col(nx) * col(ny))
-    val (admitted, nNearDropped): (Option[DataFrame], Long) =
+    // incremental-dedup doctrine). Cells past `maxGateCell` rows on
+    // either side (batch count, or committed rows from snapshot METADATA
+    // — no scan) are skipped by the gate — admitted ungated, never a
+    // stalled quadratic join — and counted as gate_skipped_cells in the
+    // metrics: the hot-cell doctrine of semanticNearDupPairs, audited,
+    // not silent. NULL cosines (zero vectors divide by zero → NULL) and
+    // NaN cosines (a NaN embedding element; Spark orders NaN above every
+    // number, so a bare >= would drop on it) never drop a row.
+    def cosine(x: String, y: String, nx: String, ny: String) =
+      Similarity.dotD(x, y) / (col(nx) * col(ny))
+    def nearPred(c: org.apache.spark.sql.Column, t: Double) =
+      c >= t && !isnan(c)
+    val (admitted, nNearDropped, nGateSkipped): (Option[DataFrame], Long, Long) =
       (assigned, nearDupCosine) match {
         case (Some(a0), Some(t)) =>
-          val a = a0.withColumn("__n1", nrm(vecCol)).localCheckpoint()
-          val batchCells = a.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0)).toSet // config-sized: ≤ nCells
-          val candCells = batchCells.filter(b => prev.exists(
+          val a = a0.withColumn("__n1", Similarity.norm(vecCol))
+            .localCheckpoint()
+          // batch-side cell sizes: one config-sized collect (≤ nCells)
+          val batchCellN: Map[Int, Long] = a.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("__c")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val committedN: Map[Int, Long] = prev
+            .map(_.buckets.map(b => b.bucket -> b.rows).toMap)
+            .getOrElse(Map.empty)
+          val gateable = batchCellN.keySet.filter(b =>
+            maxGateCell <= 0 || (batchCellN(b) <= maxGateCell &&
+              committedN.getOrElse(b, 0L) <= maxGateCell))
+          val skipped = (batchCellN.keySet -- gateable).size.toLong
+          val g = a.where(col("bucket")
+            .isin(gateable.toSeq.map(b => b: Any): _*))
+          val candCells = gateable.filter(b => prev.exists(
             _.buckets.exists(pb => pb.bucket == b && pb.files.nonEmpty)))
-          val intraRhs = a.select(col("bucket"), col(idCol).as("__ia"),
+          val intraRhs = g.select(col("bucket"), col(idCol).as("__ia"),
             col(vecCol).as("__av"), col("__n1").as("__na"))
-          val intraDrops = a.join(intraRhs, "bucket")
+          val intraDrops = g.join(intraRhs, "bucket")
             .where(col("__ia") < col(idCol) &&
-              cosine("__av", vecCol, "__na", "__n1") >= t)
+              nearPred(cosine("__av", vecCol, "__na", "__n1"), t))
             .select(col(idCol))
           val drops = (if (candCells.isEmpty) intraDrops else {
             val cands = table.readData(spark, Some(candCells))
               .select(col("bucket"), col(vecCol).as("__cv3"))
-              .withColumn("__n3", nrm("__cv3"))
-            a.join(cands, "bucket")
-              .where(cosine(vecCol, "__cv3", "__n1", "__n3") >= t)
+              .withColumn("__n3", Similarity.norm("__cv3"))
+            g.join(cands, "bucket")
+              .where(nearPred(cosine(vecCol, "__cv3", "__n1", "__n3"), t))
               .select(col(idCol))
               .unionByName(intraDrops)
           }).distinct().localCheckpoint()
-          val kept = a0.join(drops, Seq(idCol), "left_anti").localCheckpoint()
+          // re-cluster by cell after the anti-join shuffled by id — the
+          // partitioned write below must stay one-file-per-touched-cell
+          val kept = a0.join(drops, Seq(idCol), "left_anti")
+            .repartition(col("bucket")).localCheckpoint()
           val nKept = kept.count()
-          (if (nKept == 0L) None else Some(kept), nRows - nKept)
-        case _ => (assigned, 0L)
+          (if (nKept == 0L) None else Some(kept), nRows - nKept, skipped)
+        case _ => (assigned, 0L, 0L)
       }
 
     // ONE pass over the admitted batch: per-cell counts + per-cell id
@@ -282,7 +308,7 @@ object VectorIndexStream {
     // The codebook is frozen, so a rising assign_msd_q across batches is
     // the operator's rebuild trigger — without it "never re-fit" is an
     // unobservable liability. One narrow broadcast join on the cell id.
-    val msdQ: Long = admitted.map { a =>
+    val msdQ: Long = assigned.map { a =>
       val cb = cents.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("bucket", "__centv2")
       val sqd = expr(s"""aggregate(zip_with(__centv2, $vecCol,
@@ -311,9 +337,10 @@ object VectorIndexStream {
         .coalesce(1).write.mode("append")
         .parquet(s"$tableDir/data/bucket=$cbBucket")
     Seq((batchId, nInput, nRows - nNearDropped, nInput - nRows,
-        perCell.size.toLong, trained, msdQ, nNearDropped))
+        perCell.size.toLong, trained, msdQ, nNearDropped, nGateSkipped))
       .toDF("batch_id", "input_rows", "indexed", "dropped_null",
-        "cells_touched", "trained", "assign_msd_q", "near_dropped")
+        "cells_touched", "trained", "assign_msd_q", "near_dropped",
+        "gate_skipped_cells")
       .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")
 
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))

@@ -757,6 +757,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(mx(0).getLong(7) >= 1L && mx(1).getLong(7) >= 10L,
       s"near_dropped: ${mx.map(_.getLong(7)).toSeq}")
 
+    // hot-cell guard: with maxGateCell = 1 every batch cell is oversized
+    // (the committed side alone exceeds it), so the gate SKIPS them —
+    // rows are admitted ungated (even exact copies of committed vectors,
+    // never a stalled quadratic join) and the skip count is audited
+    val wave3 = emb.where($"vec_id" < 5)
+      .select(($"vec_id" + 20000).as("vec_id"), $"embedding")
+    wave3.coalesce(1).write.mode("append").parquet(in)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, in, tbl, ckpt,
+      emb, nCells = nCells, lloydIters = 1, nearDupCosine = gate,
+      maxGateCell = 1).awaitTermination()
+    val ids3 = streaming.VectorIndexStream.readVectors(spark, tbl, nCells)
+      .select($"vec_id").as[Long].collect().toSet
+    assert((0L until 5L).forall(i => ids3.contains(i + 20000)),
+      "oversized cells must be admitted ungated, not dropped")
+    val mx3 = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
+      .orderBy($"batch_id").collect()
+    assert(mx3.last.getLong(8) > 0L, "skipped cells must be audited")
+    assert(mx3.take(2).forall(_.getLong(8) == 0L),
+      "cells under the default cap are never skipped")
+
     // the gate changes ADMISSION only — probes over the committed table
     // still rank identically to brute force at full probe
     val probes = emb.where($"vec_id" < 3)
