@@ -26,6 +26,10 @@ object VixBench {
     val batchRows = args.lift(1).map(_.toInt).getOrElse(100000)
     val dims = args.lift(2).map(_.toInt).getOrElse(32)
     val nCells = args.lift(3).map(_.toInt).getOrElse(32)
+    // optional 5th arg: a cosine threshold turns the semantic admission
+    // gate on for every batch — measures the gate's join overhead on a
+    // near-orthogonal corpus (no drops, pure cost) as the table grows
+    val gate = args.lift(4).map(_.toDouble)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +61,8 @@ object VixBench {
     for (b <- 0 until nBatches) {
       val (_, t) = timed {
         streaming.VectorIndexStream.indexBatch(wave(b), b.toLong, tbl,
-          streamId, "vec_id", "embedding", nCells, lloydIters = 1)
+          streamId, "vec_id", "embedding", nCells, lloydIters = 1,
+          nearDupCosine = gate)
       }
       if (b == 1) tFirst = t // first post-bootstrap batch (no Lloyd cost)
       if (b == nBatches - 1) tLast = t
@@ -90,6 +95,7 @@ object VixBench {
       .map(_.files.length).sum
     val (probedComp, tProbeComp) = probe()
 
+    val gateStr = gate.map(g => f""","gate_cosine":$g%.4f""").getOrElse("")
     println(f"""{"metric":"vix_ingest","n_batches":$nBatches,""" +
       f""""batch_rows":$batchRows,"dims":$dims,"n_cells":$nCells,""" +
       f""""total_rows":$totalRows,"total_files":$totalFiles,""" +
@@ -98,7 +104,7 @@ object VixBench {
       f""""probe_files_scanned":$probedFrag,"probe_sec":$tProbeFrag%.2f,""" +
       f""""compact_sec":$tCompact%.2f,"files_after_compact":$compactFiles,""" +
       f""""probe_files_scanned_compacted":$probedComp,""" +
-      f""""probe_sec_compacted":$tProbeComp%.2f}""")
+      f""""probe_sec_compacted":$tProbeComp%.2f$gateStr}""")
     spark.stop()
   }
 }
