@@ -241,6 +241,16 @@ object CorpusMain {
       ops.Sampling.packShards(mixed, "doc_id", "domain",
         ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
     }
+    // 8. cut the shards into fixed-length TRAINING SEQUENCES — in the
+    //    same unit the shards were budgeted (the trained BPE tokenizer,
+    //    so sum(n_toks) must equal the packer's token accounting) and
+    //    with per-token doc_ids for the cross-document attention mask
+    stage("sequences") {
+      ops.Sampling.packSequencesWithBounds(
+        packed.withColumn("toks", ops.Bpe.bpeTokens($"text", merges)),
+        "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256)
+    }
+
     val profile = stage("profile") {
       // tokenizer diagnostics ride along: per-domain fertility (BPE
       // tokens/word) and compression (chars/token) under the tokenizer
@@ -277,7 +287,8 @@ object CorpusMain {
       "bpe_merges" -> stage.rowsOf("bpe_merges"),
       "mixed" -> stage.rowsOf("mixed"),
       "admitted" -> totals.getLong(0),
-      "shards" -> totals.getLong(1))
+      "shards" -> totals.getLong(1),
+      "train_sequences" -> stage.rowsOf("sequences"))
   }
 
   def main(args: Array[String]): Unit = {

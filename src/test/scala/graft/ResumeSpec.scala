@@ -163,7 +163,7 @@ class ResumeSpec extends AnyFunSuite {
     // every stage keeps the snapshot id it had after the resume run
     val allStages = Seq("texts", "cleaned", "lang_en", "exact", "deduped",
       "substr", "lm_model", "lm_kept",
-      "bpe_merges", "domain_cfg", "mixed", "shards", "profile")
+      "bpe_merges", "domain_cfg", "mixed", "shards", "sequences", "profile")
     val idsAfterResume = allStages.map(s => s -> stageHead(crashy, s).get.id).toMap
     val dStages = CorpusMain.run(spark, 2000, crashy, 4)
     assert(dStages == gStages)
