@@ -886,6 +886,50 @@ class StreamingSpec extends AnyFunSuite {
       "re-delivery must be a no-op after compaction")
   }
 
+  test("corpus stream → hash embeddings → vector index: the two streaming tables compose end-to-end") {
+    import org.apache.spark.sql.functions._
+    val cIn = Files.createTempDirectory("graft_e2e_cin_").toString
+    val cTbl = Files.createTempDirectory("graft_e2e_ctbl_").toString + "/t"
+    val cCkpt = Files.createTempDirectory("graft_e2e_cckpt_").toString
+    val vIn = Files.createTempDirectory("graft_e2e_vin_").toString
+    val vTbl = Files.createTempDirectory("graft_e2e_vtbl_").toString + "/t"
+    val vCkpt = Files.createTempDirectory("graft_e2e_vckpt_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").where($"text".isNotNull)
+
+    // 1. text through the deduped INDEXED corpus stream (one re-crawl
+    //    planted: doc 7000 duplicates doc 0's text and must be dropped)
+    base.where($"doc_id" < 60)
+      .union(base.where($"doc_id" === 0)
+        .select(lit(7000L).as("doc_id"), $"text"))
+      .coalesce(1).write.mode("append").parquet(cIn)
+    streaming.EventStream.runIndexedCorpusStream(spark, cIn, cTbl, cCkpt,
+      base).awaitTermination()
+    val corpus = streaming.EventStream.readCorpus(spark, cTbl)
+    assert(corpus.where($"doc_id" === 7000).count() == 0,
+      "the corpus stream must have deduped the planted re-crawl")
+
+    // 2. embed the COMMITTED corpus (hashing trick) and stream the
+    //    vectors into a manifest-committed vector index
+    val emb = ops.Embed.hashEmbed(corpus, "text", dims = 64)
+      .select($"doc_id".as("vec_id"),
+        $"vec".cast("array<double>").as("embedding"))
+    emb.coalesce(1).write.mode("append").parquet(vIn)
+    streaming.VectorIndexStream.runVectorIndexStream(spark, vIn, vTbl,
+      vCkpt, emb, nCells = 4, lloydIters = 1).awaitTermination()
+
+    // 3. probe the index with a committed doc's own embedding under a
+    //    FRESH probe id: the doc itself must come back at rank 1 with
+    //    cosine 1 (hash embeddings are a pure function of the text)
+    val probe = emb.where($"vec_id" === 5)
+      .select(lit(-1L).as("vec_id"), $"embedding")
+    val hit = streaming.VectorIndexStream.topKSnapshot(spark, vTbl, probe,
+      "vec_id", "embedding", k = 1, nProbe = 4, nCells = 4)
+      .select($"cand_id", $"cosine").head()
+    assert(hit.getLong(0) == 5L && math.abs(hit.getDouble(1) - 1.0) < 1e-12,
+      s"own-text probe must retrieve the source doc first: $hit")
+  }
+
   test("vector-index layout stamp: a table written with nCells=N refuses to open under a different N") {
     import org.apache.spark.sql.functions._
     val in = Files.createTempDirectory("graft_vixl_in_").toString
