@@ -162,6 +162,37 @@ object Sampling {
       .drop("cum0")
   }
 
+  /** Interleaved text+media token stream of one document's ordered span
+    * array — the MULTIMODAL training-data shape (interleaved image-text
+    * corpora à la Flamingo/MM1): text spans tokenize with `tokenize`,
+    * each media span contributes ONE `mediaTok` placeholder token, and
+    * the returned struct's `refs` array aligns 1:1 with `toks` (refs(i)
+    * = the media_ref behind token i's placeholder, NULL at text
+    * positions). Spans order by their `offset` field (input_hint's span
+    * order), so the stream preserves the document's text/media
+    * interleaving exactly; a NULL text span tokenizes to the empty array
+    * rather than nulling the document (the hidden-cut guard stance of
+    * [[packSequences]]). Feed the two result arrays straight into
+    * [[packSequencesInterleaved]] — built together here, they cannot
+    * desynchronize. Pure column algebra over the span array — narrow,
+    * codegen-friendly, no UDF; `tokenize` is applied once per span. */
+  def interleavedStream(spans: Column, tokenize: Column => Column,
+      mediaTok: String = "<|media|>"): Column = {
+    val sorted = array_sort(spans, (a, b) =>
+      when(a("offset") < b("offset"), -1)
+        .when(a("offset") > b("offset"), 1).otherwise(0))
+    val perSpan = transform(sorted, s => struct(
+      (s("kind") === "media").as("m"), s("media_ref").as("r"),
+      when(s("kind") === "media", array(lit(mediaTok)))
+        .otherwise(coalesce(tokenize(s("text")),
+          array().cast("array<string>"))).as("t")))
+    struct(
+      flatten(transform(perSpan, x => x("t"))).as("toks"),
+      flatten(transform(perSpan, x =>
+        when(x("m"), array(x("r"))).otherwise(
+          array_repeat(lit(null).cast("string"), size(x("t")))))).as("refs"))
+  }
+
   /** SEQUENCE packing — the step after [[packShards]]: concatenate each
     * shard's documents (in id order) into one token stream and cut it
     * into fixed-`seqLen` training rows, sequences crossing document
@@ -195,27 +226,74 @@ object Sampling {
       shardCols: Seq[String], toksCol: Column, seqLen: Int): DataFrame =
     packedSequences(df, idCol, shardCols, toksCol, seqLen, withBounds = true)
 
+  /** INTERLEAVED (multimodal) sequence packing — [[packSequencesWithBounds]]
+    * for documents whose token stream carries media placeholders: `refsCol`
+    * is an array aligned 1:1 with `toksCol` (refs(i) = the media_ref behind
+    * token i, NULL at text positions — the shape [[interleavedStream]]
+    * emits). Output sequences carry `toks`, `doc_ids` AND `media_refs`
+    * sliced by the SAME arithmetic, plus `n_media` (non-null refs in the
+    * sequence) — what an interleaved-pretraining loader (image-text
+    * interleaved corpora) needs to fetch each sequence's media alongside
+    * its tokens. A NULL refs array is normalized to all-NULL refs of the
+    * token length (text-only doc in a multimodal corpus); a refs array of
+    * a DIFFERENT length than its toks is a caller bug this operator does
+    * not detect — build both sides with [[interleavedStream]] and they
+    * cannot desynchronize. Same scale shape as [[packSequences]]: per-task
+    * memory bounded by the packing budget, one shuffle, no UDF. */
+  def packSequencesInterleaved(df: DataFrame, idCol: String,
+      shardCols: Seq[String], toksCol: Column, refsCol: Column,
+      seqLen: Int): DataFrame =
+    packedSequences(df, idCol, shardCols, toksCol, seqLen,
+      withBounds = true, refsCol = Some(refsCol))
+
   /** Shared implementation of [[packSequences]] /
-    * [[packSequencesWithBounds]] — the load-bearing invariants (null-toks
-    * filter INSIDE the aggregate, array_sort ordering, ragged-tail
-    * emission, slice arithmetic) live exactly once. */
+    * [[packSequencesWithBounds]] / [[packSequencesInterleaved]] — the
+    * load-bearing invariants (null-toks filter INSIDE the aggregate,
+    * array_sort ordering, ragged-tail emission, slice arithmetic) live
+    * exactly once. */
   private def packedSequences(df: DataFrame, idCol: String,
       shardCols: Seq[String], toksCol: Column, seqLen: Int,
-      withBounds: Boolean): DataFrame = {
+      withBounds: Boolean, refsCol: Option[Column] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(shardCols.nonEmpty, "shardCols must name at least one column")
+    // the interleaved form aggregates a third aligned array per document;
+    // NULL refs (text-only doc) normalize to all-NULL of the token length
+    // BEFORE the aggregate so one such doc cannot null its shard's flatten
+    val docFields = Seq(col(idCol).as("__pid"), toksCol.as("__toks")) ++
+      refsCol.map(r => coalesce(r,
+        array_repeat(lit(null).cast("string"), size(toksCol))).as("__refs"))
+    val structFields =
+      if (refsCol.isDefined) "struct(__pid, __toks, __refs)"
+      else "struct(__pid, __toks)"
     val flat = df
-      .select(shardCols.map(col) :+ col(idCol).as("__pid") :+ toksCol.as("__toks"): _*)
+      .select(shardCols.map(col) ++ docFields: _*)
       .groupBy(shardCols.map(col): _*)
       // null-toks docs contribute nothing (filtered INSIDE the aggregate
       // expression): flatten() returns NULL when ANY nested array is null,
       // so without the filter one null row would silently drop its whole
       // shard — the exact hidden-cut failure mode this operator avoids
-      .agg(expr("filter(array_sort(collect_list(struct(__pid, __toks))), " +
+      .agg(expr(s"filter(array_sort(collect_list($structFields)), " +
           "s -> s.__toks IS NOT NULL)").as("__docs"))
       .withColumn("__flat", expr("flatten(transform(__docs, s -> s.__toks))"))
       .where(size(col("__flat")) > 0)
-    if (!withBounds)
+    if (refsCol.isDefined)
+      flat
+        .withColumn("__ids", expr(
+          "flatten(transform(__docs, s -> array_repeat(s.__pid, size(s.__toks))))"))
+        .withColumn("__mrefs", expr("flatten(transform(__docs, s -> s.__refs))"))
+        .withColumn("__seqs", expr(
+          s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +
+            s"i -> named_struct('t', slice(__flat, i * $seqLen + 1, $seqLen), " +
+            s"'d', slice(__ids, i * $seqLen + 1, $seqLen), " +
+            s"'m', slice(__mrefs, i * $seqLen + 1, $seqLen)))"))
+        .select(shardCols.map(col) :+ posexplode(col("__seqs")).as(Seq("seq", "__s")): _*)
+        .select(col("*"), col("__s.t").as("toks"), col("__s.d").as("doc_ids"),
+          col("__s.m").as("media_refs"))
+        .drop("__s")
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_media",
+          size(expr("filter(media_refs, x -> x IS NOT NULL)")))
+    else if (!withBounds)
       flat
         .withColumn("__seqs", expr(
           s"transform(sequence(0, (size(__flat) - 1) div $seqLen), " +

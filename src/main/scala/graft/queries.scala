@@ -4109,6 +4109,76 @@ object Queries {
             |  CAST(pos AS INT) AS pos, kind, md5(text) AS h
             |FROM rw ORDER BY doc_id, reading_pos""".stripMargin))
 
+  /** EXTRACTION → INTERLEAVED MULTIMODAL TRAINING SEQUENCES end-to-end:
+    * real extraction output spans (exactly the input_hint span shape)
+    * stream through ops.Sampling.interleavedStream — text spans
+    * whitespace-tokenized, ONE '<|media|>' placeholder per media span,
+    * refs aligned 1:1 under the placeholders — then pack into 300-token
+    * shards per bucket and cut into 64-token sequences carrying toks +
+    * doc_ids + media_refs (the interleaved image-text pretraining shape:
+    * each sequence names the media its placeholders stand for). The
+    * oracle replays the classifier CTEs, the per-doc interleaving in span
+    * pos order, the shard cumsum, all THREE aligned flats, and the
+    * slicing; NULL refs render as '.' on both sides because DuckDB's
+    * array_to_string silently skips NULL elements. */
+  private val qPackInterleaved = QueryDef(
+    "q_pack_interleaved",
+    (s, _) => {
+      import s.implicits._
+      val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+      val st = ops.Sampling.interleavedStream($"spans", t => split(t, " "))
+      val docsTok = ExtractJob.transform(docs).toDF()
+        .select($"doc_id", $"bucket", st.as("st"))
+        .select($"doc_id", $"bucket", $"st.toks".as("toks"), $"st.refs".as("refs"))
+      val packed = ops.Sampling.packShards(docsTok, "doc_id", "bucket",
+        size($"toks").cast("bigint"), budget = 300)
+      ops.Sampling.packSequencesInterleaved(packed, "doc_id",
+          Seq("bucket", "shard"), $"toks", $"refs", seqLen = 64)
+        .select($"bucket", $"shard", $"seq",
+          md5(array_join($"toks", " ")).as("h"),
+          md5(array_join($"doc_ids", " ")).as("hd"),
+          md5(array_join($"media_refs", " ", ".")).as("hm"),
+          $"n_toks", $"n_media")
+        .orderBy($"bucket", $"shard", $"seq")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")},
+            |tok AS (SELECT doc_id, bucket, pos,
+            |    CASE WHEN kind = 'media' THEN ['<|media|>']
+            |         ELSE string_split(text, ' ') END AS t,
+            |    CASE WHEN kind = 'media' THEN [media_ref]
+            |         ELSE list_transform(string_split(text, ' '),
+            |                             x -> CAST(NULL AS VARCHAR)) END AS r
+            |  FROM outp),
+            |doc AS (SELECT doc_id, any_value(bucket) AS bucket,
+            |    flatten(list(t ORDER BY pos)) AS toks,
+            |    flatten(list(r ORDER BY pos)) AS refs
+            |  FROM tok GROUP BY doc_id),
+            |p AS (SELECT doc_id, bucket, toks, refs,
+            |    CAST(coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY bucket
+            |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |      // 300 AS INT) AS shard
+            |  FROM doc),
+            |f AS (SELECT bucket, shard,
+            |    flatten(list(toks ORDER BY doc_id)) AS flat,
+            |    flatten(list(list_transform(range(len(toks)), x -> doc_id)
+            |      ORDER BY doc_id)) AS ids,
+            |    flatten(list(refs ORDER BY doc_id)) AS mr
+            |  FROM p GROUP BY bucket, shard),
+            |sq AS (SELECT bucket, shard, CAST(i AS INT) AS seq,
+            |    flat[i*64+1 : i*64+64] AS toks,
+            |    ids[i*64+1 : i*64+64] AS dids,
+            |    mr[i*64+1 : i*64+64] AS mrefs
+            |  FROM (SELECT bucket, shard, flat, ids, mr,
+            |      unnest(range(0, ((len(flat)-1)//64) + 1)) AS i FROM f)
+            |  WHERE len(flat) > 0)
+            |SELECT CAST(bucket AS INT) AS bucket, shard, seq,
+            |  md5(array_to_string(toks, ' ')) AS h,
+            |  md5(array_to_string(dids, ' ')) AS hd,
+            |  md5(array_to_string(list_transform(mrefs, x -> coalesce(x, '.')), ' ')) AS hm,
+            |  CAST(len(toks) AS INT) AS n_toks,
+            |  CAST(len(list_filter(mrefs, x -> x IS NOT NULL)) AS INT) AS n_media
+            |FROM sq ORDER BY bucket, shard, seq""".stripMargin))
+
   /** Metrics side table of a real ExtractJob.run (write → manifest commit →
     * manifest-planned at-rest scan), oracled per bucket from the corpus. */
   private val qExtractMetrics = QueryDef(
@@ -4187,6 +4257,7 @@ object Queries {
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,
+    qPackInterleaved,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

@@ -229,6 +229,68 @@ class SamplingSpec extends AnyFunSuite {
     assert(nn == out.map(_._3).toList)
   }
 
+  test("interleavedStream: offset-ordered tokens with refs aligned 1:1, media placeholders in place") {
+    // spans deliberately OUT of offset order; doc interleaves text/media
+    val docs = Seq(
+      (1L, Seq(
+        RawSpan("media", "", "https://m.test/x.mp4", 1),
+        RawSpan("text", "hello brave world", "", 0),
+        RawSpan("text", "the end", "", 3),
+        RawSpan("media", "", "https://m.test/y.png", 2))))
+      .toDF("doc_id", "spans")
+    val st = ops.Sampling.interleavedStream($"spans", t => split(t, " "))
+    val r = docs.select(st.getField("toks").as("t"), st.getField("refs").as("r"))
+      .head()
+    val toks = r.getSeq[String](0).toList
+    val refs = r.getSeq[String](1).toList
+    assert(toks == List("hello", "brave", "world", "<|media|>",
+      "<|media|>", "the", "end"),
+      "stream must follow span OFFSET order with one placeholder per media span")
+    assert(refs == List(null, null, null, "https://m.test/x.mp4",
+      "https://m.test/y.png", null, null),
+      "refs must align 1:1 with toks — the media_ref exactly under its placeholder")
+    assert(toks.length == refs.length)
+    // a NULL text span contributes nothing (never nulls the doc stream)
+    val withNull = Seq((1L, Seq(
+      RawSpan("text", null, "", 0), RawSpan("media", "", "ref1", 1))))
+      .toDF("doc_id", "spans")
+    val n = withNull.select(st.getField("toks").as("t"), st.getField("refs").as("r")).head()
+    assert(n.getSeq[String](0).toList == List("<|media|>") &&
+      n.getSeq[String](1).toList == List("ref1"))
+  }
+
+  test("packSequencesInterleaved: media_refs slice with the tokens; text-only docs normalize") {
+    // doc 1 text-heavy with one media token; doc 2 text-only (NULL refs —
+    // a plain-text doc entering a multimodal corpus); doc 3 media-only
+    val docs = Seq(
+      (1L, "s", Seq("a1", "<|media|>", "a3"), Seq(null, "m1", null)),
+      (2L, "s", Seq("b1", "b2", "b3"), null: Seq[String]),
+      (3L, "s", Seq("<|media|>"), Seq("m2")))
+      .toDF("doc_id", "shard", "toks", "refs")
+    val out = ops.Sampling.packSequencesInterleaved(
+        docs, "doc_id", Seq("shard"), $"toks", $"refs", 4)
+      .orderBy($"seq")
+      .select($"seq", $"toks", $"doc_ids", $"media_refs", $"n_toks", $"n_media")
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1).toList,
+        r.getSeq[Long](2).toList, r.getSeq[String](3).toList,
+        r.getInt(4), r.getInt(5)))
+    assert(out.toList == List(
+      (0, List("a1", "<|media|>", "a3", "b1"), List(1L, 1L, 1L, 2L),
+        List(null, "m1", null, null), 4, 1),
+      (1, List("b2", "b3", "<|media|>"), List(2L, 2L, 3L),
+        List(null, null, "m2"), 3, 1)),
+      "media_refs must ride the same slice arithmetic as toks and doc_ids")
+    // token/doc_id streams identical to packSequencesWithBounds — refs are
+    // a strict addition, never a re-ordering
+    val plain = ops.Sampling.packSequencesWithBounds(
+        docs, "doc_id", Seq("shard"), $"toks", 4)
+      .orderBy($"seq").select($"toks", $"doc_ids")
+      .collect().map(r => (r.getSeq[String](0).toList, r.getSeq[Long](1).toList)).toList
+    assert(out.map(o => (o._2, o._3)).toList == plain)
+    // media accounting is conserved across the cut
+    assert(out.map(_._6).sum == 2, "every media span appears in exactly one sequence")
+  }
+
   test("splitByCluster: near-dup components co-locate; singletons draw on their own id") {
     val docs = (0L until 60L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
