@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
@@ -128,6 +128,66 @@ object Media {
         it.map { case (id, bytes) => dec.decode(id, bytes) }
       }
   }
+
+  /** CLIP/LAION-style CAPTION MINING over the interleaved span table —
+    * the (media, text) PAIR shape of multimodal training data, the
+    * complement of [[graft.ops.Sampling.interleavedStream]]'s Flamingo
+    * interleaved-sequence shape (reference analog: qetch emits media
+    * fragments adjacent to their page text; the pairing rule below is the
+    * corpus-scale generalization).
+    *
+    * For each `media` span of the offset-sorted array, the caption is the
+    * ADJACENT text span — the following span preferred (figure captions
+    * follow their figure), else the preceding one — and a neighbor only
+    * qualifies if its character length lies in `[minChars, maxChars]`
+    * (alt-text-length bounds: a 2-char fragment or a whole article is not
+    * a caption). Emits one struct per media span, `caption`/`side` NULL
+    * when neither neighbor qualifies, so caption COVERAGE stays auditable
+    * — filter `caption IS NOT NULL` for the training pairs.
+    *
+    * Pure per-row array algebra over the span array (sort + indexed
+    * transform + `get`, which is NULL-safe at both array ends): narrow,
+    * zero shuffle, whole-stage codegen. `pos` is the span's index in the
+    * offset-sorted array (== its dense output offset for extraction
+    * output, where offsets are renumbered 0..n-1). */
+  def captionCandidates(spans: Column, minChars: Int = 5,
+      maxChars: Int = 300): Column = {
+    val sorted = array_sort(spans, (a, b) =>
+      when(a("offset") < b("offset"), -1)
+        .when(a("offset") > b("offset"), 1).otherwise(0))
+    // a neighbor's caption candidacy; NULL (disqualified) when it is not
+    // a text span or its length is out of bounds — NULL kind/text safe
+    def cand(s: Column): Column =
+      when(s("kind") === "text" &&
+        length(s("text")).between(minChars, maxChars), s("text"))
+    val perSpan = transform(sorted, (s, i) => {
+      val after = cand(get(sorted, i + 1))
+      val before = cand(get(sorted, i - 1))
+      struct(
+        (s("kind") === "media").as("m"),
+        s("media_ref").as("media_ref"),
+        i.cast("int").as("pos"),
+        coalesce(after, before).as("caption"),
+        when(after.isNotNull, lit("after"))
+          .when(before.isNotNull, lit("before")).as("side"))
+    })
+    transform(filter(perSpan, x => x("m")), x => struct(
+      x("media_ref").as("media_ref"), x("pos").as("pos"),
+      x("caption").as("caption"), x("side").as("side")))
+  }
+
+  /** The exploded pair TABLE over [[captionCandidates]]: one row per
+    * media span that found a caption — (idCols…, media_ref, pos, caption,
+    * side), the image-text-pair training table (CLIP/LAION shape). Rows
+    * whose media span found no qualifying neighbor are dropped here;
+    * audit coverage with `captionCandidates` directly. */
+  def mediaTextPairs(df: DataFrame, idCols: Seq[String], spansCol: Column,
+      minChars: Int = 5, maxChars: Int = 300): DataFrame =
+    df.select(idCols.map(col) :+
+        explode(captionCandidates(spansCol, minChars, maxChars)).as("__c"): _*)
+      .select(idCols.map(col) :+ col("__c.media_ref") :+ col("__c.pos") :+
+        col("__c.caption") :+ col("__c.side"): _*)
+      .where(col("caption").isNotNull)
 
   /** Frame-sampling stub: every `stride`-th frame index up to `frames`.
     * Real implementation would return decoded frame tensors; the Spark

@@ -4179,6 +4179,39 @@ object Queries {
             |  CAST(len(list_filter(mrefs, x -> x IS NOT NULL)) AS INT) AS n_media
             |FROM sq ORDER BY bucket, shard, seq""".stripMargin))
 
+  /** EXTRACTION → CAPTION PAIRS (ops.Media.mediaTextPairs): the CLIP/LAION
+    * image-text-pair shape mined from real extraction output — each media
+    * span pairs with its adjacent text span (following preferred, else
+    * preceding) when that neighbor's character length lies in [5, 120].
+    * The oracle replays the classifier CTEs and the adjacency rule as
+    * lag/lead windows over the dense span positions (pos == the
+    * offset-sorted array index for extraction output). */
+  private val qCaptionPairs = QueryDef(
+    "q_caption_pairs",
+    (s, _) => {
+      import s.implicits._
+      val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+      ops.Media.mediaTextPairs(ExtractJob.transform(docs).toDF(),
+          Seq("doc_id", "bucket"), $"spans", minChars = 5, maxChars = 120)
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")},
+            |nb AS (SELECT doc_id, bucket, pos, kind, media_ref,
+            |    lag(kind) OVER w AS pk, lag(text) OVER w AS pt,
+            |    lead(kind) OVER w AS nk, lead(text) OVER w AS nt
+            |  FROM outp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            |c AS (SELECT doc_id, CAST(bucket AS INT) AS bucket, media_ref,
+            |    CAST(pos AS INT) AS pos,
+            |    CASE WHEN nk = 'text' AND len(nt) BETWEEN 5 AND 120 THEN nt
+            |         WHEN pk = 'text' AND len(pt) BETWEEN 5 AND 120 THEN pt
+            |    END AS caption,
+            |    CASE WHEN nk = 'text' AND len(nt) BETWEEN 5 AND 120 THEN 'after'
+            |         WHEN pk = 'text' AND len(pt) BETWEEN 5 AND 120 THEN 'before'
+            |    END AS side
+            |  FROM nb WHERE kind = 'media')
+            |SELECT * FROM c WHERE caption IS NOT NULL
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Metrics side table of a real ExtractJob.run (write → manifest commit →
     * manifest-planned at-rest scan), oracled per bucket from the corpus. */
   private val qExtractMetrics = QueryDef(
@@ -4257,7 +4290,7 @@ object Queries {
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,
-    qPackInterleaved,
+    qPackInterleaved, qCaptionPairs,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,

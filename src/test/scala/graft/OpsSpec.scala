@@ -603,6 +603,48 @@ class OpsSpec extends AnyFunSuite {
       "sub-shingle payloads must get empty signatures, not constant collisions")
   }
 
+  test("captionCandidates: adjacency after-preference, length bounds, array ends, offset sorting, null-text neighbors") {
+    def sp(kind: String, text: String, ref: String, off: Int) =
+      RawSpan(kind, text, ref, off)
+    val docs = Seq(
+      // both neighbors qualify → the FOLLOWING span wins
+      ("d1", Seq(sp("text", "before text ok", null, 0),
+        sp("media", null, "m://1", 1), sp("text", "after text ok", null, 2))),
+      // following span too long → falls back to the preceding one
+      ("d2", Seq(sp("text", "short ok", null, 0),
+        sp("media", null, "m://2", 1), sp("text", "x" * 500, null, 2))),
+      // NULL-text / media / too-short neighbors all disqualify → no caption
+      ("d3", Seq(sp("text", null, null, 0), sp("media", null, "m://3a", 1),
+        sp("media", null, "m://3b", 2), sp("text", "ab", null, 3))),
+      // media at array start pairs forward; at array end pairs backward
+      ("d4", Seq(sp("media", null, "m://4a", 0),
+        sp("text", "middle caption", null, 1), sp("media", null, "m://4b", 2))),
+      // adjacency is by OFFSET order, not input array order
+      ("d5", Seq(sp("text", "tail text here", null, 2),
+        sp("media", null, "m://5", 1), sp("text", "head text here", null, 0)))
+    ).toDF("doc_id", "spans")
+    val c = docs.select(explode(
+        ops.Media.captionCandidates($"spans", minChars = 5, maxChars = 100)).as("c"))
+      .select($"c.media_ref", $"c.pos", $"c.caption", $"c.side")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(c("m://1") == ((1, Some("after text ok"), Some("after"))))
+    assert(c("m://2") == ((1, Some("short ok"), Some("before"))))
+    assert(c("m://3a") == ((1, None, None)))
+    assert(c("m://3b") == ((2, None, None)))
+    assert(c("m://4a") == ((0, Some("middle caption"), Some("after"))))
+    assert(c("m://4b") == ((2, Some("middle caption"), Some("before"))))
+    assert(c("m://5") == ((1, Some("tail text here"), Some("after"))))
+    assert(c.size == 7, "one candidate row per media span, captioned or not")
+    // the pair TABLE keeps only captioned media and the callers' id columns
+    val pairs = ops.Media.mediaTextPairs(docs, Seq("doc_id"), $"spans",
+      minChars = 5, maxChars = 100)
+    assert(pairs.columns.toSeq ==
+      Seq("doc_id", "media_ref", "pos", "caption", "side"))
+    assert(pairs.count() == 5 && pairs.where($"caption".isNull).count() == 0)
+  }
+
   test("at-rest IVF index: append assigns with the stored codebook; nProbe == nCells over the appended index equals brute force") {
     val emb = embeddings.where($"vec_id" < 120).select($"vec_id", $"embedding")
     val a = emb.where($"vec_id" < 90)
