@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * (registry dispatch → boilerplate classify → ordered spans) feeding
   * corpus preparation (reassemble → redact → filter → dedup → resolve →
   * substring scrub → LM quality gate → mix → pack) and writing a
-  * training-ready shard table plus a per-domain profile. What a user of
-  * the reference would actually run to turn a crawl into training data.
+  * training-ready shard table plus a per-domain profile — and, from the
+  * SAME committed extraction pass, the multimodal side output (CLIP/LAION
+  * caption pairs via ops.Media.mediaTextPairs). What a user of the
+  * reference would actually run to turn a crawl into training data.
   *
   * RESUMABLE: every stage output is a manifest-committed table under
   * `<outDir>/stages/<name>` (the same snapshot/lineage layer the extract
@@ -102,17 +104,35 @@ object CorpusMain {
     val stage = new StageStore(spark, s"$outDir/stages", failAt,
       fingerprint = s"n=$nDocs;salt=$saltTarget")
 
-    // 1+2. extraction (native extract_spans — span-for-span equal to the
-    //      typed engine, SpanEqualitySpec) + reassembly of document text
-    //      from kept non-media spans in offset order
-    val texts = stage("texts") {
+    // 1. extraction (native extract_spans — span-for-span equal to the
+    //    typed engine, SpanEqualitySpec). The span table commits ONCE:
+    //    extraction is the expensive pass, and both the text funnel and
+    //    the multimodal side output below read the committed table
+    //    instead of re-running it
+    val extracted = stage("extracted") {
       val raw = DocGen.generate(spark, nDocs, parallelism)
       plans.GraftFunctions.extractColumnar(raw.toDF())
+        .select($"doc_id", $"domain", $"spans")
+    }
+
+    // 2. reassembly of document text from kept non-media spans in offset
+    //    order — the text-funnel head
+    val texts = stage("texts") {
+      extracted
         .select($"doc_id", $"domain",
           array_join(expr(
             "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
               "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
         .where(length($"text") > 0)
+    }
+
+    // 2b. MULTIMODAL side output: CLIP/LAION caption pairs mined from the
+    //     same committed extraction pass — media spans never enter the
+    //     text funnel; this is where they become training data (each
+    //     media span paired with its adjacent in-bounds text span)
+    stage("pairs") {
+      ops.Media.mediaTextPairs(extracted, Seq("doc_id", "domain"), $"spans",
+        minChars = 5, maxChars = 300)
     }
 
     // 3. clean: PII scrub, then the FULL Gopher §A1.1 rule set — the
@@ -276,7 +296,9 @@ object CorpusMain {
     val totals = profile.agg(sum($"docs"), sum($"shards")).head()
     Seq(
       "raw" -> nDocs,
+      "extracted" -> stage.rowsOf("extracted"),
       "with_text" -> stage.rowsOf("texts"),
+      "caption_pairs" -> stage.rowsOf("pairs"),
       "cleaned" -> stage.rowsOf("cleaned"),
       "lang_en" -> stage.rowsOf("lang_en"),
       "exact_deduped" -> stage.rowsOf("exact"),

@@ -326,6 +326,19 @@ class CleaningSpec extends AnyFunSuite {
       assert(stages(a) >= stages(b), s"$a=${stages(a)} < $b=${stages(b)}")
     }
     assert(stages("admitted") > 0 && stages("shards") > 0)
+    // the multimodal side output rides the same committed extraction pass:
+    // every pair is captioned, and its media_ref really is a media span of
+    // the extracted table's corresponding document
+    val pairsTbl = graft.CorpusMain.readStage(spark, out, "pairs")
+    assert(pairsTbl.count() == stages("caption_pairs") && stages("caption_pairs") > 0)
+    assert(pairsTbl.where($"caption".isNull || $"media_ref".isNull).count() == 0)
+    val extractedTbl = graft.CorpusMain.readStage(spark, out, "extracted")
+    assert(stages("extracted") >= stages("with_text"))
+    val mediaRefs = extractedTbl.select($"doc_id",
+        explode(expr("filter(spans, s -> s.kind = 'media')")).as("s"))
+      .select($"doc_id", $"s.media_ref".as("media_ref"))
+    assert(pairsTbl.join(mediaRefs, Seq("doc_id", "media_ref"), "left_anti")
+      .count() == 0, "every pair's media_ref must exist as a media span of its doc")
     val shards = graft.CorpusMain.readStage(spark, out, "shards")
     assert(shards.count() == stages("admitted"))
     assert(shards.columns.toSet.intersect(Set("doc_id", "text", "tokens", "shard")).size == 4)
