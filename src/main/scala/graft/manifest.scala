@@ -159,7 +159,7 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * An expired snapshot id fails loudly (file gone), never silently
     * falls back to HEAD. */
   def readData(spark: SparkSession, buckets: Option[Set[Int]] = None,
-      asOf: Option[Int] = None): DataFrame = {
+      asOf: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
     val snap = asOf.map(snapshotById).orElse(head()).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
     val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
@@ -170,7 +170,14 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     require(missing.isEmpty,
       s"snapshot ${snap.id} lacks file lineage for buckets ${missing.map(_.bucket).mkString(",")}")
     val files = sel.flatMap(_.files)
+    // mergeSchema: for buckets whose row schema has legitimately WIDENED
+    // across commits (e.g. a metrics row gaining audit columns), a plain
+    // read would take one arbitrary file's schema — new columns silently
+    // vanish or old rows fail a positional read. Callers that evolve a
+    // bucket's schema must read it merged (old rows surface NULL in the
+    // added columns; they coalesce defaults themselves).
     val reader = spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", mergeSchema.toString)
     if (files.nonEmpty) reader.parquet(files: _*)
     else {
       val all = snap.buckets.flatMap(_.files)

@@ -151,7 +151,7 @@ object Cleaning {
     * `filter`/`transform` lambda is otherwise RE-EVALUATED on every element
     * — turning the O(L²) n-gram statistics above into O(L³) per row. The
     * lambda variable is a bound value; referencing it costs nothing. */
-  private def bindOnce(value: Column)(body: Column => Column): Column =
+  private[ops] def bindOnce(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), v => body(v)), 1)
 
   /** Count of the most frequent element of an array column — pure Column

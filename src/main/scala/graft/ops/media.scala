@@ -152,28 +152,33 @@ object Media {
     * output, where offsets are renumbered 0..n-1). */
   def captionCandidates(spans: Column, minChars: Int = 5,
       maxChars: Int = 300): Column = {
-    val sorted = array_sort(spans, (a, b) =>
-      when(a("offset") < b("offset"), -1)
-        .when(a("offset") > b("offset"), 1).otherwise(0))
     // a neighbor's caption candidacy; NULL (disqualified) when it is not
     // a text span or its length is out of bounds — NULL kind/text safe
     def cand(s: Column): Column =
       when(s("kind") === "text" &&
         length(s("text")).between(minChars, maxChars), s("text"))
-    val perSpan = transform(sorted, (s, i) => {
-      val after = cand(get(sorted, i + 1))
-      val before = cand(get(sorted, i - 1))
-      struct(
-        (s("kind") === "media").as("m"),
-        s("media_ref").as("media_ref"),
-        i.cast("int").as("pos"),
-        coalesce(after, before).as("caption"),
-        when(after.isNotNull, lit("after"))
-          .when(before.isNotNull, lit("before")).as("side"))
-    })
-    transform(filter(perSpan, x => x("m")), x => struct(
-      x("media_ref").as("media_ref"), x("pos").as("pos"),
-      x("caption").as("caption"), x("side").as("side")))
+    // the sorted array is bindOnce-bound: Catalyst does no subexpression
+    // elimination inside HOF lambdas, so referencing the array_sort
+    // expression from the per-element lambda would RE-SORT the span array
+    // ~2n times per row (O(n² log n) on a span-heavy page)
+    Cleaning.bindOnce(array_sort(spans, (a, b) =>
+      when(a("offset") < b("offset"), -1)
+        .when(a("offset") > b("offset"), 1).otherwise(0))) { sorted =>
+      val perSpan = transform(sorted, (s, i) => {
+        val after = cand(get(sorted, i + 1))
+        val before = cand(get(sorted, i - 1))
+        struct(
+          (s("kind") === "media").as("m"),
+          s("media_ref").as("media_ref"),
+          i.cast("int").as("pos"),
+          coalesce(after, before).as("caption"),
+          when(after.isNotNull, lit("after"))
+            .when(before.isNotNull, lit("before")).as("side"))
+      })
+      transform(filter(perSpan, x => x("m")), x => struct(
+        x("media_ref").as("media_ref"), x("pos").as("pos"),
+        x("caption").as("caption"), x("side").as("side")))
+    }
   }
 
   /** The exploded pair TABLE over [[captionCandidates]]: one row per

@@ -186,11 +186,16 @@ object Sampling {
       when(s("kind") === "media", array(lit(mediaTok)))
         .otherwise(coalesce(tokenize(s("text")),
           array().cast("array<string>"))).as("t")))
-    struct(
-      flatten(transform(perSpan, x => x("t"))).as("toks"),
-      flatten(transform(perSpan, x =>
-        when(x("m"), array(x("r"))).otherwise(
-          array_repeat(lit(null).cast("string"), size(x("t")))))).as("refs"))
+    // perSpan feeds BOTH result arrays; bindOnce-bound so the sort and the
+    // per-span tokenize run once per row, not once per output field
+    // (Catalyst does no cross-expression CSE over these HOF trees)
+    Cleaning.bindOnce(perSpan) { p =>
+      struct(
+        flatten(transform(p, x => x("t"))).as("toks"),
+        flatten(transform(p, x =>
+          when(x("m"), array(x("r"))).otherwise(
+            array_repeat(lit(null).cast("string"), size(x("t")))))).as("refs"))
+    }
   }
 
   /** SEQUENCE packing — the step after [[packShards]]: concatenate each

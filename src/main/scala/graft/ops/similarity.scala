@@ -23,9 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
-
   /** The ONE spelling of the L2 norm and dot product every ANN operator
     * (and the streaming index's admission gate) uses — cast-to-double
     * order and the 0D seed are part of the numeric spec the DuckDB
@@ -33,9 +30,8 @@ object Similarity {
   private[graft] def norm(a: String) =
     expr(s"sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))")
 
-  private[graft] def dotD(x: String, y: String) =
-    expr(s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), " +
-      "0D, (acc, v) -> acc + v)")
+  private[graft] def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
 
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows.
     * Probes must be small (broadcast). Returns (probe_id, cand_id, cosine,

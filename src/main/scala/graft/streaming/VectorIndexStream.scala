@@ -93,12 +93,22 @@ object VectorIndexStream {
     m.readData(spark, Some((0 until nCells).toSet)).drop("bucket")
   }
 
-  /** Per-micro-batch ingest metrics, one row per committed batch. */
+  /** Per-micro-batch ingest metrics, one row per committed batch. The
+    * metrics row has WIDENED across versions (the admission gate added
+    * `near_dropped` / `gate_skipped_cells`), so the bucket is read
+    * schema-MERGED and pre-gate rows surface those columns as 0 — a table
+    * ingested partly before and partly after the gate stays readable with
+    * one stable 9-column schema. */
   def readIngestMetrics(spark: SparkSession, tableDir: String,
       nCells: Int): DataFrame = {
     val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     requireLayout(m.head(), nCells, tableDir)
-    m.readData(spark, Some(Set(metricsBucketFor(nCells)))).drop("bucket")
+    val raw = m.readData(spark, Some(Set(metricsBucketFor(nCells))),
+      mergeSchema = true).drop("bucket")
+    Seq("near_dropped", "gate_skipped_cells").foldLeft(raw) { (df, c) =>
+      if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(0L)))
+      else df.withColumn(c, lit(0L))
+    }
   }
 
   /** Exact cosine top-k against the COMMITTED index: rank each probe's
@@ -247,7 +257,7 @@ object VectorIndexStream {
     // NaN cosines (a NaN embedding element; Spark orders NaN above every
     // number, so a bare >= would drop on it) never drop a row.
     def cosine(x: String, y: String, nx: String, ny: String) =
-      Similarity.dotD(x, y) / (col(nx) * col(ny))
+      Similarity.dot(x, y) / (col(nx) * col(ny))
     def nearPred(c: org.apache.spark.sql.Column, t: Double) =
       c >= t && !isnan(c)
     val (admitted, nNearDropped, nGateSkipped): (Option[DataFrame], Long, Long) =
