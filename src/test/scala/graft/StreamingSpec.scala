@@ -701,6 +701,31 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding", nCells, lloydIters = 1)
     assert(m.head().get.id == beforeId,
       "re-delivered batch must not commit")
+
+    // schema evolution: a PRE-GATE metrics row (7 columns, before
+    // near_dropped / gate_skipped_cells existed) committed into the same
+    // bucket must still read — merged to the stable 9-column schema with
+    // the missing audit counters surfacing as 0, not a vanished column or
+    // a positional NPE
+    val mBucket = streaming.VectorIndexStream.metricsBucketFor(nCells)
+    val pre = m.listBucketFiles(mBucket).toSet
+    Seq((99L, 10L, 10L, 0L, 2L, false, 7L))
+      .toDF("batch_id", "input_rows", "indexed", "dropped_null",
+        "cells_touched", "trained", "assign_msd_q")
+      .coalesce(1).write.mode("append").parquet(s"$tbl/data/bucket=$mBucket")
+    val legacyFiles = m.listBucketFiles(mBucket).filterNot(pre)
+    val oldState = m.head().get.buckets.find(_.bucket == mBucket).get
+    m.commit("legacy-metrics", Seq(oldState.copy(
+      rows = oldState.rows + 1, files = oldState.files ++ legacyFiles)))
+    val merged = streaming.VectorIndexStream.readIngestMetrics(spark, tbl, nCells)
+    assert(merged.columns.length == 9 &&
+      merged.columns.contains("near_dropped") &&
+      merged.columns.contains("gate_skipped_cells"))
+    val legacyRow = merged.where($"batch_id" === 99L)
+      .select($"near_dropped", $"gate_skipped_cells").head()
+    assert(legacyRow.getLong(0) == 0L && legacyRow.getLong(1) == 0L,
+      "pre-gate rows must surface the added audit counters as 0")
+    assert(merged.count() == mx.length + 1)
   }
 
   test("vector-index semantic admission: committed and intra-batch near-dups are dropped and counted") {
