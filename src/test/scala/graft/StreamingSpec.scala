@@ -976,6 +976,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal span ops run unchanged on a stream (interleaved stream + caption mining, stream == batch)") {
+    // interleavedStream and captionCandidates are stateless column algebra
+    // over the span array, so the SAME operator objects compose into
+    // readStream with no code changes — a multimodal ingest can mine its
+    // training shapes per micro-batch
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_mm_in_").toString
+    val out = Files.createTempDirectory("graft_mm_out_").toString
+    val ckpt = Files.createTempDirectory("graft_mm_ckpt_").toString
+    val raw = DocGen.generate(spark, 300, 4).toDF()
+    raw.write.mode("append").parquet(in)
+
+    def mmStage(df: org.apache.spark.sql.DataFrame) = {
+      val st = ops.Sampling.interleavedStream($"spans", t => split(t, " "))
+      df.select($"doc_id",
+        md5(array_join(st.getField("toks"), " ")).as("h_toks"),
+        size(filter(st.getField("refs"), r => r.isNotNull)).as("n_media"),
+        md5(array_join(expr("transform(__cc, x -> coalesce(x.caption, '.'))")
+          .as("c"), "|")).as("h_caps"))
+    }
+    def withCc(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__cc", ops.Media.captionCandidates($"spans"))
+
+    val q = mmStage(withCc(spark.readStream.schema(raw.schema).parquet(in)))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val streamed = asSet(spark.read.parquet(out))
+    val batch = asSet(mmStage(withCc(raw)))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._3 > 0), "the fixture must contain media spans")
+  }
+
   test("cleaning + sampling column ops run unchanged on a stream (stream == batch)") {
     // the cleaning/mixing stages are stateless column algebra, so the SAME
     // operator objects compose into readStream with no code changes — the
