@@ -499,6 +499,38 @@ object Cleaning {
         when(coalesce(col("n_hits"), lit(0)) > 0, 0).otherwise(1).as("keep"))
   }
 
+  /** [[decontaminate]] behind a CONSTANT-SIZE [[Bloom]] filter instead of
+    * a broadcast of the raw bench shingle set — for registries too large
+    * to broadcast (multi-GB union of every published eval suite). Same
+    * output contract `(idCol, n_hits, keep)`, with the filter's one-sided
+    * error surfaced honestly: a doc the exact form flags is ALWAYS flagged
+    * here too (no false negatives — the safe direction; keep=1 rows are
+    * guaranteed leak-free), but `n_hits` counts bloom-POSITIVE shingles,
+    * an upper bound on true hits, so extra keep=0 drops occur at the
+    * filter's false-positive rate — over-dropping a sliver of clean corpus
+    * is the deliberate price of the O(1) broadcast. Size `mBits ≈ 10×`
+    * the distinct bench shingle count for ~1% FP at `nHashes = 3`.
+    *
+    * Scale shape: the bench side reduces to ONE row of `mBits/8` bytes
+    * (built with zero driver collect); the corpus side is a narrow
+    * explode → broadcast-crossJoin probe, all codegen; the only wide op
+    * is the same per-doc partial hash-agg as the exact form. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int, mBits: Int,
+                         nHashes: Int): DataFrame = {
+    val sh = shingles(col(textCol), k)
+    val bm = Bloom.build(bench.select(explode(sh).as("key")), "key", mBits, nHashes)
+    val hits = corpus.select(col(idCol), explode(sh).as("key"))
+      .crossJoin(broadcast(bm))
+      .where(Bloom.mightContain(col("bm"), col("key"), mBits, nHashes))
+      .groupBy(col(idCol)).agg(countDistinct(col("key")).cast("int").as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0)) > 0, 0).otherwise(1).as("keep"))
+  }
+
   /** SEMANTIC benchmark decontamination — [[decontaminate]]'s embedding
     * twin: a corpus document is contaminated iff any benchmark vector sits
     * within cosine ≥ `threshold` of its embedding (paraphrased eval

@@ -3052,6 +3052,50 @@ object Queries {
          |WHERE d.doc_id % 50 <> 7 ORDER BY d.doc_id""".stripMargin
     })
 
+  /** Bloom-filtered decontamination: q_decontaminate's planting replayed
+    * through [[graft.ops.Bloom]] with a DELIBERATELY small filter (4096
+    * bits / 3 hashes over ~600 bench shingles), so real false positives
+    * occur at sf0.01 — and the DuckDB oracle reproduces every one of them
+    * bit-for-bit, because both engines derive each bit position from the
+    * same portable md5 recipe. Proves the cross-engine contract that
+    * justifies hand-rolling the sketch instead of using Spark's opaque
+    * built-in bloomFilter. */
+  private val qDecontaminateBloom = QueryDef(
+    "q_decontaminate_bloom",
+    (s, dir) => {
+      import s.implicits._
+      val probe = ops.Cleaning.BenchProbe
+      val p = t(s, dir, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 50 === 7 || $"doc_id" % 7 === 3,
+            concat($"text", lit(s" $probe"))).otherwise($"text").as("ptext"))
+      val bench = p.where($"doc_id" % 50 === 7)
+      val corpus = p.where($"doc_id" % 50 =!= 7)
+      ops.Cleaning.decontaminateBloom(corpus, bench, "doc_id", "ptext", 5,
+        mBits = 4096, nHashes = 3)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val probe = ops.Cleaning.BenchProbe
+      val benchKeys = "SELECT sh AS key FROM sh WHERE doc_id % 50 = 7"
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 7 OR doc_id % 7 = 3
+         |         THEN text || ' $probe' ELSE text END AS ptext
+         |  FROM documents),
+         |ww AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+         |sh AS (SELECT doc_id, md5(array_to_string(w[i : i+4], ' ')) AS sh
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM ww WHERE len(w) >= 5)),
+         |bpos AS (${ops.Bloom.positionsSql(benchKeys, 4096, 3)}),
+         |hits AS (SELECT doc_id, CAST(count(DISTINCT sh) AS INT) AS n_hits
+         |  FROM sh WHERE doc_id % 50 <> 7
+         |    AND ${ops.Bloom.containsSql("sh", "bpos", 4096, 3)}
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+         |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 0 ELSE 1 END AS keep
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 50 <> 7 ORDER BY d.doc_id""".stripMargin
+    })
+
   /** Cross-document repeated-line pruning (C4/RefinedWeb boilerplate-line
     * removal): docs with doc_id % 3 == 0 carry the same 8-word spam line,
     * which therefore repeats across ≥5 docs and is pruned from all of them;
@@ -4287,7 +4331,7 @@ object Queries {
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
     qTokenRegex, qTokens, qBpe, qBpeStats,
-    qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qLineDedup,
+    qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,
     qPackInterleaved, qCaptionPairs,

@@ -299,6 +299,46 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 1)))
   }
 
+  test("decontaminateBloom: no false negatives vs exact; generous filter is exact; tiny filter only over-drops") {
+    val bench = textDf(100L -> "q1 q2 q3 q4 q5 q6")
+    val corpus = textDf(
+      (1L -> "x1 x2 q2 q3 q4 q5 q6 x3") +:   // true hit
+      (2L -> "q1 q2 q3 q4") +:               // too short — clean
+      (3L until 60L).map(i => i -> s"c${i}a c${i}b c${i}c c${i}d c${i}e c${i}f c${i}g"): _*)
+    val exact = ops.Cleaning.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // Generous sizing (2^16 bits for 2 bench shingles): FP rate ~0 → the
+    // bloom form reproduces the exact decision set on this fixture.
+    val big = ops.Cleaning.decontaminateBloom(corpus, bench, "doc_id", "text", 5,
+      mBits = 1 << 16, nHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(big == exact)
+    // Starved sizing (4 bits, 3 hashes — 2 bench shingles nearly saturate
+    // the bitmap): collisions guaranteed. One-sided contract: every exact
+    // keep=0 stays keep=0 (no false negatives); any divergence is keep
+    // 1→0 (over-drop), never 0→1.
+    val tiny = ops.Cleaning.decontaminateBloom(corpus, bench, "doc_id", "text", 5,
+      mBits = 4, nHashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    exact.foreach { case (id, k) => if (k == 0) assert(tiny(id) == 0, s"false negative on $id") }
+    assert(tiny.count(_._2 == 0) > exact.count(_._2 == 0),
+      "starved filter should produce at least one false-positive drop")
+  }
+
+  test("Bloom.build packs the same bit set the probe reads back") {
+    val keys = Seq("alpha", "beta", "gamma").toDF("key")
+    val bm = ops.Bloom.build(keys, "key", mBits = 256, nHashes = 3)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta").toDF("k")
+      .crossJoin(broadcast(bm))
+      .select($"k", ops.Bloom.mightContain($"bm", $"k", 256, 3).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // all built keys hit (no false negatives, ever)
+    assert(probes("alpha") && probes("beta") && probes("gamma"))
+    // the bitmap is dense-length and bounded: ceil(256/32) = 8 elements, each < 2^32
+    val arr = bm.head().getSeq[Long](0)
+    assert(arr.length == 8 && arr.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
   // ---- repeated-line pruning ----
 
   test("pruneRepeatedLines removes the cross-doc hot line and preserves order") {
