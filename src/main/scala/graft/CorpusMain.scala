@@ -264,11 +264,21 @@ object CorpusMain {
     // 8. cut the shards into fixed-length TRAINING SEQUENCES — in the
     //    same unit the shards were budgeted (the trained BPE tokenizer,
     //    so sum(n_toks) must equal the packer's token accounting) and
-    //    with per-token doc_ids for the cross-document attention mask
+    //    with per-token doc_ids for the cross-document attention mask.
+    //    Sequences additionally carry `ids` (int32 per token, aligned 1:1
+    //    with toks) against the committed corpus vocabulary — what the
+    //    loader memory-maps; the string toks stay for debuggability. The
+    //    vocab is its own committed stage so a resumed run re-encodes
+    //    against the EXACT ids the first run shipped.
+    val vocab = stage("vocab") {
+      ops.Bpe.buildVocab(packed, "text", merges)
+    }
     stage("sequences") {
-      ops.Sampling.packSequencesWithBounds(
-        packed.withColumn("toks", ops.Bpe.bpeTokens($"text", merges)),
-        "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256)
+      ops.Bpe.attachIds(
+        ops.Sampling.packSequencesWithBounds(
+          packed.withColumn("toks", ops.Bpe.bpeTokens($"text", merges)),
+          "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256),
+        "toks", vocab)
     }
 
     val profile = stage("profile") {
@@ -307,6 +317,7 @@ object CorpusMain {
       "lm_model_rows" -> stage.rowsOf("lm_model"),
       "lm_kept" -> stage.rowsOf("lm_kept"),
       "bpe_merges" -> stage.rowsOf("bpe_merges"),
+      "vocab" -> stage.rowsOf("vocab"),
       "mixed" -> stage.rowsOf("mixed"),
       "admitted" -> totals.getLong(0),
       "shards" -> totals.getLong(1),

@@ -66,6 +66,103 @@ object Bpe {
     (syms - bounds).cast("int")
   }
 
+  /** BPE tokens WITH the word-boundary symbols retained (array<string>) —
+    * the round-trippable form: the merged symbol sequence is a partition
+    * of the text's chars (spaces encoded as [[Boundary]] tokens), so
+    * [[bpeDecode]] reconstructs the original text EXACTLY, including
+    * leading/trailing/consecutive spaces. [[bpeTokens]] is this minus the
+    * boundary symbols (the counting/packing form — token counts must not
+    * charge for whitespace); this form is what [[encodeIds]] ships to a
+    * training loader, which needs the boundaries to detokenize. */
+  def bpeTokensFull(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val merged = applyMerges(symbolize(textCol), merges)
+    filter(split(ltrim(merged), " "), s => s =!= lit(""))
+  }
+
+  /** Exact inverse of [[bpeTokensFull]]: concatenate the symbols and turn
+    * boundary symbols back into spaces. NULL tokens propagate NULL. */
+  def bpeDecode(toksCol: Column): Column =
+    replace(array_join(toksCol, ""), lit(Boundary), lit(" "))
+
+  // ------------------------------------------------------------------
+  // Token-id surface: training shards carry int32 ids, not strings — a
+  // 4-byte id per token vs a dictionary-encoded string column that still
+  // decodes to java Strings in every downstream loader. The vocabulary is
+  // corpus-derived (the token set the merge table actually realizes on
+  // this corpus: base chars + merge outputs + the boundary symbol), ids
+  // are contiguous [0, V) in lexicographic token order — a pure function
+  // of (corpus, merges), so any engine rebuilds the same table.
+  // ------------------------------------------------------------------
+
+  /** Deterministic vocabulary of a corpus under a merge table: one row
+    * per distinct [[bpeTokensFull]] token, `token_id` contiguous from 0
+    * in lexicographic (binary UTF-8) token order.
+    *
+    * Scale shape: the distinct is a partial hash-agg over the exploded
+    * tokens (vocab-sized output — bounded by distinct chars + merge count
+    * + 1, NOT by the corpus); the contiguous-id assignment is one global
+    * row_number over that vocab-sized table, which is legal precisely
+    * because the table can never exceed ~|chars| + nMerges rows. */
+  def buildVocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(bpeTokensFull(col(textCol), merges)).as("token"))
+      .distinct()
+      .select((row_number().over(Window.orderBy(col("token"))) - 1)
+          .cast("int").as("token_id"),
+        col("token"))
+  }
+
+  /** Attach a token-id array column: `df[toksCol]` (array<string>) looked
+    * up against `vocab`, out-of-vocabulary tokens mapped to `unkId`
+    * (cross-corpus encodes against a foreign vocab must surface OOV, not
+    * drop it). The vocab reaches the plan as ONE broadcast row holding a
+    * token→id map, so encoding is a narrow per-row `transform` — no
+    * explode, no reassembly shuffle, order preserved by construction
+    * (the explode→join→sort_array reassembly idiom would shuffle every
+    * token row to rebuild an order this form never loses). */
+  def attachIds(df: DataFrame, toksCol: String, vocab: DataFrame,
+      unkId: Int = -1, outCol: String = "ids"): DataFrame = {
+    val vmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("token"), col("token_id")))).as("__vmap"))
+    df.crossJoin(broadcast(vmap))
+      .withColumn(outCol,
+        transform(col(toksCol), t =>
+          coalesce(element_at(col("__vmap"), t), lit(unkId))))
+      .drop("__vmap")
+  }
+
+  /** Encode documents to token-id sequences: (id, ids array<int>), ids
+    * over [[bpeTokensFull]] (boundaries included) so [[decodeIds]] is an
+    * exact inverse on in-vocab text. */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: DataFrame,
+      unkId: Int = -1): DataFrame =
+    attachIds(
+      docs.select(col(idCol),
+        bpeTokensFull(col(textCol), merges).as("__toks")),
+      "__toks", vocab, unkId)
+      .select(col(idCol), col("ids"))
+
+  /** Decode a token-id array column back to text: id→token via the same
+    * one-row broadcast map, concatenate, boundaries back to spaces. Ids
+    * absent from the vocab (e.g. an [[encodeIds]] `unkId`) decode to the
+    * replacement char `�` — visible, never silently dropped. Adds
+    * `decoded`; NULL id arrays decode to NULL. */
+  def decodeIds(df: DataFrame, idsCol: String, vocab: DataFrame,
+      outCol: String = "decoded"): DataFrame = {
+    val rmap = vocab.agg(map_from_entries(
+      collect_list(struct(col("token_id"), col("token")))).as("__rmap"))
+    df.crossJoin(broadcast(rmap))
+      .withColumn(outCol,
+        replace(
+          array_join(
+            transform(col(idsCol), i => element_at(col("__rmap"), i)),
+            "", "�"),
+          lit(Boundary), lit(" ")))
+      .drop("__rmap")
+  }
+
   /** Fixed demo merge table for the oracled query — the first merges any
     * English-corpus training run finds (digraphs chaining into trigraphs:
     * t+h, th+e, …). [[learnMerges]] produces corpus-specific tables; this

@@ -2691,6 +2691,59 @@ object Queries {
          |FROM per GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** Token-id round trip (ops.Bpe.buildVocab / encodeIds / decodeIds):
+    * the corpus-derived vocabulary assigns contiguous lexicographic ids,
+    * documents encode to int-id sequences over the boundary-RETAINING
+    * token form, and decoding reproduces the input text exactly — the
+    * training-shard detokenization contract. The oracle rebuilds the same
+    * vocabulary (row_number over the distinct tokens), re-encodes via
+    * join + ordered array_agg, and replays the round-trip check; ids_sum
+    * is the order-insensitive checksum, head the order-sensitive one. */
+  private val qBpeRoundtrip = QueryDef(
+    "q_bpe_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"doc_id" < 150)
+      val vocab = ops.Bpe.buildVocab(docs, "text", ops.Bpe.DemoMerges)
+      val enc = ops.Bpe.encodeIds(docs, "doc_id", "text",
+        ops.Bpe.DemoMerges, vocab)
+      ops.Bpe.decodeIds(enc, "ids", vocab)
+        .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
+        .select($"doc_id",
+          size($"ids").as("n_ids"),
+          concat_ws("|", transform(slice($"ids", 1, 8), _.cast("string")))
+            .as("head"),
+          aggregate($"ids", lit(0L), (a, x) => a + x).as("ids_sum"),
+          when($"decoded" === $"text", 1).otherwise(0).as("roundtrip"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val m = ops.Bpe.mergedSql("text", ops.Bpe.DemoMerges)
+      s"""WITH m AS (SELECT doc_id, text, $m AS mrg
+         |  FROM documents WHERE doc_id < 150),
+         |t AS (SELECT doc_id, text,
+         |    list_filter(string_split(ltrim(mrg, ' '), ' '), x -> x <> '')
+         |      AS toks FROM m),
+         |v AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id
+         |  FROM (SELECT DISTINCT unnest(toks) AS token FROM t)),
+         |e AS (SELECT doc_id, i, toks[i] AS token
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |        FROM t)),
+         |j AS (SELECT e.doc_id, e.i, v.token_id, e.token
+         |  FROM e JOIN v USING (token)),
+         |a AS (SELECT doc_id, array_agg(token_id ORDER BY i) AS ids,
+         |    string_agg(token, '' ORDER BY i) AS cat
+         |  FROM j GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(len(a.ids), 0) AS INT) AS n_ids,
+         |  coalesce(array_to_string(a.ids[1:8], '|'), '') AS head,
+         |  CAST(coalesce(list_sum(a.ids), 0) AS BIGINT) AS ids_sum,
+         |  CASE WHEN replace(coalesce(a.cat, ''), chr(1), ' ') = t.text
+         |       THEN 1 ELSE 0 END AS roundtrip
+         |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    })
+
   /** Token counting: whitespace tokens + long-token subset. */
   private val qTokens = QueryDef(
     "q_token_count",
@@ -4330,7 +4383,7 @@ object Queries {
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
-    qTokenRegex, qTokens, qBpe, qBpeStats,
+    qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,

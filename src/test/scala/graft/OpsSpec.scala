@@ -1004,6 +1004,46 @@ class OpsSpec extends AnyFunSuite {
     assert(lc == cc && nullsOf(lc) == Set("2"), s"null parity: $lc vs $cc")
   }
 
+  test("BPE token ids: exact round trip, contiguous lexicographic vocab, OOV surfaced not dropped") {
+    val docs = Seq(
+      (1L, Some("the theory of that")),
+      (2L, Some("a  b")),   // consecutive spaces survive the round trip
+      (3L, Some(" the ")),  // edge whitespace survives too
+      (4L, Some("")),       // empty text → empty ids → empty decode
+      (5L, Some("a\rb c")), // control chars are ordinary symbols
+      (6L, None)            // NULL text → NULL ids → NULL decode
+    ).toDF("doc_id", "text")
+    val vocab = ops.Bpe.buildVocab(docs, "text", ops.Bpe.DemoMerges)
+    val v = vocab.collect().map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    // ids contiguous from 0, tokens in lexicographic order, boundary present
+    assert(v.map(_._1).toSeq == v.indices.toSeq, "ids must be contiguous from 0")
+    assert(v.map(_._2).toSeq == v.map(_._2).toSeq.sorted, "lexicographic id order")
+    assert(v.exists(_._2 == ops.Bpe.Boundary), "boundary symbol must be in vocab")
+    assert(v.exists(_._2 == "the"), "merged symbol must be in vocab")
+
+    val enc = ops.Bpe.encodeIds(docs, "doc_id", "text", ops.Bpe.DemoMerges, vocab)
+    val dec = ops.Bpe.decodeIds(enc, "ids", vocab)
+      .join(docs, Seq("doc_id"))
+      .select($"doc_id", $"decoded", $"text")
+      .collect()
+    assert(dec.length == 6)
+    dec.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)} round trip: '${r.getString(1)}' vs '${r.getString(2)}'"))
+    val byId = enc.collect().map(r => r.getLong(0) -> Option(r.getSeq[Int](1))).toMap
+    assert(byId(4L).get.isEmpty, "empty text encodes to zero ids")
+    assert(byId(6L).isEmpty, "null text encodes to null ids")
+
+    // cross-corpus encode against this vocab: unseen chars map to unkId,
+    // and unknown ids decode to the replacement char — never dropped
+    val foreign = Seq((9L, "zzz the")).toDF("doc_id", "text")
+    val fenc = ops.Bpe.encodeIds(foreign, "doc_id", "text", ops.Bpe.DemoMerges, vocab)
+    val fids = fenc.head.getSeq[Int](1)
+    assert(fids.take(3).forall(_ == -1), s"z is OOV, got $fids")
+    assert(fids.drop(3).forall(_ >= 0), "in-vocab suffix must resolve")
+    val fdec = ops.Bpe.decodeIds(fenc, "ids", vocab).head.getAs[String]("decoded")
+    assert(fdec == "��� the", s"got '$fdec'")
+  }
+
   test("BPE batched trainer: batch=1 == sequential; disjoint-pair rounds equal sequential; deterministic") {
     // chaining corpus (th → the): batch=1 must reduce EXACTLY to the
     // sequential trainer — the delegation identity

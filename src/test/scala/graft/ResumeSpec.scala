@@ -164,7 +164,8 @@ class ResumeSpec extends AnyFunSuite {
     val allStages = Seq("extracted", "texts", "pairs", "cleaned", "lang_en",
       "exact", "deduped",
       "substr", "lm_model", "lm_kept",
-      "bpe_merges", "domain_cfg", "mixed", "shards", "sequences", "profile")
+      "bpe_merges", "domain_cfg", "mixed", "shards", "vocab", "sequences",
+      "profile")
     val idsAfterResume = allStages.map(s => s -> stageHead(crashy, s).get.id).toMap
     val dStages = CorpusMain.run(spark, 2000, crashy, 4)
     assert(dStages == gStages)
