@@ -2744,6 +2744,31 @@ object Queries {
          |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
     })
 
+  /** Z-order interleave math (ops.Zorder.zorderKey): the Morton key the
+    * clustered-layout writer sorts by, over two quantized dimensions of
+    * the documents table. The oracle regenerates the SAME bit-algebra SQL
+    * from the shared recipe ([[graft.ops.Zorder.zorderSql]]) — the
+    * cross-engine contract that lets any engine verify which files a
+    * clustered table's scan may skip. ZorderSpec carries the measured
+    * file-pruning evidence; this query pins the key math. */
+  private val qZorder = QueryDef(
+    "q_zorder",
+    (s, dir) => {
+      import s.implicits._
+      val x = $"doc_id" % 64
+      val y = $"n_chars" % 64
+      t(s, dir, "documents").where($"doc_id" < 200)
+        .select($"doc_id", x.as("x"), y.as("y"),
+          ops.Zorder.zorderKey(6, x, y).as("zkey"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val z = ops.Zorder.zorderSql(6, Seq("(doc_id % 64)", "(n_chars % 64)"))
+      s"""SELECT doc_id, CAST(doc_id % 64 AS BIGINT) AS x,
+         |  CAST(n_chars % 64 AS BIGINT) AS y, CAST($z AS BIGINT) AS zkey
+         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+    })
+
   /** Token counting: whitespace tokens + long-token subset. */
   private val qTokens = QueryDef(
     "q_token_count",
@@ -4386,7 +4411,7 @@ object Queries {
     qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
-    qMixtureSample, qMixtureEpochs, qTokenPack, qPackSequences, qPackBounds,
+    qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qPackSequences, qPackBounds,
     qPackInterleaved, qCaptionPairs,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
