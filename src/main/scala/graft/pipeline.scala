@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The distributed extraction core (SURVEY.md §3.4, §7.3 M1).
@@ -193,18 +193,38 @@ object ExtractJob {
     * rows, bucket 1 = index rows), compact each namespace separately:
     * `compact(spark, dir, only = Some(Set(0)))` then `Some(Set(1))`.
     * Every commit (compaction included) carries the per-stream batch
-    * watermarks forward, so the streaming exactly-once guard survives. */
+    * watermarks forward, so the streaming exactly-once guard survives.
+    *
+    * `cluster` (non-empty) turns the rewrite into a Z-ORDER layout pass —
+    * the Delta/Iceberg `OPTIMIZE ZORDER` analog for manifest tables: rows
+    * are range-exchanged on (bucket, [[graft.ops.Zorder.zorderKey]] of the
+    * quantized `cluster` expressions at `clusterBits` bits each) and sorted
+    * within tasks, so every rewritten file covers an axis-aligned rectangle
+    * of the clustered dimensions and its parquet min/max footer prunes
+    * scans on EVERY one of them ([[graft.ops.Zorder]] has the rationale and
+    * the measured single-column-vs-z comparison). Because clustering is a
+    * layout change, not just a small-file merge, EVERY non-empty selected
+    * bucket is rewritten regardless of its file count, and
+    * `targetFilesPerBucket` becomes a per-bucket AVERAGE: the range
+    * exchange splits by data volume (balanced file SIZES — what a 100 TB
+    * table wants), not by a fixed per-bucket quota. The in-task (bucket, z)
+    * sort deliberately leads with the partition column: the dynamic-
+    * partition writer's required ordering is then already satisfied, so no
+    * second sort runs and the z order inside each written file survives. */
   def compact(
       spark: SparkSession,
       tableDir: String,
       targetFilesPerBucket: Int = 1,
-      only: Option[Set[Int]] = None): Manifest.Snapshot = {
+      only: Option[Set[Int]] = None,
+      cluster: Seq[Column] = Nil,
+      clusterBits: Int = 10): Manifest.Snapshot = {
     import spark.implicits._
     val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
     val snap = table.head().getOrElse(
       throw new IllegalStateException(s"nothing to compact at $tableDir"))
-    val fat = snap.buckets.filter(b => b.files.length > targetFilesPerBucket &&
-      only.forall(_.contains(b.bucket)))
+    val fat = snap.buckets.filter(b => only.forall(_.contains(b.bucket)) &&
+      (if (cluster.nonEmpty) b.files.nonEmpty
+       else b.files.length > targetFilesPerBucket))
     if (fat.isEmpty) return snap
     // fail FAST on mixed schemas: one combined scan over buckets that
     // namespace different relations would silently null-fill one side and
@@ -224,10 +244,19 @@ object ExtractJob {
     // agnostic (corpus, index and metrics namespaces all compact), and
     // the rewrite reads full width regardless.
     val data = table.readData(spark, Some(fatIds.toSet))
-    val splitCols = data.columns.filterNot(_ == "bucket").map(col)
-    data
-      .repartition(fatIds.length * targetFilesPerBucket, $"bucket",
-        pmod(hash(splitCols: _*), lit(targetFilesPerBucket)))
+    val rewritten =
+      if (cluster.isEmpty) {
+        val splitCols = data.columns.filterNot(_ == "bucket").map(col)
+        data.repartition(fatIds.length * targetFilesPerBucket, $"bucket",
+          pmod(hash(splitCols: _*), lit(targetFilesPerBucket)))
+      } else {
+        data.withColumn("__z", ops.Zorder.zorderKey(clusterBits, cluster: _*))
+          .repartitionByRange(fatIds.length * targetFilesPerBucket,
+            $"bucket", $"__z")
+          .sortWithinPartitions($"bucket", $"__z")
+          .drop("__z")
+      }
+    rewritten
       .write.mode("append")
       .partitionBy("bucket")
       .parquet(s"$tableDir/data")
