@@ -261,22 +261,26 @@ object CorpusMain {
       ops.Sampling.packShards(mixed, "doc_id", "domain",
         ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget = 2048)
     }
-    // 8. cut the shards into fixed-length TRAINING SEQUENCES — in the
-    //    same unit the shards were budgeted (the trained BPE tokenizer,
-    //    so sum(n_toks) must equal the packer's token accounting) and
-    //    with per-token doc_ids for the cross-document attention mask.
-    //    Sequences additionally carry `ids` (int32 per token, aligned 1:1
-    //    with toks) against the committed corpus vocabulary — what the
-    //    loader memory-maps; the string toks stay for debuggability. The
-    //    vocab is its own committed stage so a resumed run re-encodes
-    //    against the EXACT ids the first run shipped.
+    // 8. cut the shards into fixed-length TRAINING SEQUENCES with
+    //    per-token doc_ids for the cross-document attention mask.
+    //    Sequences tokenize with the boundary-RETAINING form
+    //    (bpeTokensFull): the shipped `ids` (int32 per token, aligned 1:1
+    //    with toks, encoded against the committed corpus vocabulary) must
+    //    be EXACTLY detokenizable by a loader — the boundary-stripped form
+    //    would lose every space in the corpus. The shards stay budgeted in
+    //    NON-boundary tokens (whitespace is never charged), so the funnel
+    //    invariant is: sequences' non-boundary token count == the packer's
+    //    accounting (CleaningSpec asserts it, plus the decode round trip).
+    //    The string toks stay for debuggability. The vocab is its own
+    //    committed stage so a resumed run re-encodes against the EXACT
+    //    ids the first run shipped.
     val vocab = stage("vocab") {
       ops.Bpe.buildVocab(packed, "text", merges)
     }
     stage("sequences") {
       ops.Bpe.attachIds(
         ops.Sampling.packSequencesWithBounds(
-          packed.withColumn("toks", ops.Bpe.bpeTokens($"text", merges)),
+          packed.withColumn("toks", ops.Bpe.bpeTokensFull($"text", merges)),
           "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256),
         "toks", vocab)
     }

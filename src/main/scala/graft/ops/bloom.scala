@@ -44,16 +44,16 @@ object Bloom {
   /** Bits per packed array element — see the representation note above. */
   val PackBits = 32
 
-  /** Bit position of hash `j` of a key: the portable 60-bit md5 integer of
-    * `key || ':' || j`, mod `mBits`. Matches [[positionSql]] verbatim. */
+  /** Bit position of hash `j` of a key: the portable 60-bit md5 integer
+    * ([[Sampling.hash60]] — the shared single copy of the cross-engine
+    * recipe) of `key || ':' || j`, mod `mBits`. Matches [[positionSql]]. */
   def position(keyCol: Column, j: Int, mBits: Int): Column =
-    (conv(substring(md5(concat(keyCol.cast("string"), lit(":"), lit(j.toString))),
-      1, 15), 16, 10).cast("bigint") % mBits).cast("int")
+    (Sampling.hash60(concat(keyCol.cast("string"), lit(":"), lit(j.toString)))
+      % mBits).cast("int")
 
-  /** DuckDB replay of [[position]] — kept beside the Spark definition so
-    * the two can never drift. */
+  /** DuckDB replay of [[position]] via the same shared recipe. */
   def positionSql(key: String, j: Int, mBits: Int): String =
-    s"CAST(('0x' || substr(md5($key || ':' || '$j'), 1, 15))::BIGINT % $mBits AS INT)"
+    s"CAST(${Sampling.hash60Sql(s"$key || ':' || '$j'")} % $mBits AS INT)"
 
   /** Build the filter over the distinct values of `keys(keyCol)`: returns a
     * ONE-row frame `(bm: array<bigint>)` of ceil(mBits/32) packed elements.

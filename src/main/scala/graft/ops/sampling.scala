@@ -22,16 +22,22 @@ object Sampling {
     * [[graft.Sources]]). */
   def hashBp(keyCol: Column): Column = (hash60(keyCol) % 10000).cast("int")
 
-  /** Portable 60-bit md5 integer of a key — the one copy of the recipe
-    * [[hashBp]] and [[packShardsBucketed]] share (and [[hashBpSql]]
-    * twins in DuckDB). */
-  private def hash60(keyCol: Column): Column =
+  /** Portable 60-bit md5 integer of a key — the ONE copy of the
+    * cross-engine recipe: [[hashBp]], [[packShardsBucketed]] and
+    * [[graft.ops.Bloom]] all build on it ([[hash60Sql]] twins it in
+    * DuckDB; a second hand-copied instance is exactly how the two
+    * engines' hashes drift apart). */
+  private[ops] def hash60(keyCol: Column): Column =
     conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+  /** DuckDB twin of [[hash60]] — the other half of the one-copy rule. */
+  private[ops] def hash60Sql(key: String): String =
+    s"(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT)"
 
   /** SQL fragment computing [[hashBp]] in DuckDB — kept beside the Spark
     * definition so the two can never drift. */
   def hashBpSql(key: String): String =
-    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))::BIGINT % 10000 AS INT)"
+    s"CAST(${hash60Sql(key)} % 10000 AS INT)"
 
   /** Above this many strata the rate table joins as a broadcast DataFrame
     * instead of a CASE cascade — a 10k-entry when-chain is a plan-size /

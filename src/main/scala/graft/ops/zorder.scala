@@ -79,12 +79,30 @@ object Zorder {
     * per-partition sort — exactly the cost of the single-column
     * `ORDER BY` layout it replaces, the skipping just works on k columns
     * instead of 1. */
-  def clusterBy(df: DataFrame, nFiles: Int, bits: Int, cols: Column*): DataFrame = {
-    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    df.withColumn("__z", zorderKey(bits, cols: _*))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+  def clusterBy(df: DataFrame, nFiles: Int, bits: Int, cols: Column*): DataFrame =
+    clusterByLeading(df, nFiles, bits, Nil, cols)
+
+  /** Temp column carrying the Morton key through the exchange/sort. */
+  private val ZKey = "__graft_zorder_key"
+
+  /** [[clusterBy]] with `leading` exchange/sort columns AHEAD of the
+    * Morton key — the form a PARTITIONED write needs (lead with the
+    * partition column so the dynamic-partition writer's required ordering
+    * is already satisfied, no second sort runs, and the z order inside
+    * each written file survives; [[graft.ExtractJob.compact]] is the
+    * caller). The key lives in a collision-guarded temp column: silently
+    * REPLACING a caller's same-named data column and then dropping it
+    * would destroy that column in the rewrite, so a clash fails fast. */
+  def clusterByLeading(df: DataFrame, nParts: Int, bits: Int,
+      leading: Seq[Column], cols: Seq[Column]): DataFrame = {
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    require(!df.columns.contains(ZKey),
+      s"input already has a column named $ZKey — rename it before clustering")
+    val keys = leading :+ col(ZKey)
+    df.withColumn(ZKey, zorderKey(bits, cols: _*))
+      .repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop(ZKey)
   }
 
   /** Per-file min/max envelope of `cols` for a parquet table at `path` —

@@ -250,11 +250,9 @@ object ExtractJob {
         data.repartition(fatIds.length * targetFilesPerBucket, $"bucket",
           pmod(hash(splitCols: _*), lit(targetFilesPerBucket)))
       } else {
-        data.withColumn("__z", ops.Zorder.zorderKey(clusterBits, cluster: _*))
-          .repartitionByRange(fatIds.length * targetFilesPerBucket,
-            $"bucket", $"__z")
-          .sortWithinPartitions($"bucket", $"__z")
-          .drop("__z")
+        ops.Zorder.clusterByLeading(data,
+          fatIds.length * targetFilesPerBucket, clusterBits,
+          Seq($"bucket"), cluster)
       }
     rewritten
       .write.mode("append")

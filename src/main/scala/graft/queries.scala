@@ -2710,10 +2710,14 @@ object Queries {
       ops.Bpe.decodeIds(enc, "ids", vocab)
         .join(docs.select($"doc_id", $"text"), Seq("doc_id"))
         .select($"doc_id",
-          size($"ids").as("n_ids"),
+          // coalesce: a NULL text yields NULL ids on this side but a
+          // missing left-join row (→ coalesced 0) in the oracle — both
+          // sides must agree on 0 for the bit-for-bit compare
+          coalesce(size($"ids"), lit(0)).as("n_ids"),
           concat_ws("|", transform(slice($"ids", 1, 8), _.cast("string")))
             .as("head"),
-          aggregate($"ids", lit(0L), (a, x) => a + x).as("ids_sum"),
+          coalesce(aggregate($"ids", lit(0L), (a, x) => a + x), lit(0L))
+            .as("ids_sum"),
           when($"decoded" === $"text", 1).otherwise(0).as("roundtrip"))
         .orderBy($"doc_id")
     },

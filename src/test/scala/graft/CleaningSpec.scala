@@ -389,15 +389,24 @@ class CleaningSpec extends AnyFunSuite {
     // construction, compression positive for non-empty domains
     assert(prof.where($"fertility_bp" < 10000 || $"compression_bp" <= 0)
       .count() == 0, "per-domain tokenizer stats must be well-formed")
-    // training sequences are cut in the SAME unit the shards were packed
-    // (the trained BPE tokenizer): total sequence tokens == the packer's
-    // token accounting, and every sequence's doc_ids align 1:1 with toks
+    // training sequences are cut from the boundary-RETAINING token stream
+    // (ids must detokenize exactly), while shards are budgeted in
+    // NON-boundary tokens (whitespace is never charged) — so the funnel
+    // invariant is: the sequences' non-boundary token count equals the
+    // packer's accounting, and every sequence's doc_ids align 1:1 with toks
     val seqRows = graft.CorpusMain.readStage(spark, out, "sequences")
     assert(seqRows.count() == stages("train_sequences"))
-    assert(seqRows.agg(sum($"n_toks")).head().getLong(0) ==
+    assert(seqRows.agg(sum(size(filter($"toks",
+        t => t =!= lit(graft.ops.Bpe.Boundary))))).head().getLong(0) ==
       shards.agg(sum($"tokens")).head().getLong(0),
-      "sequence tokens must sum to the packer's BPE-token accounting")
+      "sequence non-boundary tokens must sum to the packer's accounting")
     assert(seqRows.where(size($"doc_ids") =!= $"n_toks").count() == 0)
+    // the shipped ids are EXACTLY detokenizable: decoding every sequence's
+    // ids against the committed vocab reproduces its token stream's text
+    val seqVocab = graft.CorpusMain.readStage(spark, out, "vocab")
+    assert(graft.ops.Bpe.decodeIds(seqRows, "ids", seqVocab)
+      .where($"decoded" =!= graft.ops.Bpe.bpeDecode($"toks")).count() == 0,
+      "sequence ids must decode to the sequence's exact text slice")
     // the LM gate drops at most a decile (threshold = exact P10)
     assert(stages("lm_kept") >= (stages("substr") * 0.88).toLong)
     // CCNet tiers partition the kept mass (P30/P30 cuts) and flow through

@@ -54,6 +54,14 @@ class ZorderSpec extends AnyFunSuite {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
+  test("clusterBy fails fast on a temp-key column collision instead of destroying the column") {
+    val df = spark.range(4).select($"id".as("x"),
+      lit(1L).as("__graft_zorder_key"))
+    val e = intercept[IllegalArgumentException](
+      ops.Zorder.clusterBy(df, 2, 4, col("x")))
+    assert(e.getMessage.contains("__graft_zorder_key"))
+  }
+
   test("clusterBy is a pure layout change and prunes files on BOTH dims") {
     // 64x64 grid, one row per cell, payload = cell id
     val n = 64 * 64
