@@ -163,6 +163,35 @@ object Bpe {
       .drop("__rmap")
   }
 
+  /** Out-of-vocabulary audit of a FROZEN vocabulary applied to new text —
+    * the first number an operator checks before reusing a committed vocab
+    * on a fresh crawl (a drifting OOV rate is the retrain-the-tokenizer
+    * signal, the vocab analog of the IVF codebook's assign_msd_q drift).
+    * Per stratum: total token volume, OOV token count, and the OOV rate
+    * in basis points (exact integer floor division — NULL when the
+    * stratum has zero tokens). [[attachIds]] maps OOV to `unkId` rather
+    * than dropping it, so the audit is a pure rollup of those markers.
+    *
+    * Scale shape: one narrow encode pass (the vocab reaches the plan as
+    * ONE broadcast map row) + one partial agg on the stratum key — no
+    * explode, no token-grain shuffle. NULL text counts as zero tokens. */
+  def oovStats(docs: DataFrame, stratumCol: String, textCol: String,
+      merges: Seq[(String, String)], vocab: DataFrame,
+      unkId: Int = -1): DataFrame =
+    attachIds(
+      docs.select(col(stratumCol),
+        bpeTokensFull(col(textCol), merges).as("__toks")),
+      "__toks", vocab, unkId)
+      .select(col(stratumCol),
+        coalesce(size(col("ids")), lit(0)).cast("bigint").as("__n"),
+        coalesce(size(filter(col("ids"), i => i === lit(unkId))), lit(0))
+          .cast("bigint").as("__oov"))
+      .groupBy(col(stratumCol))
+      .agg(sum(col("__n")).as("tokens"), sum(col("__oov")).as("oov_tokens"))
+      .withColumn("oov_bp",
+        when(col("tokens") > 0,
+          expr("(oov_tokens * 10000) div tokens")).cast("int"))
+
   /** Fixed demo merge table for the oracled query — the first merges any
     * English-corpus training run finds (digraphs chaining into trigraphs:
     * t+h, th+e, …). [[learnMerges]] produces corpus-specific tables; this

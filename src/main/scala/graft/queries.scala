@@ -2691,6 +2691,46 @@ object Queries {
          |FROM per GROUP BY source ORDER BY source""".stripMargin
     })
 
+  /** Frozen-vocabulary OOV audit (ops.Bpe.oovStats): a vocabulary built
+    * on one slice of the corpus is applied to a DISJOINT slice, and the
+    * per-source token volume / OOV count / OOV rate are rolled up — the
+    * number an operator checks before reusing a committed tokenizer on a
+    * fresh crawl. The oracle rebuilds the same vocab (distinct tokens of
+    * slice A), re-tokenizes slice B with the shared merged-string recipe,
+    * and counts tokens missing from the vocab via a left join; zero-token
+    * sources survive through the DISTINCT-source spine on both sides. */
+  private val qVocabOov = QueryDef(
+    "q_vocab_oov",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vocab = ops.Bpe.buildVocab(docs.where($"doc_id" < 100), "text",
+        ops.Bpe.DemoMerges)
+      ops.Bpe.oovStats(docs.where($"doc_id" >= 100 && $"doc_id" < 300),
+          "source", "text", ops.Bpe.DemoMerges, vocab)
+        .orderBy($"source")
+    },
+    Some {
+      val m = ops.Bpe.mergedSql("text", ops.Bpe.DemoMerges)
+      val toks = "list_filter(string_split(ltrim(mrg, ' '), ' '), x -> x <> '')"
+      s"""WITH ma AS (SELECT $m AS mrg FROM documents WHERE doc_id < 100),
+         |va AS (SELECT DISTINCT unnest($toks) AS token FROM ma),
+         |mb AS (SELECT source, $m AS mrg
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 300),
+         |tb AS (SELECT source, $toks AS toks FROM mb),
+         |e AS (SELECT source, unnest(toks) AS token FROM tb),
+         |k AS (SELECT e.source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS oov
+         |  FROM e LEFT JOIN va v USING (token) GROUP BY e.source),
+         |s AS (SELECT DISTINCT source FROM mb)
+         |SELECT s.source, coalesce(k.n, 0) AS tokens,
+         |  coalesce(k.oov, 0) AS oov_tokens,
+         |  CAST(CASE WHEN coalesce(k.n, 0) > 0 THEN (k.oov * 10000) // k.n
+         |       END AS INT) AS oov_bp
+         |FROM s LEFT JOIN k USING (source) ORDER BY s.source""".stripMargin
+    })
+
   /** Token-id round trip (ops.Bpe.buildVocab / encodeIds / decodeIds):
     * the corpus-derived vocabulary assigns contiguous lexicographic ids,
     * documents encode to int-id sequences over the boundary-RETAINING
@@ -4412,7 +4452,7 @@ object Queries {
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,
-    qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip,
+    qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip, qVocabOov,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qPackSequences, qPackBounds,

@@ -1044,6 +1044,27 @@ class OpsSpec extends AnyFunSuite {
     assert(fdec == "��� the", s"got '$fdec'")
   }
 
+  test("oovStats: frozen vocab applied to new text counts OOV exactly; null text is zero tokens") {
+    // vocab from "the cat" under DemoMerges: {the, <B>, c, at}
+    val a = Seq((1L, "the cat")).toDF("doc_id", "text")
+    val vocab = ops.Bpe.buildVocab(a, "text", ops.Bpe.DemoMerges)
+    val b = Seq(
+      ("src1", Some("the dog")),  // [the, <B>, d, o, g] → 3 of 5 OOV
+      ("src2", Some("the cat")),  // fully in-vocab
+      ("src3", None: Option[String]) // NULL text → zero tokens, NULL rate
+    ).toDF("source", "text")
+    val got = ops.Bpe.oovStats(b, "source", "text", ops.Bpe.DemoMerges, vocab)
+      .orderBy($"source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int])))
+      .toSeq
+    assert(got == Seq(
+      ("src1", 5L, 3L, Some(6000)),
+      ("src2", 4L, 0L, Some(0)),
+      ("src3", 0L, 0L, None)), got.toString)
+  }
+
   test("BPE batched trainer: batch=1 == sequential; disjoint-pair rounds equal sequential; deterministic") {
     // chaining corpus (th → the): batch=1 must reduce EXACTLY to the
     // sequential trainer — the delegation identity
