@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * of this library composed into one runnable artifact: extraction
   * (registry dispatch → boilerplate classify → ordered spans) feeding
   * corpus preparation (reassemble → redact → filter → dedup → resolve →
-  * substring scrub → LM quality gate → mix → pack) and writing a
-  * training-ready shard table plus a per-domain profile — and, from the
+  * substring scrub → LM quality gate → leakage-safe eval carve → mix →
+  * pack) and writing a training-ready shard table, an eval holdout whose
+  * near-dup mirrors can never train, plus a per-domain profile — and, from the
   * SAME committed extraction pass, the multimodal side output (CLIP/LAION
   * caption pairs via ops.Media.mediaTextPairs). What a user of the
   * reference would actually run to turn a crawl into training data.
@@ -225,12 +226,40 @@ object CorpusMain {
           .select($"doc_id", $"lm_bucket"), "doc_id")
     }
 
-    // 5. train the tokenizer ON the gated corpus (batched trainer) over
+    // 4d. leakage-safe EVAL CARVING (splitByCluster run in anger): the
+    //     holdout a benchmark harness evaluates on must not have near-dup
+    //     MIRRORS in train — the canonical self-contamination pitfall the
+    //     decontaminate operators (which guard against EXTERNAL
+    //     benchmarks) cannot catch. Pairs are mined at a LOOSER threshold
+    //     than the dedup pass (0.8 deduped the corpus; 0.5 here — docs
+    //     too distinct to dedup can still leak an eval answer), connected
+    //     components inherit ONE deterministic draw, and the whole
+    //     cluster lands on one side. The pair relation and the split
+    //     assignment are committed stages (a resumed run re-reads the
+    //     exact carve), the holdout is a first-class artifact, and the
+    //     training funnel — INCLUDING the tokenizer sample; training the
+    //     BPE on eval text is itself a mild leak — continues on the
+    //     train side only.
+    val splitPairs = stage("split_pairs") {
+      ops.Dedup.nearDupPairs(gated, "doc_id", "text", threshold = 0.5)
+        .select($"id_a", $"id_b")
+    }
+    val split = stage("split") {
+      ops.Sampling.splitByCluster(gated, splitPairs, "doc_id", testBp = 500)
+    }
+    stage("eval_holdout") {
+      split.where($"split" === "test").drop("split")
+    }
+    // the train side is a filter over the COMMITTED split table — no
+    // second copy of the corpus; a resume replans the same filter
+    val train = split.where($"split" === "train").drop("split")
+
+    // 5. train the tokenizer ON the training side (batched trainer) over
     //    a deterministic 10% hash-sample; the merge table is itself a
     //    committed stage so a resumed run never retrains
     val mergesDf = stage("bpe_merges") {
       val m = ops.Bpe.learnMergesBatched(
-        gated.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
+        train.where(ops.Sampling.hashBp(concat($"doc_id", lit("bpe"))) < 1000),
         "text", nMerges = 96, minCount = 2L, batch = 32)
       m.zipWithIndex.map { case ((l, r), i) => (i, l, r) }.toDF("rank", "l", "r")
     }
@@ -243,12 +272,12 @@ object CorpusMain {
     //    is hot by construction) and salts exactly the keys that need it;
     //    result-identical to the plain join, only the partitioning changes
     val cfg = stage("domain_cfg") {
-      gated.select($"domain").distinct()
+      train.select($"domain").distinct()
         .withColumn("rate_bp",
           when($"domain" === "src0", 8000).otherwise(10000))
     }
     val mixed = stage("mixed") {
-      ops.Skew.saltedJoinAuto(gated, cfg, "domain", targetRows = saltTarget,
+      ops.Skew.saltedJoinAuto(train, cfg, "domain", targetRows = saltTarget,
           sampleBp = 2500, sampleCol = Some("doc_id"))
         .where(ops.Sampling.hashBp($"doc_id") < $"rate_bp")
         .drop("rate_bp")
@@ -320,6 +349,9 @@ object CorpusMain {
       "substr" -> stage.rowsOf("substr"),
       "lm_model_rows" -> stage.rowsOf("lm_model"),
       "lm_kept" -> stage.rowsOf("lm_kept"),
+      "split_pairs" -> stage.rowsOf("split_pairs"),
+      "split_test" -> stage.rowsOf("eval_holdout"),
+      "split_train" -> (stage.rowsOf("split") - stage.rowsOf("eval_holdout")),
       "bpe_merges" -> stage.rowsOf("bpe_merges"),
       "vocab" -> stage.rowsOf("vocab"),
       "mixed" -> stage.rowsOf("mixed"),

@@ -361,7 +361,7 @@ class CleaningSpec extends AnyFunSuite {
     val stages = graft.CorpusMain.run(spark, 2000, out, 4).toMap
     // the funnel only narrows, and every stage emits something
     val order = Seq("raw", "with_text", "cleaned", "exact_deduped", "near_deduped",
-      "substr", "lm_kept", "mixed", "admitted")
+      "substr", "lm_kept", "split_train", "mixed", "admitted")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(stages(a) >= stages(b), s"$a=${stages(a)} < $b=${stages(b)}")
     }
@@ -418,16 +418,37 @@ class CleaningSpec extends AnyFunSuite {
     assert(tiers.values.sum == stages("lm_kept"))
     assert(prof.agg(sum($"head_docs" + $"middle_docs" + $"tail_docs")).head().getLong(0)
       == stages("admitted"))
+    // the eval carve partitions the gated corpus: test + train == lm_kept,
+    // the committed holdout IS the test side, and NO near-dup pair (at the
+    // carve's looser threshold) crosses the boundary — the leakage
+    // guarantee run in anger, not just in SamplingSpec
+    val splitTbl = graft.CorpusMain.readStage(spark, out, "split")
+    assert(stages("split_test") + stages("split_train") == stages("lm_kept"))
+    val holdout = graft.CorpusMain.readStage(spark, out, "eval_holdout")
+    assert(holdout.count() == stages("split_test") && stages("split_test") > 0)
+    assert(splitTbl.where($"split" === "test").count() == stages("split_test"))
+    val sides = splitTbl.select($"doc_id", $"split")
+    val crossSplit = graft.CorpusMain.readStage(spark, out, "split_pairs")
+      .join(sides.toDF("id_a", "sa"), "id_a")
+      .join(sides.toDF("id_b", "sb"), "id_b")
+      .where($"sa" =!= $"sb").count()
+    assert(crossSplit == 0, "no near-dup pair may cross the train/eval boundary")
+    val trainIds = splitTbl.where($"split" === "train")
+      .select($"doc_id".cast("string")).as[String].collect().toSet
     // the auto-salted config join changed partitioning, never content:
-    // mixed == lm_kept ⋈ cfg filtered by the per-domain rate
+    // mixed == the TRAIN side ⋈ cfg filtered by the per-domain rate
     val deduped = graft.CorpusMain.readStage(spark, out, "lm_kept")
     val expectMixed = deduped
       .where(ops.Sampling.hashBp($"doc_id") <
         when($"domain" === "src0", 8000).otherwise(10000))
       .select($"doc_id".cast("string")).as[String].collect().toSet
+      .intersect(trainIds)
     val gotMixed = graft.CorpusMain.readStage(spark, out, "mixed")
       .select($"doc_id".cast("string")).as[String].collect().toSet
     assert(gotMixed == expectMixed, "salted config join must be result-identical")
+    // holdout never enters shards/sequences
+    assert(shards.join(holdout.select($"doc_id"), Seq("doc_id"), "inner")
+      .count() == 0, "a holdout doc leaked into the training shards")
   }
 
   test("pruneRepeatedLines keeps lines under the doc-count threshold") {

@@ -164,6 +164,7 @@ class ResumeSpec extends AnyFunSuite {
     val allStages = Seq("extracted", "texts", "pairs", "cleaned", "lang_en",
       "exact", "deduped",
       "substr", "lm_model", "lm_kept",
+      "split_pairs", "split", "eval_holdout",
       "bpe_merges", "domain_cfg", "mixed", "shards", "vocab", "sequences",
       "profile")
     val idsAfterResume = allStages.map(s => s -> stageHead(crashy, s).get.id).toMap
