@@ -306,12 +306,23 @@ object CorpusMain {
     val vocab = stage("vocab") {
       ops.Bpe.buildVocab(packed, "text", merges)
     }
+    //    ... and ship them in DETERMINISTIC SHUFFLED ORDER: the packer
+    //    clusters sequences by domain/shard, and feeding that order would
+    //    feed the model hours of one domain at a time. shuffleOrder
+    //    range-exchanges on a portable 60-bit key of the sequence
+    //    identity, so the committed files hold disjoint sorted key ranges
+    //    — a loader reading files in key order streams a replayable
+    //    global shuffle, and a resumed training job re-reads the exact
+    //    same order (epoch 2 = a new salt, one exchange)
     stage("sequences") {
-      ops.Bpe.attachIds(
-        ops.Sampling.packSequencesWithBounds(
-          packed.withColumn("toks", ops.Bpe.bpeTokensFull($"text", merges)),
-          "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256),
-        "toks", vocab)
+      ops.Sampling.shuffleOrder(
+        ops.Bpe.attachIds(
+          ops.Sampling.packSequencesWithBounds(
+            packed.withColumn("toks", ops.Bpe.bpeTokensFull($"text", merges)),
+            "doc_id", Seq("domain", "shard"), $"toks", seqLen = 256),
+          "toks", vocab),
+        Seq($"domain", $"shard", $"seq"), salt = "epoch0",
+        nParts = parallelism)
     }
 
     val profile = stage("profile") {

@@ -356,6 +356,43 @@ object Sampling {
       .drop("__rep0", "__rep")
   }
 
+  /** Deterministic TRAINING-ORDER shuffle: every training run reads its
+    * sequences in an order decorrelated from the corpus layout (shard
+    * packing clusters by domain; feeding that order would feed the model
+    * hours of one domain at a time), and the order must be REPLAYABLE —
+    * resuming a crashed training job mid-epoch needs byte-identical
+    * ordering, which `rand()` or a cluster-dependent exchange cannot give.
+    *
+    * Each row gets a portable 60-bit key ([[hash60]] of its identity
+    * columns + `salt`), and the frame is range-exchanged and sorted on it
+    * — a TOTAL order with no global window: every output file holds a
+    * disjoint sorted key range, so a loader reading files in key order
+    * streams the corpus in shuffled order, any contiguous key slice is an
+    * unbiased sample (the restart-mid-epoch property), and a new epoch is
+    * just a new salt — a full reshuffle for the cost of one exchange (the
+    * same exchange ANY layout pass pays). Identity columns also break
+    * key-collision ties in the sort, so the order is deterministic even
+    * across the ~2⁻³⁰-probability 60-bit collisions a trillion-row corpus
+    * will contain. Emits `outCol` so the order is auditable at rest
+    * ([[graft.ops.Zorder.fileEnvelopes]] on it shows the disjoint
+    * per-file ranges). */
+  def shuffleOrder(df: DataFrame, idCols: Seq[Column], salt: String,
+      nParts: Int, outCol: String = "shuffle_key"): DataFrame = {
+    require(idCols.nonEmpty, "shuffleOrder needs at least one identity column")
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    df.withColumn(outCol,
+        hash60(concat_ws("\u0001", (idCols :+ lit(salt)).map(_.cast("string")): _*)))
+      .repartitionByRange(nParts, col(outCol))
+      .sortWithinPartitions(col(outCol) +: idCols: _*)
+  }
+
+  /** DuckDB twin of [[shuffleOrder]]'s key: [[hash60Sql]] over the same
+    * chr(1)-joined identity — kept beside the Spark definition so the two
+    * engines' shuffle orders can never drift. */
+  def shuffleKeySql(idExprs: Seq[String], salt: String): String =
+    hash60Sql(idExprs.map(e => s"CAST($e AS VARCHAR)")
+      .mkString("", " || chr(1) || ", s" || chr(1) || '$salt'"))
+
   // ------------------------------------------------------------------
   // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
   // select pretraining documents whose distribution matches a small

@@ -3423,6 +3423,42 @@ object Queries {
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic training-order shuffle (ops.Sampling.shuffleOrder):
+    * every row gets a portable 60-bit shuffle key and the frame is
+    * range-exchanged + sorted on it — a replayable global order with no
+    * global window. The driver's compare is order-insensitive, so the
+    * ORDER is surfaced as VALUES: bucket = the key's top 10 bits (the
+    * key-range slice a loader would stream), pos = rank within the
+    * bucket — both pure functions of the key, partition-invariant. The
+    * oracle replays the chr(1)-joined md5 key (shuffleKeySql — the same
+    * one-copy recipe as hashBp) and the (bucket, pos) encoding. */
+  private val qShuffleOrder = QueryDef(
+    "q_shuffle_order",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      ops.Sampling.shuffleOrder(
+          t(s, dir, "documents").where($"doc_id" < 500)
+            .select($"doc_id", $"source"),
+          Seq($"doc_id"), salt = "epoch0", nParts = 8)
+        .withColumn("bucket",
+          expr(s"shuffle_key div ${1L << 50}").cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"bucket").orderBy($"shuffle_key", $"doc_id")))
+        .orderBy($"bucket", $"pos")
+    },
+    Some {
+      val key = ops.Sampling.shuffleKeySql(Seq("doc_id"), "epoch0")
+      s"""WITH k AS (SELECT doc_id, source, $key AS shuffle_key
+         |  FROM documents WHERE doc_id < 500),
+         |b AS (SELECT *, CAST(shuffle_key // ${1L << 50} AS INT) AS bucket
+         |  FROM k)
+         |SELECT doc_id, source, shuffle_key, bucket,
+         |  CAST(row_number() OVER (PARTITION BY bucket
+         |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         |FROM b ORDER BY bucket, pos""".stripMargin
+    })
+
   /** Sequence packing (ops.Sampling.packSequences): pack docs into
     * 500-token shards per source, then concatenate each shard's docs in
     * id order and cut fixed 64-token training sequences across document
@@ -4455,7 +4491,8 @@ object Queries {
     qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip, qVocabOov,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
-    qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qPackSequences, qPackBounds,
+    qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qShuffleOrder,
+    qPackSequences, qPackBounds,
     qPackInterleaved, qCaptionPairs,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,

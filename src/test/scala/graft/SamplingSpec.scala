@@ -323,6 +323,44 @@ class SamplingSpec extends AnyFunSuite {
 
   // ---- DSIR importance resampling ----
 
+  test("shuffleOrder: partition-invariant keys, sorted disjoint ranges at rest, epoch salt reshuffles") {
+    val docs = (0L until 500L).map(i => (i, s"src${i % 5}"))
+      .toDF("doc_id", "source")
+    val a = ops.Sampling.shuffleOrder(docs, Seq($"doc_id"), "epoch0", 8)
+    // key assignment is a pure function of (identity, salt): input
+    // partitioning and nParts change the LAYOUT, never a key
+    val b = ops.Sampling.shuffleOrder(docs.repartition(13), Seq($"doc_id"),
+      "epoch0", 3)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"shuffle_key").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keys(a) == keys(b))
+    // at-rest contract: collected per-partition runs are key-sorted and
+    // ascending partitions hold disjoint ascending ranges — reading
+    // files in key order IS the global shuffled order
+    val runs = a.select(spark_partition_id().as("p"), $"shuffle_key")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    runs.groupBy(_._1).values.foreach { part =>
+      val ks = part.map(_._2).toSeq
+      assert(ks == ks.sorted, "within-partition order must be key-sorted")
+    }
+    val ranges = runs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, v) => (v.map(_._2).min, v.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "ranges must be disjoint")
+      case _ =>
+    }
+    // the order is a real shuffle: a key-ordered prefix mixes sources
+    // (the packer's domain-clustered order would not)
+    val prefixSources = a.orderBy($"shuffle_key").limit(50)
+      .select($"source").distinct().count()
+    assert(prefixSources == 5, s"prefix must mix all sources, got $prefixSources")
+    // a new epoch is a new permutation
+    val c = keys(ops.Sampling.shuffleOrder(docs, Seq($"doc_id"), "epoch1", 8))
+    assert(keys(a).count { case (id, k) => c(id) == k } < 5,
+      "epoch salt must reshuffle")
+  }
+
   test("gumbelQ is deterministic, salted, and Gumbel-shaped (mean near Euler–Mascheroni)") {
     val ids = (1L to 1000L).toDF("id")
     val g = ids.select(ops.Sampling.gumbelQ($"id").as("g"))
