@@ -4414,6 +4414,39 @@ object Queries {
             |SELECT * FROM c WHERE caption IS NOT NULL
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** EXTRACTION → LINK-GRAPH PAGERANK (ops.Graph.pageRank): domain
+    * authority propagated over the reference graph the extraction stage
+    * emits — src = the document's domain, dst = the host of every kept
+    * media ref (regexp host extraction, identical pattern both engines).
+    * 5 damped power-iteration rounds with dangling-mass redistribution;
+    * the oracle replays the classifier CTEs, the edge derivation, and the
+    * UNROLLED iteration (ops.Graph.pageRankCtes — one generated recipe,
+    * both engines' arithmetic in the same operation order). Ranks rounded
+    * to 6 dp on both sides: summation order is the only divergence. */
+  private val qPageRank = QueryDef(
+    "q_pagerank",
+    (s, _) => {
+      import s.implicits._
+      val docs = stagedCorpus(s).as[RawDoc]
+      val edges = ExtractJob.transform(docs).toDF()
+        .select($"domain", explode($"spans").as("span"))
+        .where($"span.kind" === "media" && $"span.media_ref" =!= "")
+        .select($"domain".as("src"),
+          regexp_extract($"span.media_ref", "https?://([^/]+)/", 1).as("dst"))
+      ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select($"node", round($"rank", 6).as("rank"))
+        .orderBy($"node")
+    },
+    Some(s"""WITH ${classifierCtes("")},
+            |edges AS (SELECT d.domain AS src,
+            |    regexp_extract(o.media_ref, 'https?://([^/]+)/', 1) AS dst
+            |  FROM outp o JOIN (SELECT doc_id, domain
+            |    FROM read_parquet('$corpusPath/*.parquet')) d USING (doc_id)
+            |  WHERE o.kind = 'media' AND o.media_ref <> ''),
+            |${ops.Graph.pageRankCtes(iters = 5, damping = 0.85)}
+            |SELECT node, round(rank, 6) AS rank FROM pr
+            |ORDER BY node""".stripMargin))
+
   /** Metrics side table of a real ExtractJob.run (write → manifest commit →
     * manifest-planned at-rest scan), oracled per bucket from the corpus. */
   private val qExtractMetrics = QueryDef(
@@ -4493,7 +4526,7 @@ object Queries {
     qLineDomain, qLineDedupDoc,
     qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qShuffleOrder,
     qPackSequences, qPackBounds,
-    qPackInterleaved, qCaptionPairs,
+    qPackInterleaved, qCaptionPairs, qPageRank,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,
     qChunkBpe,
     qBlocklist,
