@@ -398,6 +398,36 @@ object Queries {
            |FROM documents JOIN dims USING (source)
            |GROUP BY grp ORDER BY grp""".stripMargin))
 
+  /** Count-Min sketch frequencies (ops.Cms): build a 4×64 sketch over the
+    * documents' source column (constant depth×width state, mergeable by
+    * cell-wise sum — the running heavy-hitter view a streaming ingest
+    * keeps without rescanning), estimate every distinct source, and emit
+    * the estimate beside the exact count with the one-sided soundness
+    * flag (est >= exact ALWAYS; width 64 forces visible collision
+    * overcounts). The oracle replays every cell and min from the shared
+    * 60-bit md5 recipe — collisions included, all-integer, hash-exact. */
+  private val qCmsHeavy = QueryDef(
+    "q_cms_heavy",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"source".isNotNull)
+        .select($"source".as("key"))
+      val sk = ops.Cms.build(docs, "key", depth = 4, width = 64)
+      ops.Cms.estimate(docs.distinct(), "key", sk, depth = 4, width = 64)
+        .join(docs.groupBy($"key").agg(count(lit(1)).as("exact")), "key")
+        .select($"key", $"est", $"exact", ($"est" >= $"exact").as("sound"))
+        .orderBy($"key")
+    },
+    Some {
+      val src = "SELECT source AS key FROM documents WHERE source IS NOT NULL"
+      s"""WITH cms AS MATERIALIZED (${ops.Cms.buildSql(src, 4, 64)}),
+         |est AS (${ops.Cms.estimateSql(s"SELECT DISTINCT key FROM ($src)", "cms", 4, 64)}),
+         |ex AS (SELECT source AS key, count(*) AS exact FROM documents
+         |  WHERE source IS NOT NULL GROUP BY 1)
+         |SELECT key, est, exact, est >= exact AS sound
+         |FROM est JOIN ex USING (key) ORDER BY key""".stripMargin
+    })
+
   /** Hot-key DETECTION + auto-salted join (ops.Skew.detectHotKeys /
     * saltedJoinAuto): skew is planted (every even doc_id shares one key),
     * the detector's partial-agg count chooses per-key salt factors
@@ -4508,7 +4538,7 @@ object Queries {
     qDispatch, qFilter, qRollup, qWindow, qJoin, qTopK, qAnti, qSemi,
     qJson, qTime, qExplode, qReassembly, qDistinct, qApproxDistinct, qCube,
     qExcept, qScalar, qApproxQuantile,
-    qSalted, qSaltedJoin, qSkewDetect, qReassembleGroupBy, qSessionize, qAuthGate,
+    qSalted, qSaltedJoin, qSkewDetect, qCmsHeavy, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ, qDedupCapped,
     qDedupBest, qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon, qTextNormalize,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
