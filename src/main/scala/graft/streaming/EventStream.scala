@@ -343,6 +343,10 @@ object EventStream {
     *    snapshot as the data, so metrics can never claim a batch whose
     *    rows are not visible (the O14 analog for ingestion).
     *
+    *  - bucket `N+2` ([[heatBucketFor]], OPTIONAL — present when the
+    *    stream runs with a `heatCol`): per-batch Count-Min heat sketches,
+    *    merged cell-wise at read time ([[readHeatSketch]]).
+    *
     * `corpusBuckets = 1` (the default) reproduces the original layout:
     * corpus in bucket 0, index in bucket 1. Readers:
     * [[readCorpus]] / [[readIndex]] / [[readAdmissionMetrics]], or
@@ -351,6 +355,20 @@ object EventStream {
   val IndexBucket = 1
   def indexBucketFor(corpusBuckets: Int): Int = corpusBuckets
   def metricsBucketFor(corpusBuckets: Int): Int = corpusBuckets + 1
+
+  /** Bucket `N+2` (optional): per-batch Count-Min heat sketches over a
+    * caller-named INPUT column (e.g. domain) — the running frequency view
+    * of what the stream is being FED, duplicates included (a hot domain
+    * flooding ingest is operational signal even when dedup drops it).
+    * Each batch appends its own sparse (r, c, n) cells; the running
+    * sketch is their cell-wise sum ([[graft.ops.Cms.merge]]'s identity
+    * makes append-only commits sufficient — no read-modify-write), read
+    * back via [[readHeatSketch]]. Sketch geometry is stamped into every
+    * snapshot ([[HeatDepthKey]]/[[HeatWidthKey]]) and checked on restart:
+    * cells of mismatched geometry would sum into silent garbage. */
+  def heatBucketFor(corpusBuckets: Int): Int = corpusBuckets + 2
+  private[graft] val HeatDepthKey = "__cms:depth"
+  private[graft] val HeatWidthKey = "__cms:width"
 
   /** Reserved watermark-map key stamping the table's `corpusBuckets`
     * layout into every snapshot (carried forward verbatim by commits AND
@@ -410,6 +428,37 @@ object EventStream {
     m.readData(spark, Some(Set(metricsBucketFor(corpusBuckets)))).drop("bucket")
   }
 
+  /** The MERGED running heat sketch of a table written with a `heatCol`:
+    * cell-wise sum of every committed batch's sketch — feed it to
+    * [[graft.ops.Cms.estimate]] with the SAME (depth, width) the stream
+    * ran with (the stamped geometry is validated here). */
+  def readHeatSketch(spark: SparkSession, tableDir: String,
+      heatDepth: Int = HeatDepthDefault, heatWidth: Int = HeatWidthDefault,
+      corpusBuckets: Int = 1): DataFrame = {
+    val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val snap = m.head()
+    requireLayout(snap, corpusBuckets, tableDir)
+    requireHeatGeometry(snap, heatDepth, heatWidth, tableDir)
+    m.readData(spark, Some(Set(heatBucketFor(corpusBuckets)))).drop("bucket")
+      .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
+  }
+
+  val HeatDepthDefault = 4
+  val HeatWidthDefault = 1024
+
+  private def requireHeatGeometry(snap: Option[graft.Manifest.Snapshot],
+      heatDepth: Int, heatWidth: Int, tableDir: String): Unit =
+    snap.foreach { s =>
+      s.streamWatermarks.get(HeatDepthKey).foreach(d => require(
+        d == heatDepth.toLong,
+        s"heat sketch at $tableDir was written with depth=$d but opened " +
+          s"with depth=$heatDepth — mismatched cells would sum into garbage"))
+      s.streamWatermarks.get(HeatWidthKey).foreach(w => require(
+        w == heatWidth.toLong,
+        s"heat sketch at $tableDir was written with width=$w but opened " +
+          s"with width=$heatWidth — mismatched cells would sum into garbage"))
+    }
+
   /** [[runDedupedCorpusStream]] upgraded with the PERSISTED dedup index
     * and the snapshot manifest — the production wiring the index exists
     * for (without it every micro-batch re-hashes and re-signatures the
@@ -436,7 +485,9 @@ object EventStream {
       tableDir: String, checkpointDir: String, schemaFrom: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       threshold: Double = 0.7, k: Int = 8, bands: Int = 4,
-      corpusBuckets: Int = 1): StreamingQuery = {
+      corpusBuckets: Int = 1, heatCol: Option[String] = None,
+      heatDepth: Int = HeatDepthDefault,
+      heatWidth: Int = HeatWidthDefault): StreamingQuery = {
     val streamId = streamIdFor(checkpointDir, spark.sessionState.newHadoopConf())
     val legacyId = legacyStreamIdFor(checkpointDir)
     spark.readStream.schema(schemaFrom.schema)
@@ -448,7 +499,8 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitIndexedBatch(batch, batchId, tableDir, streamId,
-          idCol, textCol, threshold, k, bands, corpusBuckets, legacyId)
+          idCol, textCol, threshold, k, bands, corpusBuckets, legacyId,
+          heatCol, heatDepth, heatWidth)
       }
       .start()
   }
@@ -483,16 +535,20 @@ object EventStream {
   private[graft] def admitIndexedBatch(batch: DataFrame, batchId: Long,
       tableDir: String, streamId: String, idCol: String, textCol: String,
       threshold: Double, k: Int, bands: Int, corpusBuckets: Int = 1,
-      legacyStreamId: String = ""): Unit = {
+      legacyStreamId: String = "", heatCol: Option[String] = None,
+      heatDepth: Int = HeatDepthDefault,
+      heatWidth: Int = HeatWidthDefault): Unit = {
     val spark = batch.sparkSession
     require(corpusBuckets >= 1, s"corpusBuckets must be >= 1, got $corpusBuckets")
     require(!batch.columns.contains("bucket"),
       "corpus schema must not carry a 'bucket' column (manifest partition name)")
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
-    // layout check BEFORE the redelivery guard: a mis-opened table must
-    // fail loudly even on a batch that would otherwise be skipped
+    // layout + sketch-geometry checks BEFORE the redelivery guard: a
+    // mis-opened table must fail loudly even on a batch that would
+    // otherwise be skipped
     requireLayout(prev, corpusBuckets, tableDir)
+    if (heatCol.isDefined) requireHeatGeometry(prev, heatDepth, heatWidth, tableDir)
     if (isRedelivered(prev, streamId, legacyStreamId, batchId))
       return // re-delivered
     // bootstrap when the corpus is EMPTY, not merely when no snapshot
@@ -528,8 +584,10 @@ object EventStream {
           "near_dropped", "poisoned")
     }
 
-    val pre: Map[Int, Set[String]] = (cBuckets :+ ixBucket :+ mBucket)
-      .map(b => b -> table.listBucketFiles(b).toSet).toMap
+    val hBucket = heatBucketFor(corpusBuckets)
+    val pre: Map[Int, Set[String]] =
+      ((cBuckets :+ ixBucket :+ mBucket) ++ heatCol.map(_ => hBucket))
+        .map(b => b -> table.listBucketFiles(b).toSet).toMap
     // shuffle by sub-bucket before the partitioned write (one file per
     // touched sub-bucket per batch instead of O(tasks × corpusBuckets) —
     // a daily-ingest stream runs thousands of batches between compactions)
@@ -539,6 +597,15 @@ object EventStream {
     idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$ixBucket")
     metricsRow.coalesce(1).write.mode("append")
       .parquet(s"$tableDir/data/bucket=$mBucket")
+    // heat sketch over the INPUT batch (duplicates included — arrival
+    // heat is operational signal even when dedup drops the rows);
+    // append-only: the running sketch is the cell-wise sum at read time
+    val nHeat = heatCol.map { hc =>
+      val sk = graft.ops.Cms.build(batch.select(col(hc).as("key")), "key",
+        heatDepth, heatWidth).localCheckpoint()
+      sk.coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$hBucket")
+      sk.count()
+    }
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
 
     val admPerBucket: Map[Int, Long] = admitted
@@ -564,9 +631,13 @@ object EventStream {
     table.commit(f"corpus-batch-$batchId%06d",
       cBuckets.map(b => grown(b, admPerBucket.getOrElse(b, 0L), newFiles(b))) ++
         Seq(grown(ixBucket, nIdx, newFiles(ixBucket)),
-          grown(mBucket, 1L, newFiles(mBucket))),
+          grown(mBucket, 1L, newFiles(mBucket))) ++
+        nHeat.map(n => grown(hBucket, n, newFiles(hBucket))).toSeq,
       streamWatermark = Some(streamId -> batchId),
-      extraWatermarks = Map(LayoutKey -> corpusBuckets.toLong))
+      extraWatermarks = Map(LayoutKey -> corpusBuckets.toLong) ++
+        (if (heatCol.isDefined)
+          Map(HeatDepthKey -> heatDepth.toLong, HeatWidthKey -> heatWidth.toLong)
+        else Map.empty))
   }
 
   /** Watermarked tumbling-window counts per event_type over a timestamped

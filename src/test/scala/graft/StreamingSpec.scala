@@ -1053,4 +1053,65 @@ class StreamingSpec extends AnyFunSuite {
     // every surviving row is redacted
     assert(streamed.forall(_._2.contains("<EMAIL>")))
   }
+
+  test("corpus stream heat sketch: per-batch CMS commits merge to arrival heat; replay adds nothing; geometry guarded") {
+    import org.apache.spark.sql.functions._
+    val in = Files.createTempDirectory("graft_heat_in_").toString
+    val tbl = Files.createTempDirectory("graft_heat_tbl_").toString + "/t"
+    val ck = Files.createTempDirectory("graft_heat_ckpt_").toString
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"source")
+
+    // wave 1: fresh docs; wave 2: half exact RE-CRAWLS (dedup drops them,
+    // the heat sketch must still count their arrival) + fresh docs
+    val wave1 = base.where($"doc_id" < 60)
+    val wave2 = base.where($"doc_id" < 30) // exact dups of wave 1
+      .union(base.where($"doc_id" >= 60 && $"doc_id" < 80))
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base,
+        heatCol = Some("source"))
+      .awaitTermination()
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base,
+        heatCol = Some("source"))
+      .awaitTermination()
+
+    // dedup DID drop the 30 exact re-crawls (heat ≠ corpus; the fixture
+    // also carries a couple of natural near-dups, so bound, not equality)
+    val corpusRows = streaming.EventStream.readCorpus(spark, tbl).count()
+    assert(corpusRows <= 80 && corpusRows >= 70,
+      s"corpus must hold ~80 deduped docs of 110 arrivals, got $corpusRows")
+
+    // merged sketch == arrival heat, duplicates included: estimates are
+    // >= the true per-source INPUT counts, and exact at width 1024 with
+    // this few distinct keys (deterministic hashes — no collisions here)
+    val arrivals = wave1.unionByName(wave2).groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = streaming.EventStream.readHeatSketch(spark, tbl)
+    val est = ops.Cms.estimate(
+        wave1.select($"source".as("key")).distinct(), "key", sketch,
+        streaming.EventStream.HeatDepthDefault,
+        streaming.EventStream.HeatWidthDefault)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    arrivals.foreach { case (src, n) =>
+      assert(est(src) == n, s"$src: est ${est(src)} vs arrivals $n")
+    }
+
+    // replay with no new files: the redelivery guard admits nothing and
+    // the sketch is unchanged (no double-counted heat)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base,
+        heatCol = Some("source"))
+      .awaitTermination()
+    val total2 = streaming.EventStream.readHeatSketch(spark, tbl)
+      .agg(sum($"n")).head().getLong(0)
+    val expected = (wave1.count() + wave2.count()) *
+      streaming.EventStream.HeatDepthDefault
+    assert(total2 == expected, s"sketch mass $total2 vs $expected")
+
+    // mismatched geometry fails loudly instead of summing garbage
+    val e = intercept[IllegalArgumentException] {
+      streaming.EventStream.readHeatSketch(spark, tbl, heatWidth = 2048)
+    }
+    assert(e.getMessage.contains("width"))
+  }
 }
