@@ -561,4 +561,52 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("cosine"), row_number().over(w).as("rn"))
       .where(col("rn") <= k)
   }
+
+  /** SSL-PROTOTYPE pruning (Sorscher et al. 2022 "Beyond neural scaling
+    * laws"; the pruning half of D4, Tirumala et al. 2023 — the dedup half
+    * is [[graft.ops.Dedup.semanticDedup]]): in the abundant-data regime
+    * the most PROTOTYPICAL examples — closest to their cluster centroid —
+    * are the least informative, so drop each cell's most-prototypical
+    * `dropBp` basis points and keep the tail.
+    *
+    * Mechanics: deterministic seeds ([[seedCentroids]], md5-id order) +
+    * optional DataFrame-side Lloyd refinement, single-cell assign
+    * ([[cellRanks]] — typedLit or broadcast-join by codebook size),
+    * prototypicality = cosine(vec, own centroid) (the shared fixed-order
+    * [[dot]]/[[norm]] folds, so both engines produce bit-identical
+    * doubles), then per-cell rank by (proto desc, id) against a per-cell
+    * count — the drop boundary `(n_cell * dropBp) div 10000` is INTEGER
+    * math and prunes proportionally in EVERY cluster (D4's per-cluster
+    * rule: a giant cluster cannot eat the whole budget, an empty tail
+    * cell drops nothing). The rank and count share one (cell)-partitioned
+    * sort; cell sizes are the same bounded-by-construction quantity
+    * [[semanticOversizeCells]] audits before the semantic-dedup pass.
+    *
+    * Returns the KEPT rows: (idCol, cell, proto) with proto the raw
+    * cosine — callers round for cross-engine compares. */
+  def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, dropBp: Int, lloydIters: Int = 0): DataFrame = {
+    require(dropBp >= 0 && dropBp <= 10000,
+      s"dropBp must be in [0, 10000], got $dropBp")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents0 = seedCentroids(corpus, idCol, vecCol, nCentroids)
+    val cents =
+      if (lloydIters > 0) refineCentroids(corpus, vecCol, cents0, lloydIters)
+      else cents0
+    val centsDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("__cell", "__protocv")
+    val scored = cellRanks(corpus, idCol, vecCol, cents, maxRank = 1)
+      .drop("__rk")
+      .join(broadcast(centsDf), "__cell")
+      .withColumn("__proto",
+        dot(vecCol, "__protocv") / (norm(vecCol) * norm("__protocv")))
+    val byCell = Window.partitionBy(col("__cell"))
+    scored
+      .withColumn("__prk", row_number().over(
+        byCell.orderBy(col("__proto").desc, col(idCol))))
+      .withColumn("__pcnt", count(lit(1)).over(byCell))
+      .where(col("__prk") > expr(s"(__pcnt * $dropBp) div 10000"))
+      .select(col(idCol), col("__cell").as("cell"), col("__proto").as("proto"))
+  }
 }

@@ -2177,6 +2177,55 @@ object Queries {
            |WHERE vec_id NOT IN (SELECT id FROM losers)
            |ORDER BY vec_id""".stripMargin))
 
+  /** SSL-prototype pruning (ops.Similarity.prototypePrune — the pruning
+    * half of D4, complementing q_semantic_dedup's dedup half): assign each
+    * quantized embedding to its nearest md5-order seed centroid, score
+    * prototypicality as cosine to the OWN centroid, and drop each cell's
+    * most-prototypical 25% (integer cut (n*2500) div 10000 — proportional
+    * per cell). The oracle replays seeding, the (sqd, cid) argmin, the
+    * fixed-fold cosine, the (proto desc, id) rank, and the integer cut;
+    * proto rounded to 6 dp (the doubles are bit-identical cross-engine —
+    * same fold order — so the rank cannot drift). */
+  private val qProtoPrune = QueryDef(
+    "q_proto_prune",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "embeddings").where($"vec_id" < 200)
+        .select($"vec_id",
+          expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
+      ops.Similarity.prototypePrune(corpus, "vec_id", "qv",
+          nCentroids = 4, dropBp = 2500)
+        .select($"vec_id", $"cell", round($"proto", 6).as("proto"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH corpus AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           |  FROM embeddings WHERE vec_id < 200),
+           |cents AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+           |    qv AS cv
+           |  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 4),
+           |d AS (SELECT corpus.vec_id, cents.cid, corpus.qv, cents.cv,
+           |    list_sum(list_transform(range(len(corpus.qv)),
+           |      j -> (cents.cv[j+1] - corpus.qv[j+1]) * (cents.cv[j+1] - corpus.qv[j+1]))) AS sqd
+           |  FROM corpus, cents),
+           |asg AS (SELECT vec_id, cid AS cell, qv, cv FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+           |   FROM d) WHERE rk = 1),
+           |sc AS (SELECT vec_id, cell,
+           |    CAST(list_sum(list_transform(range(len(qv)),
+           |        j -> CAST(qv[j+1] AS DOUBLE) * CAST(cv[j+1] AS DOUBLE))) AS DOUBLE)
+           |      / (sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))
+           |       * sqrt(CAST(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)))
+           |      AS proto
+           |  FROM asg),
+           |rk AS (SELECT *,
+           |    row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS prk,
+           |    count(*) OVER (PARTITION BY cell) AS pcnt
+           |  FROM sc)
+           |SELECT vec_id, CAST(cell AS INT) AS cell, round(proto, 6) AS proto
+           |FROM rk WHERE prk > (pcnt * 2500) // 10000
+           |ORDER BY vec_id""".stripMargin))
+
   /** Semantic benchmark decontamination (ops.Cleaning.semanticDecontaminate
     * / ops.Similarity.semanticCrossHits): the corpus carries planted exact
     * and first-dim-perturbed copies of benchmark embeddings; centroids are
@@ -4547,7 +4596,7 @@ object Queries {
     qFingerprint,
     qLshPairs, qSimhashPairs, qSrpBuckets, qEmbedMultiprobe, qEmbedIvf,
     qEmbedIvfIndex, qEmbedIndexStream, qEmbedPq,
-    qSemanticDedup, qSemanticDecon,
+    qSemanticDedup, qSemanticDecon, qProtoPrune,
     qLayoutOrder, qLayoutKcol, qExtractLayout,
     qEmbedNearDup, qSubword, qMediaFrames, qEmbedTopK, qLangId, qLangIdBulk,
     qLangIdTrain, qQuality,

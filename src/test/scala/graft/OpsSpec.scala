@@ -1758,4 +1758,57 @@ class OpsSpec extends AnyFunSuite {
     // lists outranks every doc its component ranks dominate
     assert(fused.map(_._1).toSet.subsetOf(lexRanks.keySet ++ vecRanks.keySet))
   }
+
+  test("prototypePrune matches an independent plain-Scala implementation of the full spec") {
+    // integer vectors, two loose blobs + a stray, ids 0..29
+    val vecs: Map[Long, Seq[Long]] = (0L until 30L).map { i =>
+      val base = if (i % 3 == 0) Seq(1000L, 10L * i, 0L, 0L)
+      else if (i % 3 == 1) Seq(0L, 1000L, 10L * i, 0L)
+      else Seq(7L * i, 0L, 0L, 1000L)
+      i -> base
+    }.toMap
+    val df = vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "qv")
+      .repartition(5)
+    val dropBp = 3000
+    val got = ops.Similarity.prototypePrune(df, "vec_id", "qv",
+        nCentroids = 3, dropBp = dropBp)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // independent replay: md5-ordered seeds, L2 argmin (tie: lower cid),
+    // cosine to own centroid, per-cell (proto desc, id) rank, integer cut
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = vecs.keys.toSeq.sortBy(i => md5hex(i.toString)).take(3)
+      .map(vecs(_).map(_.toDouble))
+    def sqd(a: Seq[Long], c: Seq[Double]) =
+      a.zip(c).map { case (x, y) => (y - x) * (y - x) }.sum
+    def cos(a: Seq[Long], c: Seq[Double]) = {
+      val d = a.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nc = math.sqrt(c.map(y => y * y).sum)
+      d / (na * nc)
+    }
+    val assigned = vecs.toSeq.map { case (i, v) =>
+      val cell = seeds.indices.minBy(c => (sqd(v, seeds(c)), c))
+      (i, cell, cos(v, seeds(cell)))
+    }
+    val want = assigned.groupBy(_._2).flatMap { case (cell, rows) =>
+      val sorted = rows.sortBy { case (i, _, p) => (-p, i) }
+      val cut = rows.size * dropBp / 10000
+      sorted.drop(cut).map { case (i, _, _) => (i, cell) }
+    }.toSet
+    assert(got == want, s"got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+
+    // boundary budgets: 0 bp keeps everything, 10000 bp drops everything
+    assert(ops.Similarity.prototypePrune(df, "vec_id", "qv", 3, 0)
+      .count() == 30)
+    assert(ops.Similarity.prototypePrune(df, "vec_id", "qv", 3, 10000)
+      .count() == 0)
+
+    // partition-count invariance: the decision is a pure function of data
+    val got1 = ops.Similarity.prototypePrune(df.repartition(1), "vec_id",
+        "qv", 3, dropBp)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got1 == got)
+  }
 }
