@@ -232,27 +232,44 @@ object CorpusMain {
     //     decontaminate operators (which guard against EXTERNAL
     //     benchmarks) cannot catch. Pairs are mined at a LOOSER threshold
     //     than the dedup pass (0.8 deduped the corpus; 0.5 here — docs
-    //     too distinct to dedup can still leak an eval answer), connected
-    //     components inherit ONE deterministic draw, and the whole
-    //     cluster lands on one side. The pair relation and the split
-    //     assignment are committed stages (a resumed run re-reads the
-    //     exact carve), the holdout is a first-class artifact, and the
-    //     training funnel — INCLUDING the tokenizer sample; training the
-    //     BPE on eval text is itself a mild leak — continues on the
-    //     train side only.
+    //     too distinct to dedup can still leak an eval answer), with the
+    //     BANDING retuned to match: the dedup default (8 hashes, 4 bands
+    //     of 2 rows) collides a Jaccard-0.5 pair with probability only
+    //     1-(1-0.25)^4 ≈ 68% — a ~1-in-3 recall hole in the leakage
+    //     guarantee. rows=1 banding (bands = k = 8) collides it at
+    //     1-(1-J)^8 ≥ 99.6%, and jaccardVerify keeps precision exact.
+    //     The residual misses are ONLY pairs inside over-maxBucket
+    //     buckets (single-minhash buckets run hotter than banded ones —
+    //     that is the recall/cost trade; Dedup.lshOversizeBuckets audits
+    //     exactly which). Connected components inherit ONE deterministic
+    //     draw, so the whole near-dup cluster lands on one side. The
+    //     pair relation and the split assignment are committed stages
+    //     (a resumed run re-reads the exact carve), the holdout is a
+    //     first-class artifact, and the training funnel — INCLUDING the
+    //     tokenizer sample; training the BPE on eval text is itself a
+    //     mild leak — continues on the train side only.
     val splitPairs = stage("split_pairs") {
-      ops.Dedup.nearDupPairs(gated, "doc_id", "text", threshold = 0.5)
+      ops.Dedup.nearDupPairs(gated, "doc_id", "text",
+          k = 8, bands = 8, threshold = 0.5)
         .select($"id_a", $"id_b")
     }
+    // the split assignment commits as a (doc_id, split) RELATION — one
+    // narrow table, not a second full-text copy of the corpus (at real
+    // scale stages/split would otherwise duplicate the entire lm_kept
+    // payload to carry one label column); both sides re-attach text by
+    // equi-join against the committed lm_kept stage
     val split = stage("split") {
-      ops.Sampling.splitByCluster(gated, splitPairs, "doc_id", testBp = 500)
+      ops.Sampling.splitByCluster(
+          gated.select($"doc_id"), splitPairs, "doc_id", testBp = 500)
     }
+    // the holdout artifact IS full rows (that is the deliverable a
+    // benchmark harness reads) — but it is 5%, not a corpus copy
     stage("eval_holdout") {
-      split.where($"split" === "test").drop("split")
+      gated.join(split.where($"split" === "test").select($"doc_id"), "doc_id")
     }
-    // the train side is a filter over the COMMITTED split table — no
-    // second copy of the corpus; a resume replans the same filter
-    val train = split.where($"split" === "train").drop("split")
+    // the train side stays a plan over committed stages — no third copy
+    val train = gated.join(
+      split.where($"split" === "train").select($"doc_id"), "doc_id")
 
     // 5. train the tokenizer ON the training side (batched trainer) over
     //    a deterministic 10% hash-sample; the merge table is itself a

@@ -50,25 +50,44 @@ object Graph {
     *
     * Returns (node, rank) with Σrank ≈ 1, deterministic up to
     * floating-point summation order — round for cross-engine compares
-    * (see [[pageRankCtes]], the generated DuckDB twin). */
+    * (see [[pageRankCtes]], the generated DuckDB twin). The returned frame
+    * is its own checkpoint; every intermediate checkpoint (edges, nodes,
+    * degrees, superseded ranks) is unpersisted before returning, so
+    * repeated calls (per-crawl-increment ranking) leak nothing.
+    *
+    * `materialize = false` skips ALL checkpointing and returns the fully
+    * composed plan — the plan-inspection/test hook (per-iteration join
+    * shapes are assertable; lineage grows with `iters`, so production
+    * callers leave it true). Host-extraction callers: prune the
+    * empty-string no-match sentinel from regexp-derived edges first, or
+    * it becomes a phantom node absorbing rank mass. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      materialize: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
-    val e = edges
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
+    val e = mat(edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+      .distinct())
+    val nodes = mat(e.select(col("src").as("node"))
       .union(e.select(col("dst")))
-      .distinct().localCheckpoint()
-    val deg = e.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("__od")).localCheckpoint()
+      .distinct())
+    val deg = mat(e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__od")))
+    def release(): Unit =
+      if (materialize) Seq(e, nodes, deg).foreach(_.unpersist())
     val n = nodes.count().toDouble
-    if (n == 0) return nodes.withColumn("rank", lit(0.0d))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    if (n == 0) {
+      val out = mat(nodes.withColumn("rank", lit(0.0d)))
+      release()
+      return out
+    }
+    var ranks = mat(nodes.withColumn("rank", lit(1.0 / n)))
     (0 until iters).foreach { _ =>
       val share = ranks.join(deg, ranks("node") === deg("src"))
         .select(col("src"), (col("rank") / col("__od")).as("__sh"))
@@ -77,14 +96,14 @@ object Graph {
       val dangling = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val prev = ranks
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = mat(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0)) + col("__dm") / n)).as("rank"))
-        .localCheckpoint()
-      prev.unpersist()
+            (coalesce(col("__c"), lit(0.0)) + col("__dm") / n)).as("rank")))
+      if (materialize) prev.unpersist()
     }
+    release()
     ranks
   }
 

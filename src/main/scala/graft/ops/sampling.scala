@@ -375,22 +375,32 @@ object Sampling {
     * across the ~2⁻³⁰-probability 60-bit collisions a trillion-row corpus
     * will contain. Emits `outCol` so the order is auditable at rest
     * ([[graft.ops.Zorder.fileEnvelopes]] on it shows the disjoint
-    * per-file ranges). */
+    * per-file ranges).
+    *
+    * NULL identity values render as a chr(2) sentinel BEFORE joining —
+    * bare `concat_ws` silently SKIPS null parts (so ("a", NULL) and
+    * (NULL, "a") would collapse to one key) while the SQL twin's `||`
+    * propagates NULL into a NULL key: the sentinel keeps every row's key
+    * total, distinct per null position, and engine-identical. (A non-null
+    * identity value equal to the control character itself would collide
+    * with the sentinel — deterministically, on both engines.) */
   def shuffleOrder(df: DataFrame, idCols: Seq[Column], salt: String,
       nParts: Int, outCol: String = "shuffle_key"): DataFrame = {
     require(idCols.nonEmpty, "shuffleOrder needs at least one identity column")
     require(nParts >= 1, s"nParts must be >= 1, got $nParts")
     df.withColumn(outCol,
-        hash60(concat_ws("\u0001", (idCols :+ lit(salt)).map(_.cast("string")): _*)))
+        hash60(concat_ws("\u0001", (idCols :+ lit(salt))
+          .map(c => coalesce(c.cast("string"), lit("\u0002"))): _*)))
       .repartitionByRange(nParts, col(outCol))
       .sortWithinPartitions(col(outCol) +: idCols: _*)
   }
 
   /** DuckDB twin of [[shuffleOrder]]'s key: [[hash60Sql]] over the same
-    * chr(1)-joined identity — kept beside the Spark definition so the two
-    * engines' shuffle orders can never drift. */
+    * chr(1)-joined identity with the same chr(2) NULL sentinel — kept
+    * beside the Spark definition so the two engines' shuffle orders can
+    * never drift. */
   def shuffleKeySql(idExprs: Seq[String], salt: String): String =
-    hash60Sql(idExprs.map(e => s"CAST($e AS VARCHAR)")
+    hash60Sql(idExprs.map(e => s"coalesce(CAST($e AS VARCHAR), chr(2))")
       .mkString("", " || chr(1) || ", s" || chr(1) || '$salt'"))
 
   // ------------------------------------------------------------------

@@ -583,7 +583,13 @@ object Similarity {
     * [[semanticOversizeCells]] audits before the semantic-dedup pass.
     *
     * Returns the KEPT rows: (idCol, cell, proto) with proto the raw
-    * cosine — callers round for cross-engine compares. */
+    * cosine — callers round for cross-engine compares. A ZERO-NORM vector
+    * (all components zero, e.g. everything floored away by an integer
+    * quantization) scores the −2.0 sentinel, below any real cosine, so it
+    * ranks LEAST prototypical and is never dropped ahead of a real row —
+    * the unguarded 0/0 would be NaN, which Spark's descending sort places
+    * FIRST (always-pruned, silently) and which NULL/NaN-orders differently
+    * in DuckDB, drifting the cross-engine rank. */
   def prototypePrune(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, dropBp: Int, lloydIters: Int = 0): DataFrame = {
     require(dropBp >= 0 && dropBp <= 10000,
@@ -600,7 +606,8 @@ object Similarity {
       .drop("__rk")
       .join(broadcast(centsDf), "__cell")
       .withColumn("__proto",
-        dot(vecCol, "__protocv") / (norm(vecCol) * norm("__protocv")))
+        when(norm(vecCol) === 0d || norm("__protocv") === 0d, lit(-2.0d))
+          .otherwise(dot(vecCol, "__protocv") / (norm(vecCol) * norm("__protocv"))))
     val byCell = Window.partitionBy(col("__cell"))
     scored
       .withColumn("__prk", row_number().over(

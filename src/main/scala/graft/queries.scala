@@ -2185,7 +2185,9 @@ object Queries {
     * per cell). The oracle replays seeding, the (sqd, cid) argmin, the
     * fixed-fold cosine, the (proto desc, id) rank, and the integer cut;
     * proto rounded to 6 dp (the doubles are bit-identical cross-engine —
-    * same fold order — so the rank cannot drift). */
+    * same fold order — so the rank cannot drift). Zero-norm vectors score
+    * the −2.0 sentinel on BOTH sides (NaN would sort first in Spark and
+    * differently in DuckDB — the one rank that COULD drift). */
   private val qProtoPrune = QueryDef(
     "q_proto_prune",
     (s, dir) => {
@@ -2212,11 +2214,14 @@ object Queries {
            |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
            |   FROM d) WHERE rk = 1),
            |sc AS (SELECT vec_id, cell,
-           |    CAST(list_sum(list_transform(range(len(qv)),
+           |    CASE WHEN list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+           |           OR list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0
+           |      THEN -2.0
+           |      ELSE CAST(list_sum(list_transform(range(len(qv)),
            |        j -> CAST(qv[j+1] AS DOUBLE) * CAST(cv[j+1] AS DOUBLE))) AS DOUBLE)
            |      / (sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE))
            |       * sqrt(CAST(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)))
-           |      AS proto
+           |      END AS proto
            |  FROM asg),
            |rk AS (SELECT *,
            |    row_number() OVER (PARTITION BY cell ORDER BY proto DESC, vec_id) AS prk,
@@ -4512,6 +4517,10 @@ object Queries {
         .where($"span.kind" === "media" && $"span.media_ref" =!= "")
         .select($"domain".as("src"),
           regexp_extract($"span.media_ref", "https?://([^/]+)/", 1).as("dst"))
+        // regexp_extract's no-match sentinel is '' in BOTH engines (refs
+        // with no path slash, relative refs): prune it or it becomes one
+        // phantom node siphoning rank mass from every real host
+        .where($"dst" =!= "")
       ops.Graph.pageRank(edges, "src", "dst", iters = 5)
         .select($"node", round($"rank", 6).as("rank"))
         .orderBy($"node")
@@ -4521,7 +4530,8 @@ object Queries {
             |    regexp_extract(o.media_ref, 'https?://([^/]+)/', 1) AS dst
             |  FROM outp o JOIN (SELECT doc_id, domain
             |    FROM read_parquet('$corpusPath/*.parquet')) d USING (doc_id)
-            |  WHERE o.kind = 'media' AND o.media_ref <> ''),
+            |  WHERE o.kind = 'media' AND o.media_ref <> ''
+            |    AND regexp_extract(o.media_ref, 'https?://([^/]+)/', 1) <> ''),
             |${ops.Graph.pageRankCtes(iters = 5, damping = 0.85)}
             |SELECT node, round(rank, 6) AS rank FROM pr
             |ORDER BY node""".stripMargin))

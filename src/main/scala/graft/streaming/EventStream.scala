@@ -438,6 +438,13 @@ object EventStream {
     val m = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val snap = m.head()
     requireLayout(snap, corpusBuckets, tableDir)
+    // presence first: a table whose stream never ran with heatCol has no
+    // geometry stamps (the check below passes vacuously) and no heat
+    // bucket — without this the read fails later with an unresolved-
+    // column error against the corpus schema, pointing at the wrong layer
+    require(snap.exists(_.streamWatermarks.contains(HeatDepthKey)),
+      s"no heat sketch committed at $tableDir — the stream ran without " +
+        "heatCol (re-run runIndexedCorpusStream with heatCol to record one)")
     requireHeatGeometry(snap, heatDepth, heatWidth, tableDir)
     m.readData(spark, Some(Set(heatBucketFor(corpusBuckets)))).drop("bucket")
       .groupBy(col("r"), col("c")).agg(sum(col("n")).as("n"))
@@ -458,6 +465,28 @@ object EventStream {
         s"heat sketch at $tableDir was written with width=$w but opened " +
           s"with width=$heatWidth — mismatched cells would sum into garbage"))
     }
+
+  /** Heat-sketch PRESENCE must be stable across restarts: the geometry
+    * check alone passes vacuously when one side has no stamps, so a
+    * stream resumed WITHOUT `heatCol` over a heat-carrying table would
+    * silently stop recording arrivals (the merged sketch UNDERCOUNTS —
+    * the one error direction Count-Min promises never to make), and
+    * enabling `heatCol` mid-life would serve a sketch missing every
+    * prior batch. Both are loud errors; heat starts at table creation
+    * or the table is rebuilt. */
+  private def requireHeatPresence(snap: Option[graft.Manifest.Snapshot],
+      heatCol: Option[String], tableDir: String): Unit = {
+    val stamped = snap.exists(_.streamWatermarks.contains(HeatDepthKey))
+    if (heatCol.isEmpty) require(!stamped,
+      s"table at $tableDir carries a heat sketch but the stream was " +
+        "reopened without heatCol — arrivals would silently go unrecorded " +
+        "and readHeatSketch would UNDERCOUNT; reopen with the original " +
+        "heatCol and geometry, or start a new table")
+    else require(stamped || snap.isEmpty,
+      s"enabling heatCol on the existing table at $tableDir would serve " +
+        "a sketch missing every batch committed so far; start heat at " +
+        "table creation or rebuild the table")
+  }
 
   /** [[runDedupedCorpusStream]] upgraded with the PERSISTED dedup index
     * and the snapshot manifest — the production wiring the index exists
@@ -544,10 +573,11 @@ object EventStream {
       "corpus schema must not carry a 'bucket' column (manifest partition name)")
     val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
     val prev = table.head()
-    // layout + sketch-geometry checks BEFORE the redelivery guard: a
-    // mis-opened table must fail loudly even on a batch that would
-    // otherwise be skipped
+    // layout + sketch presence/geometry checks BEFORE the redelivery
+    // guard: a mis-opened table must fail loudly even on a batch that
+    // would otherwise be skipped
     requireLayout(prev, corpusBuckets, tableDir)
+    requireHeatPresence(prev, heatCol, tableDir)
     if (heatCol.isDefined) requireHeatGeometry(prev, heatDepth, heatWidth, tableDir)
     if (isRedelivered(prev, streamId, legacyStreamId, batchId))
       return // re-delivered

@@ -83,14 +83,24 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("the only cartesian in the plan is the 1-row dangling broadcast") {
+    // materialize = false returns the COMPOSED plan (no localCheckpoint
+    // truncation), so this asserts the real per-iteration join shapes —
+    // a checkpointed result would reduce to a cached-block scan and pass
+    // vacuously no matter what the iteration did
     val df = Seq(("a", "b"), ("b", "a")).toDF("s", "t")
-    val plan = ops.Graph.pageRank(df, "s", "t", iters = 1)
+    val plan = ops.Graph.pageRank(df, "s", "t", iters = 1,
+        materialize = false)
       .queryExecution.executedPlan.toString
-    // localCheckpoint truncates lineage each round; re-derive one round
-    // without checkpoints is not exposed, so assert on the FINAL round's
-    // physical plan having no BroadcastNestedLoopJoin over data-scale
-    // inputs: the checkpointed result is a scan, which suffices to show
-    // nothing cartesian leaked into the returned frame
     assert(!plan.contains("CartesianProduct"), plan)
+    // exactly ONE nested-loop join: the broadcast of the 1-row dangling
+    // aggregate. The rank/contribution joins must all be hash equi-joins.
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj == 1, s"expected exactly 1 dangling broadcast NLJ, got $nlj:\n$plan")
+    // and both plan variants agree on the numbers
+    val a = ops.Graph.pageRank(df, "s", "t", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = ops.Graph.pageRank(df, "s", "t", iters = 3, materialize = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
   }
 }

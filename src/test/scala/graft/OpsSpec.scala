@@ -1811,4 +1811,24 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got1 == got)
   }
+
+  test("prototypePrune: zero-norm vectors score the -2.0 sentinel, rank last, and never NaN-poison the cut") {
+    // md5 order of "0".."3" seeds the single centroid from vec 1 (non-zero);
+    // vec 0 is all-zero — unguarded, 0/0 = NaN sorts FIRST under Spark's
+    // desc ordering and the row would be silently always-pruned
+    val df = Seq(
+      (0L, Seq(0L, 0L, 0L, 0L)),
+      (1L, Seq(1000L, 0L, 0L, 0L)),
+      (2L, Seq(990L, 10L, 0L, 0L)),
+      (3L, Seq(900L, 100L, 0L, 0L))
+    ).toDF("vec_id", "qv")
+    val kept = ops.Similarity.prototypePrune(df, "vec_id", "qv",
+        nCentroids = 1, dropBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // cut = 4*5000/10000 = 2: the two MOST prototypical (vecs 1, 2) drop;
+    // the zero vector survives with the sentinel score
+    assert(kept.keySet == Set(0L, 3L), s"kept=$kept")
+    assert(kept(0L) == -2.0)
+    assert(!kept.values.exists(_.isNaN))
+  }
 }

@@ -361,6 +361,31 @@ class SamplingSpec extends AnyFunSuite {
       "epoch salt must reshuffle")
   }
 
+  test("shuffleOrder: NULL identity values keep total, position-distinct keys (the chr(2) sentinel)") {
+    // ("a", NULL) vs (NULL, "a"): bare concat_ws would collapse both to
+    // the key of "a"; the sentinel keeps them distinct AND non-null
+    val rows = Seq(("a", null), (null, "a"), ("a", "a"))
+      .toDF("x", "y").withColumn("rid", monotonically_increasing_id())
+    val keyed = ops.Sampling.shuffleOrder(rows, Seq($"x", $"y"), "s", 1)
+      .select($"rid", $"shuffle_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed.size == 3 && keyed.values.toSet.size == 3,
+      s"null-position rows must get distinct keys, got $keyed")
+    // pin the exact rendering the SQL twin re-emits (chr(1) joiner,
+    // chr(2) null sentinel): independent plain-Scala md5 of the joined
+    // string must reproduce every key
+    def k60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = Map(
+      0L -> k60("a\u0001\u0002\u0001s"),
+      1L -> k60("\u0002\u0001a\u0001s"),
+      2L -> k60("a\u0001a\u0001s"))
+    assert(keyed == want, s"sentinel recipe drifted: $keyed vs $want")
+  }
+
   test("gumbelQ is deterministic, salted, and Gumbel-shaped (mean near Euler–Mascheroni)") {
     val ids = (1L to 1000L).toDF("id")
     val g = ids.select(ops.Sampling.gumbelQ($"id").as("g"))

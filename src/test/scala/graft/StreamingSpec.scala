@@ -1113,5 +1113,39 @@ class StreamingSpec extends AnyFunSuite {
       streaming.EventStream.readHeatSketch(spark, tbl, heatWidth = 2048)
     }
     assert(e.getMessage.contains("width"))
+
+    // presence is part of the contract: resuming WITHOUT heatCol over a
+    // heat-carrying table must fail loudly (the sketch would silently
+    // stop counting arrivals — an undercount, the one error Count-Min
+    // never makes), not skip recording
+    base.where($"doc_id" >= 80 && $"doc_id" < 90)
+      .coalesce(1).write.mode("append").parquet(in)
+    val eOff = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base)
+        .awaitTermination()
+    }
+    assert(eOff.getMessage.contains("without heatCol"), eOff.getMessage)
+
+    // ...and enabling heat mid-life on a never-heat table fails too
+    val tbl2 = Files.createTempDirectory("graft_heat_tbl2_").toString + "/t"
+    val ck2 = Files.createTempDirectory("graft_heat_ckpt2_").toString
+    val in2 = Files.createTempDirectory("graft_heat_in2_").toString
+    wave1.coalesce(1).write.mode("append").parquet(in2)
+    streaming.EventStream.runIndexedCorpusStream(spark, in2, tbl2, ck2, base)
+      .awaitTermination()
+    wave2.coalesce(1).write.mode("append").parquet(in2)
+    val eOn = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streaming.EventStream.runIndexedCorpusStream(spark, in2, tbl2, ck2, base,
+          heatCol = Some("source"))
+        .awaitTermination()
+    }
+    assert(eOn.getMessage.contains("enabling heatCol"), eOn.getMessage)
+
+    // a table with no heat sketch reads back a clear error, not an
+    // unresolved-column failure against the corpus schema
+    val eRead = intercept[IllegalArgumentException] {
+      streaming.EventStream.readHeatSketch(spark, tbl2)
+    }
+    assert(eRead.getMessage.contains("no heat sketch"), eRead.getMessage)
   }
 }
