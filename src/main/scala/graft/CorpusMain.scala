@@ -136,6 +136,25 @@ object CorpusMain {
         minChars = 5, maxChars = 300)
     }
 
+    // 2c. LINK-GRAPH AUTHORITY (ops.Graph.pageRank run in anger): the
+    //     committed extraction pass already emits the host graph — every
+    //     kept media span is an edge from the document's domain to the
+    //     referenced host. 5 damped rounds of PageRank over it produce
+    //     the node-sized authority relation the mixture config below uses
+    //     as its quality prior (the CommonCrawl-pipeline use of a host
+    //     graph). Committed as its own stage: the ranks are an operator
+    //     report in their own right, and a resumed run re-reads them.
+    val hostEdges = extracted
+      .select($"domain", explode($"spans").as("span"))
+      .where($"span.kind" === "media" && $"span.media_ref" =!= "")
+      .select($"domain".as("src"),
+        regexp_extract($"span.media_ref", "https?://([^/]+)/", 1).as("dst"))
+      // regexp_extract's no-match sentinel '' would be a phantom node
+      .where($"dst" =!= "")
+    val hostRank = stage("host_rank") {
+      ops.Graph.pageRank(hostEdges, "src", "dst", iters = 5)
+    }
+
     // 3. clean: PII scrub, then the FULL Gopher §A1.1 rule set — the
     //    quality gate (word count ≥ 8 for this short-form corpus, mean
     //    word length, symbol ratios, bullet/ellipsis lines, alpha-word
@@ -287,11 +306,24 @@ object CorpusMain {
     //    joined onto the zipf-skewed corpus through the AUTO-SALTED join:
     //    the hot-key detector measures the corpus' own domain skew (src0
     //    is hot by construction) and salts exactly the keys that need it;
-    //    result-identical to the plain join, only the partitioning changes
+    //    result-identical to the plain join, only the partitioning changes.
+    //    The RATE comes from the link graph: a domain's authority is the
+    //    mean PageRank of the hosts its media point at (outlink quality —
+    //    spammy domains cite low-authority hosts), and below-mean domains
+    //    are downsampled to 8000 bp. Every relation here is node- or
+    //    domain-sized; both joins broadcast.
     val cfg = stage("domain_cfg") {
+      val auth = hostEdges.distinct()
+        .join(broadcast(hostRank.withColumnRenamed("node", "dst")), "dst")
+        .groupBy($"src".as("domain"))
+        .agg(avg($"rank").as("__auth"))
+      val meanAuth = auth.agg(avg($"__auth")).head().getDouble(0)
       train.select($"domain").distinct()
+        .join(broadcast(auth), Seq("domain"), "left")
         .withColumn("rate_bp",
-          when($"domain" === "src0", 8000).otherwise(10000))
+          when($"__auth".isNull || $"__auth" < meanAuth, 8000)
+            .otherwise(10000))
+        .drop("__auth")
     }
     val mixed = stage("mixed") {
       ops.Skew.saltedJoinAuto(train, cfg, "domain", targetRows = saltTarget,
@@ -370,6 +402,7 @@ object CorpusMain {
       "extracted" -> stage.rowsOf("extracted"),
       "with_text" -> stage.rowsOf("texts"),
       "caption_pairs" -> stage.rowsOf("pairs"),
+      "host_nodes" -> stage.rowsOf("host_rank"),
       "cleaned" -> stage.rowsOf("cleaned"),
       "lang_en" -> stage.rowsOf("lang_en"),
       "exact_deduped" -> stage.rowsOf("exact"),

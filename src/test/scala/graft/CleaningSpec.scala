@@ -436,11 +436,18 @@ class CleaningSpec extends AnyFunSuite {
     val trainIds = splitTbl.where($"split" === "train")
       .select($"doc_id".cast("string")).as[String].collect().toSet
     // the auto-salted config join changed partitioning, never content:
-    // mixed == the TRAIN side ⋈ cfg filtered by the per-domain rate
+    // mixed == the TRAIN side ⋈ cfg filtered by the per-domain rate,
+    // with the rates read from the COMMITTED link-graph-derived config
+    // (the policy is pageRank-driven now; the invariant under test is
+    // join identity, not the rate policy)
     val deduped = graft.CorpusMain.readStage(spark, out, "lm_kept")
-    val expectMixed = deduped
-      .where(ops.Sampling.hashBp($"doc_id") <
-        when($"domain" === "src0", 8000).otherwise(10000))
+    val cfgTbl = graft.CorpusMain.readStage(spark, out, "domain_cfg")
+    // the authority prior is genuinely data-driven on this corpus: both
+    // rates occur (cdn.<domain>.test in-link mass differs by zipf weight)
+    assert(cfgTbl.select($"rate_bp").distinct().count() == 2,
+      "link-graph prior must split domains across both rates")
+    val expectMixed = deduped.join(cfgTbl, "domain")
+      .where(ops.Sampling.hashBp($"doc_id") < $"rate_bp")
       .select($"doc_id".cast("string")).as[String].collect().toSet
       .intersect(trainIds)
     val gotMixed = graft.CorpusMain.readStage(spark, out, "mixed")

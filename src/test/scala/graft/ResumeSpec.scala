@@ -161,8 +161,8 @@ class ResumeSpec extends AnyFunSuite {
 
     // a third run over the COMPLETED pipeline recomputes nothing at all:
     // every stage keeps the snapshot id it had after the resume run
-    val allStages = Seq("extracted", "texts", "pairs", "cleaned", "lang_en",
-      "exact", "deduped",
+    val allStages = Seq("extracted", "texts", "pairs", "host_rank",
+      "cleaned", "lang_en", "exact", "deduped",
       "substr", "lm_model", "lm_kept",
       "split_pairs", "split", "eval_holdout",
       "bpe_merges", "domain_cfg", "mixed", "shards", "vocab", "sequences",
