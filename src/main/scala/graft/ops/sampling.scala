@@ -108,17 +108,75 @@ object Sampling {
     require(epochsBp.values.forall(_ >= 0) && defaultBp >= 0,
       "epoch basis points must be >= 0")
     val (d, bp, drops) = resolveBp(df, stratumCol, epochsBp, defaultBp)
+    epochFanOut(d.withColumn("__bp", bp), idCol, salt, drops)
+  }
+
+  /** The ⌊e⌋ + salted-fractional-draw copy fan-out shared by
+    * [[mixtureEpochs]] and [[temperatureEpochs]]: expects epoch basis
+    * points in `__bp`, emits one row per copy with a 0-based `epoch`. */
+  private def epochFanOut(d: DataFrame, idCol: String, salt: String,
+      extraDrops: Seq[String]): DataFrame = {
     val fracHash =
       if (salt.isEmpty) hashBp(col(idCol))
       else hashBp(concat(col(idCol).cast("string"), lit(salt)))
-    d.withColumn("__bp", bp)
-      .withColumn("__copies",
+    d.withColumn("__copies",
         expr("__bp div 10000").cast("int") +
           when(fracHash < col("__bp") % 10000, 1).otherwise(0))
       .where(col("__copies") > 0)
       .withColumn("epoch", explode(expr("sequence(0, __copies - 1)")))
-      .drop((drops :+ "__bp" :+ "__copies"): _*)
+      .drop((extraDrops :+ "__bp" :+ "__copies"): _*)
   }
+
+  /** Temperature-scaled mixture — the multilingual-pretraining recipe
+    * (exponential smoothing of source proportions, mBERT/XLM-R style):
+    * sampling probability q_i ∝ p_i^α where p_i is stratum i's natural
+    * share, which at a fixed budget means per-stratum epochs ∝ c_i^(α−1).
+    * [[mixtureSample]]/[[mixtureEpochs]] take rates as INPUT; this
+    * operator DERIVES them from the corpus itself. Epochs are anchored to
+    * the LARGEST stratum at exactly one pass — epochs_i = (c_max/c_i)^(1−α)
+    * — so α=1 is natural proportions (everything one epoch), α=0
+    * equalizes effective sizes (stratum i upsampled c_max/c_i×), and the
+    * usual pretraining settings α∈[0.2, 0.7] land in between; no stratum
+    * is ever downsampled, matching the published recipe's "temperature
+    * reweights, a separate quality gate drops".
+    *
+    * Cross-engine exactness: for α ∈ {0, 0.5, 1} the derived basis points
+    * are bit-identical in ANY IEEE-754 engine — integer counts convert
+    * exactly, division and sqrt are correctly rounded by the standard, and
+    * round-half-up of their result is deterministic ([[powPortable]]
+    * routes α=0.5 through sqrt because `pow(x, 0.5)` carries no such
+    * guarantee). Other α go through `pow`, whose last ULP is
+    * engine-dependent — fine for training, not for a hash-equality oracle.
+    *
+    * Scale shape: per-stratum counts are one partial-agg pass, the bp
+    * relation is stratum-sized (× a broadcast 1-row max), the rate join
+    * broadcasts, and the copy fan-out is map-side — the only data-scale
+    * shuffle is the count. Skew bound = c_max/c_min^(1−α); cap α away
+    * from 0 when strata sizes span many orders of magnitude. */
+  def temperatureEpochs(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, salt: String = "temp"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+    val mx = counts.agg(max(col("__c")).as("__m"))
+    val bp = counts.crossJoin(broadcast(mx))
+      .withColumn("__bp",
+        floor(powPortable(col("__m").cast("double") / col("__c").cast("double"),
+          1.0 - alpha) * 10000d + 0.5d).cast("int"))
+      .select(col(stratumCol).as("__stratum"), col("__bp"))
+    val joined = df.join(broadcast(bp), col(stratumCol) === col("__stratum"))
+      .drop("__stratum")
+    epochFanOut(joined, idCol, salt, Nil)
+  }
+
+  /** x^e with the IEEE-correctly-rounded path taken where one exists:
+    * e ∈ {0, 1} are exact identities, e = 0.5 is `sqrt` (correctly
+    * rounded by IEEE 754, unlike `pow(x, 0.5)`), anything else falls
+    * back to `pow`. */
+  private def powPortable(x: Column, e: Double): Column =
+    if (e == 0.0) lit(1.0)
+    else if (e == 0.5) sqrt(x)
+    else if (e == 1.0) x
+    else pow(x, e)
 
   /** Deterministic split label: "test" for the `testBp`/10⁴ fraction of
     * ids, "train" otherwise. Salting the key decorrelates the split from

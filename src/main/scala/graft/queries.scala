@@ -3484,6 +3484,47 @@ object Queries {
          |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin
     })
 
+  /** Temperature-scaled mixture (ops.Sampling.temperatureEpochs): per-stratum
+    * epochs DERIVED from the corpus' own proportions at α = 0.5 —
+    * epochs_i = sqrt(c_max/c_i), the largest stratum anchored at exactly one
+    * pass, smaller strata upsampled toward (but not to) equal effective
+    * size. Strata are text-LENGTH tiers (the sf sources are deliberately
+    * balanced, which would degenerate to one epoch everywhere; length tiers
+    * are naturally skewed, so the rare long-document tier genuinely
+    * replicates). The oracle re-derives the basis points from scratch
+    * (count → max → sqrt of an exact integer ratio → round-half-up — every
+    * step IEEE-correctly-rounded, hence bit-identical across engines) and
+    * replays the ⌊e⌋ + salted-fractional copy fan-out. */
+  private val qMixtureTemperature = QueryDef(
+    "q_mixture_temperature",
+    (s, dir) => {
+      import s.implicits._
+      ops.Sampling.temperatureEpochs(
+          t(s, dir, "documents").select($"doc_id",
+            expr("CAST(least(length(text) DIV 256, 3) AS INT)").as("tier")),
+          "doc_id", "tier", alpha = 0.5)
+        .orderBy($"doc_id", $"epoch")
+    },
+    Some {
+      val h = ops.Sampling.hashBpSql("CAST(doc_id AS VARCHAR) || 'temp'")
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(least(length(text) // 256, 3) AS INT) AS tier
+         |  FROM documents),
+         |cnt AS (SELECT tier, count(*) AS c FROM d GROUP BY 1),
+         |mx AS (SELECT max(c) AS m FROM cnt),
+         |bp AS (SELECT tier,
+         |    CAST(floor(sqrt(CAST(m AS DOUBLE) / CAST(c AS DOUBLE)) * 10000
+         |      + 0.5) AS INT) AS bp
+         |  FROM cnt, mx),
+         |s AS (SELECT doc_id, d.tier, bp, $h AS h
+         |  FROM d JOIN bp USING (tier)),
+         |c AS (SELECT doc_id, tier,
+         |    (bp // 10000) + CASE WHEN h < bp % 10000 THEN 1 ELSE 0 END AS copies
+         |  FROM s)
+         |SELECT doc_id, tier, CAST(unnest(range(copies)) AS INT) AS epoch
+         |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin
+    })
+
   /** Token-budget shard packing (ops.Sampling.packShards): documents fill
     * 500-token training shards per source in id order — exclusive window
     * cumsum div budget, identical frame semantics in both engines. */
@@ -4613,7 +4654,8 @@ object Queries {
     qTokenRegex, qTokens, qBpe, qBpeStats, qBpeRoundtrip, qVocabOov,
     qRepetition, qNgramStats, qGopherQuality, qC4Rules, qPiiRedact, qDecontaminate, qDecontaminateBloom, qLineDedup,
     qLineDomain, qLineDedupDoc,
-    qMixtureSample, qMixtureEpochs, qTokenPack, qZorder, qShuffleOrder,
+    qMixtureSample, qMixtureEpochs, qMixtureTemperature, qTokenPack, qZorder,
+    qShuffleOrder,
     qPackSequences, qPackBounds,
     qPackInterleaved, qCaptionPairs, qPageRank,
     qSplitCluster, qHashEmbed, qCleanProfile, qChunkWindows,

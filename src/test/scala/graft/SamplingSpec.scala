@@ -125,6 +125,59 @@ class SamplingSpec extends AnyFunSuite {
     assert(joinCounts == byId.map { case (id, (_, n, _, _)) => id -> n })
   }
 
+  test("temperatureEpochs derives the p^alpha recipe: alpha=1 natural, alpha=0 equalized, alpha=0.5 sqrt-anchored") {
+    val docs = documents.select($"doc_id", $"source")
+    // alpha=1: natural proportions — exactly the input corpus, one epoch each
+    val nat = ops.Sampling.temperatureEpochs(docs, "doc_id", "source", 1.0)
+    assert(nat.columns.toSeq == Seq("doc_id", "source", "epoch"))
+    assert(nat.where($"epoch" =!= 0).count() == 0)
+    assert(nat.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      docs.select($"doc_id").as[Long].collect().sorted.toSeq)
+
+    // alpha=0 equalizes effective sizes EXACTLY when sizes divide: strata
+    // of 40/20/10 docs run 1/2/4 epochs — every effective size is 40
+    val crafted = (0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c"))
+    val eq = ops.Sampling.temperatureEpochs(
+        crafted.toDF("doc_id", "source"), "doc_id", "source", 0.0)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eq == Map("a" -> 40L, "b" -> 40L, "c" -> 40L))
+
+    // alpha=0.5: bp_i = round(sqrt(cmax/ci)·10⁴), re-derived independently
+    // per doc against the salted fractional hash; the largest stratum is
+    // anchored at exactly one pass
+    val out = ops.Sampling.temperatureEpochs(docs, "doc_id", "source", 0.5)
+    val counts = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cmax = counts.values.max
+    val bp = counts.map { case (src, c) =>
+      src -> math.floor(math.sqrt(cmax.toDouble / c.toDouble) * 10000 + 0.5).toInt
+    }
+    assert(bp(counts.maxBy(_._2)._1) == 10000)
+    assert(bp.values.forall(_ >= 10000)) // temperature never downsamples
+    val h = docs.select($"doc_id",
+        ops.Sampling.hashBp(concat($"doc_id".cast("string"), lit("temp"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = out.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .join(docs, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("n"))).toMap
+    docs.collect().foreach { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val b = bp(src)
+      val want = (b / 10000 + (if (h(id) < b % 10000) 1 else 0)).toLong
+      assert(got(id) == (src, want), s"doc $id")
+    }
+    // partition-invariant
+    val again = ops.Sampling.temperatureEpochs(docs.repartition(13),
+        "doc_id", "source", 0.5)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got.map { case (id, (_, n)) => id -> n })
+  }
+
   test("packShardsBucketed: per-bucket packing equals flat packing of that bucket") {
     val docs = documents.select($"doc_id", $"source",
       size(split($"text", " ")).cast("long").as("n"))
