@@ -317,7 +317,11 @@ object CorpusMain {
         .join(broadcast(hostRank.withColumnRenamed("node", "dst")), "dst")
         .groupBy($"src".as("domain"))
         .agg(avg($"rank").as("__auth"))
-      val meanAuth = auth.agg(avg($"__auth")).head().getDouble(0)
+      // a corpus with no media edges has no authority signal: every
+      // domain is "unknown" (__auth null), which the rate rule already
+      // maps to the downsampled tier — the mean just needs to not NPE
+      val meanAuth = Option(auth.agg(avg($"__auth")).head().get(0))
+        .fold(Double.MaxValue)(_.asInstanceOf[Double])
       train.select($"domain").distinct()
         .join(broadcast(auth), Seq("domain"), "left")
         .withColumn("rate_bp",
