@@ -142,15 +142,22 @@ object CorpusMain {
     //     referenced host. 5 damped rounds of PageRank over it produce
     //     the node-sized authority relation the mixture config below uses
     //     as its quality prior (the CommonCrawl-pipeline use of a host
-    //     graph). Committed as its own stage: the ranks are an operator
-    //     report in their own right, and a resumed run re-reads them.
-    val hostEdges = extracted
-      .select($"domain", explode($"spans").as("span"))
-      .where($"span.kind" === "media" && $"span.media_ref" =!= "")
-      .select($"domain".as("src"),
-        regexp_extract($"span.media_ref", "https?://([^/]+)/", 1).as("dst"))
-      // regexp_extract's no-match sentinel '' would be a phantom node
-      .where($"dst" =!= "")
+    //     graph). The DISTINCT edge set commits as its own (tiny) stage so
+    //     the corpus-width explode scan runs ONCE — both pageRank (which
+    //     dedupes internally, so distinct input is identity) and the
+    //     authority rollup below read the committed edges; the ranks
+    //     commit too: they are an operator report in their own right, and
+    //     a resumed run re-reads both.
+    val hostEdges = stage("host_edges") {
+      extracted
+        .select($"domain", explode($"spans").as("span"))
+        .where($"span.kind" === "media" && $"span.media_ref" =!= "")
+        .select($"domain".as("src"),
+          regexp_extract($"span.media_ref", "https?://([^/]+)/", 1).as("dst"))
+        // regexp_extract's no-match sentinel '' would be a phantom node
+        .where($"dst" =!= "")
+        .distinct()
+    }
     val hostRank = stage("host_rank") {
       ops.Graph.pageRank(hostEdges, "src", "dst", iters = 5)
     }
@@ -313,7 +320,7 @@ object CorpusMain {
     //    are downsampled to 8000 bp. Every relation here is node- or
     //    domain-sized; both joins broadcast.
     val cfg = stage("domain_cfg") {
-      val auth = hostEdges.distinct()
+      val auth = hostEdges
         .join(broadcast(hostRank.withColumnRenamed("node", "dst")), "dst")
         .groupBy($"src".as("domain"))
         .agg(avg($"rank").as("__auth"))
@@ -406,6 +413,7 @@ object CorpusMain {
       "extracted" -> stage.rowsOf("extracted"),
       "with_text" -> stage.rowsOf("texts"),
       "caption_pairs" -> stage.rowsOf("pairs"),
+      "host_edges" -> stage.rowsOf("host_edges"),
       "host_nodes" -> stage.rowsOf("host_rank"),
       "cleaned" -> stage.rowsOf("cleaned"),
       "lang_en" -> stage.rowsOf("lang_en"),

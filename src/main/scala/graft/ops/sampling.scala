@@ -163,7 +163,9 @@ object Sampling {
         floor(powPortable(col("__m").cast("double") / col("__c").cast("double"),
           1.0 - alpha) * 10000d + 0.5d).cast("int"))
       .select(col(stratumCol).as("__stratum"), col("__bp"))
-    val joined = df.join(broadcast(bp), col(stratumCol) === col("__stratum"))
+    // null-safe: a NULL stratum is a real count group (counts keeps it),
+    // so its rows must reach the fan-out too, not vanish in the join
+    val joined = df.join(broadcast(bp), col(stratumCol) <=> col("__stratum"))
       .drop("__stratum")
     epochFanOut(joined, idCol, salt, Nil)
   }

@@ -161,7 +161,7 @@ class ResumeSpec extends AnyFunSuite {
 
     // a third run over the COMPLETED pipeline recomputes nothing at all:
     // every stage keeps the snapshot id it had after the resume run
-    val allStages = Seq("extracted", "texts", "pairs", "host_rank",
+    val allStages = Seq("extracted", "texts", "pairs", "host_edges", "host_rank",
       "cleaned", "lang_en", "exact", "deduped",
       "substr", "lm_model", "lm_kept",
       "split_pairs", "split", "eval_holdout",

@@ -138,12 +138,14 @@ class SamplingSpec extends AnyFunSuite {
     // of 40/20/10 docs run 1/2/4 epochs — every effective size is 40
     val crafted = (0 until 40).map(i => (i.toLong, "a")) ++
       (100 until 120).map(i => (i.toLong, "b")) ++
-      (200 until 210).map(i => (i.toLong, "c"))
+      (200 until 210).map(i => (i.toLong, "c")) ++
+      (300 until 310).map(i => (i.toLong, null: String)) // NULL is a stratum
     val eq = ops.Sampling.temperatureEpochs(
         crafted.toDF("doc_id", "source"), "doc_id", "source", 0.0)
       .groupBy($"source").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(eq == Map("a" -> 40L, "b" -> 40L, "c" -> 40L))
+      .collect().map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1))
+      .toMap
+    assert(eq == Map("a" -> 40L, "b" -> 40L, "c" -> 40L, "∅" -> 40L))
 
     // alpha=0.5: bp_i = round(sqrt(cmax/ci)·10⁴), re-derived independently
     // per doc against the salted fractional hash; the largest stratum is
