@@ -498,6 +498,25 @@ class PlanSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("temperatureEpochs: rate relation broadcasts, fan-out stays map-side, no product join") {
+    import spark.implicits._
+    val docs = spark.range(100000)
+      .selectExpr("id AS doc_id", "concat('s', id % 37) AS source")
+    val df = ops.Sampling.temperatureEpochs(docs, "doc_id", "source", 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side must meet the stratum-sized bp relation in a
+    // broadcast hash join — never a corpus-width sort-merge exchange
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      s"rate join must broadcast, not sort-merge:\n${p.take(800)}")
+    // the only product join is the 1-row max broadcast onto the
+    // stratum-sized counts — node-sized, never data-scale
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the copy fan-out is a generate over the joined rows, not a shuffle
+    assert(p.contains("Generate explode"), p.take(800))
+  }
+
   test("dsirSample: Gumbel-top-k plans TakeOrdered, never a global sort") {
     import spark.implicits._
     val weighted = spark.range(100000)
