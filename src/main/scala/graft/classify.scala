@@ -99,7 +99,7 @@ object Classify {
         hasMedia = true
         registry.dispatch(s.media_ref) match {
           case Some((rule, _)) =>
-            val idx = Registry.rules.indexWhere(_.name == rule.name)
+            val idx = registry.indexOf(rule)
             if (idx < bestRuleIdx) bestRuleIdx = idx
           case None => // no rule for this ref; keep scanning
         }
@@ -116,7 +116,7 @@ object Classify {
     if (!hasMedia && di < n)
       hasMedia = spans.exists(s => s.kind == "media" && s.media_ref.nonEmpty)
     val extractor =
-      if (bestRuleIdx != Int.MaxValue) Registry.rules(bestRuleIdx).name
+      if (bestRuleIdx != Int.MaxValue) registry.nameAt(bestRuleIdx)
       else if (hasMedia) Registry.GenericExtractor
       else Registry.TextOnlyExtractor
 

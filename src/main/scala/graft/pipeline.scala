@@ -28,17 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object ExtractJob {
 
-  /** Pure transform: raw docs → extracted docs (typed mapPartitions path). */
+  /** Pure transform: raw docs → extracted docs (typed mapPartitions path).
+    * `rules` defaults to the built-in registry; [[backfill]] passes the
+    * UPDATED rule set when reprocessing after a registry change (the rule
+    * seq is config-sized — it ships in the task closure and compiles once
+    * per partition exactly like the default). */
   def transform(
       docs: Dataset[RawDoc],
-      numPartitions: Int = DocGen.NumBuckets): Dataset[ExtractedDoc] = {
+      numPartitions: Int = DocGen.NumBuckets,
+      rules: Seq[ExtractorRule] = Registry.rules): Dataset[ExtractedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     docs
       .repartitionByRange(numPartitions, $"bucket", $"doc_id")
       .mapPartitions { it =>
-        val registry = CompiledRegistry.default
+        val registry = new CompiledRegistry(rules)
         it.map(doc => Classify.extractDoc(doc, registry))
       }
   }
@@ -127,6 +132,134 @@ object ExtractJob {
     // MISSING metrics batch, which is re-derivable from data at rest.
     writeMetrics(spark, tableDir, runId, System.nanoTime() - t0, pending, stats)
     snap
+  }
+
+  /** Selective RULE-CHANGE backfill — the reprocessing economics operator.
+    * At 100 TB the dominant recurring cost of an extraction pipeline is not
+    * the first pass but the re-extractions every registry change forces;
+    * recomputing the whole table for a rule that touched 0.1% of documents
+    * is the scale failure this operator removes.
+    *
+    * The affected set is DERIVED from the registry diff, not declared by
+    * the caller, and it is derived at SPAN level: the doc-level
+    * `extractor` label under-identifies the blast radius (a doc labeled
+    * gfyclip still carries spans that an edited albumhost rule
+    * canonicalized — dispatch picks one label per doc, but every rule
+    * rewrites its own refs in every doc). A changed rule's footprint in
+    * the committed table is visible in the refs themselves:
+    *
+    *  - refs a REMOVED or EDITED rule claimed sit in their OLD canonical
+    *    shape (the rule's canonical template with `${group}`s wildcarded);
+    *  - refs an ADDED or EDITED rule would NEWLY claim sit RAW (they fell
+    *    through to generic passthrough), matching the rule's NEW pattern.
+    *
+    * ONE scan of the committed table — `exists(spans, media_ref rlike …)`
+    * over the two alternations — yields the affected buckets; only those
+    * are re-extracted (partition-pruned read of the raw input) under
+    * `newRules`, and only their states move in the commit.
+    *
+    * CONTRACT: rule patterns must identify disjoint ref families across
+    * the registry (host-anchored patterns like qetch's handlers do). A
+    * pure PRIORITY reorder among overlapping patterns changes which rule
+    * claims a ref without changing either rule's text, and is not
+    * detected — re-extract in full for that (rare) maintenance case.
+    *
+    * Write path is APPEND-then-commit (the [[compact]] pattern), NOT
+    * dynamic-partition overwrite: new files land beside the old ones, the
+    * commit repoints the affected buckets at the fresh files only, and the
+    * replaced files become unreferenced orphans ([[Manifest.removeOrphans]]
+    * after the GC grace). Readers pinning the pre-backfill snapshot keep
+    * scanning exactly the bytes they resolved (time travel across a
+    * backfill works), and a crash between write and commit leaves only
+    * GC-able orphans — rerunning the backfill converges. An affected
+    * bucket is rewritten WHOLE (every doc re-extracted under the new
+    * rules, not just the affected ones): bucket states are the unit of
+    * lineage, and a partial rewrite would need row-level deletes the
+    * file-granular manifest deliberately does not have.
+    *
+    * Returns the new snapshot; metrics rows for `runId` cover exactly the
+    * rewritten buckets (same at-rest derivation and same post-commit crash
+    * contract as [[run]]). No-op (identical registries, or a diff whose
+    * footprint is absent from the table) returns HEAD unchanged. */
+  def backfill(
+      spark: SparkSession,
+      docs: Dataset[RawDoc],
+      tableDir: String,
+      runId: String,
+      newRules: Seq[ExtractorRule],
+      oldRules: Seq[ExtractorRule] = Registry.rules,
+      numPartitions: Int = 0): Manifest.Snapshot = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val snap = table.head().getOrElse(throw new IllegalStateException(
+      s"backfill requires a committed extraction table at $tableDir"))
+
+    // registry diff by rule name
+    val oldByName = oldRules.map(r => r.name -> r).toMap
+    val newByName = newRules.map(r => r.name -> r).toMap
+    val removed = oldRules.filterNot(r => newByName.contains(r.name))
+    val added = newRules.filterNot(r => oldByName.contains(r.name))
+    val edited = oldRules.filter(r => newByName.get(r.name)
+      .exists(n => n.pattern != r.pattern || n.canonical != r.canonical))
+    if (removed.isEmpty && added.isEmpty && edited.isEmpty) return snap
+
+    // affected predicate over committed refs: old-canonical shapes of
+    // removed/edited rules + new raw patterns of added/edited rules
+    val oldShapes = (removed ++ edited).map(r => canonicalShapeRegex(r.canonical))
+    val newPats = (added ++ edited.map(r => newByName(r.name))).map(_.pattern)
+    val refRegex = (oldShapes ++ newPats).map(p => s"(?:$p)").mkString("|")
+    val hit = exists(col("spans"), s => s.getField("media_ref").rlike(refRegex))
+
+    // affected buckets from data at rest: spans + bucket columns only,
+    // config-sized result (bounded by the bucket count, never table width)
+    val pending = table.readData(spark)
+      .where(hit)
+      .select($"bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (pending.isEmpty) return snap
+
+    val parts = if (numPartitions > 0) numPartitions else pending.length
+    val pendingDocs = docs.where($"bucket".isin(pending: _*)).as[RawDoc]
+    val extracted = transform(pendingDocs, numPartitions = parts, rules = newRules)
+
+    val before: Map[Int, Set[String]] =
+      pending.map(b => b -> table.listBucketFiles(b).toSet).toMap
+    extracted.toDF()
+      .write.mode("append")
+      .partitionBy("bucket")
+      .parquet(s"$tableDir/data")
+    val bucketFiles: Map[Int, Seq[String]] =
+      pending.map(b => b -> table.listBucketFiles(b).filterNot(before(b))).toMap
+    val newFiles = pending.flatMap(bucketFiles)
+
+    val stats = scanStats(spark, tableDir, newFiles)
+    val states = pending.map { b =>
+      val s = stats.getOrElse(b, BucketStat(0L, 0L, 0L, Nil, ""))
+      Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
+    }
+    val out = table.commit(runId, states)
+    writeMetrics(spark, tableDir, runId, System.nanoTime() - t0, pending, stats)
+    out
+  }
+
+  /** Regex matching every ref a canonical template can produce: literal
+    * segments quoted, `${group}` placeholders wildcarded (non-greedy).
+    * Injective enough by construction — the committed refs it must find
+    * were PRODUCED by this very template. */
+  private[graft] def canonicalShapeRegex(template: String): String = {
+    val ph = "\\$\\{[a-zA-Z]+\\}".r
+    val sb = new StringBuilder
+    var last = 0
+    ph.findAllMatchIn(template).foreach { m =>
+      if (m.start > last)
+        sb.append(java.util.regex.Pattern.quote(template.substring(last, m.start)))
+      sb.append(".*?")
+      last = m.end
+    }
+    if (last < template.length)
+      sb.append(java.util.regex.Pattern.quote(template.substring(last)))
+    sb.toString
   }
 
   /** Per-bucket stats of freshly written data files: docs, span counts,

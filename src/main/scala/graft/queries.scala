@@ -4136,7 +4136,11 @@ object Queries {
     *  - `outp`    kept spans with dense pos (the extraction output)
     *  - `docstat` per-doc (bucket, n_raw, kept)
     */
-  private def classifierCtes(docWhere: String): String = {
+  private def classifierCtes(docWhere: String, gfyCanonSuffix: String = ""): String = {
+    // optional canonical-template EDIT for the backfill replay: appended
+    // verbatim to the gfyclip canonical (empty = the shipped template, and
+    // the emitted SQL stays byte-identical to the pre-parameter form)
+    val gfySfx = if (gfyCanonSuffix.isEmpty) "" else s" || '$gfyCanonSuffix'"
     val stops = Classify.Stopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
     // Registry.rules patterns with numbered instead of named groups
     // (gfyclip: 1=id 2=ext; chanboard: 1=board 2=tim 3=ext;
@@ -4213,7 +4217,7 @@ object Queries {
        |  UNION ALL
        |  SELECT doc_id, bucket, head_pos, 'media', head_text,
        |    CASE best_rule
-       |      WHEN 'gfyclip' THEN 'https://gfyclip.test/' || regexp_extract(best_ref, '$gfy', 1)
+       |      WHEN 'gfyclip' THEN 'https://gfyclip.test/' || regexp_extract(best_ref, '$gfy', 1)$gfySfx
        |      WHEN 'chanboard' THEN 'https://chanboard.test/' || regexp_extract(best_ref, '$chan', 1) ||
        |        '/' || regexp_extract(best_ref, '$chan', 2) ||
        |        '.' || regexp_extract(best_ref, '$chan', 3)
@@ -4612,6 +4616,38 @@ object Queries {
     }
   }
 
+  /** Selective rule-change backfill end-to-end (ExtractJob.backfill): base
+    * extraction committed under the shipped registry, then the gfyclip
+    * canonical template is EDITED and the backfill derives the affected
+    * buckets from the diff's span-level footprint (old gfyclip canonicals
+    * in the committed refs), rewrites ONLY those, and commits. The query
+    * reads the post-backfill table through the manifest; the oracle is the
+    * full SQL classifier replay under the EDITED template — hash equality
+    * proves the selective rewrite converged to exactly the table a full
+    * re-run under the new registry would produce (no stale rows, no loss,
+    * no duplication, ordering intact). */
+  private val qBackfillRules = QueryDef(
+    "q_backfill_rules",
+    (s, _) => {
+      import s.implicits._
+      val out = s"$corpusDir/backfill_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        ExtractJob.run(s, docs, out, "base", resume = false)
+        val edited = Registry.rules.map(r =>
+          if (r.name == "gfyclip") r.copy(canonical = r.canonical + "?rev=2") else r)
+        ExtractJob.backfill(s, docs, out, "bf-edit", newRules = edited)
+      }
+      new Manifest(out, s.sessionState.newHadoopConf()).readData(s)
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter", gfyCanonSuffix = "?rev=2")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Full extraction through the NATIVE expression (plans.ExtractExpression)
     * over the staged corpus — same oracle family; confidence surfaces as a
     * per-doc integer quantization (floor(conf·10⁴)) summed per extractor so
@@ -4662,7 +4698,8 @@ object Queries {
     qChunkBpe,
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,
-    qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics, qExtractNative)
+    qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
+    qBackfillRules, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

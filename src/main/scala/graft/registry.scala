@@ -82,6 +82,17 @@ final class CompiledRegistry(rules: Seq[ExtractorRule]) extends Serializable {
   @transient private lazy val needles: Seq[String] =
     rules.map(r => CompiledRegistry.literalNeedle(r.pattern))
 
+  @transient private lazy val idxByName: Map[String, Int] =
+    rules.zipWithIndex.map { case (r, i) => r.name -> i }.toMap
+
+  /** Registration-order index of a rule in THIS registry — dispatch
+    * priority must be resolved against the compiled rule set, never the
+    * global [[Registry.rules]] (a backfill runs with an EDITED set). */
+  def indexOf(rule: ExtractorRule): Int = idxByName(rule.name)
+
+  /** Rule name at a registration-order index of THIS registry. */
+  def nameAt(idx: Int): String = rules(idx).name
+
   /** First rule (in registry order) matching the ref, with its Matcher —
     * qetch get_handle analog. Needle precheck skips regex work for refs
     * that cannot match (most of an open crawl). */
