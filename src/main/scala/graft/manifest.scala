@@ -266,10 +266,15 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * `extraWatermarks` ride the same carried-forward-verbatim map as the
     * streaming watermark — the durable home for table-level metadata such
     * as the indexed-corpus layout stamp (reserved `__`-prefixed keys;
-    * monotone max-merge like every watermark entry). */
+    * monotone max-merge like every watermark entry).
+    * `overwriteWatermarks` entries are set VERBATIM after the merge — the
+    * escape hatch for metadata that legitimately moves DOWN (resharding
+    * restamps the layout key to a smaller bucket count; a max-merge could
+    * never record it). Stream batch watermarks must never use this. */
   def commit(runId: String, newBuckets: Seq[BucketState],
       streamWatermark: Option[(String, Long)] = None,
-      extraWatermarks: Map[String, Long] = Map.empty): Snapshot = {
+      extraWatermarks: Map[String, Long] = Map.empty,
+      overwriteWatermarks: Map[String, Long] = Map.empty): Snapshot = {
     fs.mkdirs(meta)
     val parent = head()
     val parentId = parent.map(_.id).getOrElse(-1)
@@ -281,10 +286,10 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     val withExtra = extraWatermarks.foldLeft(parentWms) { case (m, (k, v)) =>
       m.updated(k, math.max(v, m.getOrElse(k, -1L)))
     }
-    val wms = streamWatermark match {
+    val wms = (streamWatermark match {
       case Some((sid, b)) => withExtra.updated(sid, math.max(b, withExtra.getOrElse(sid, -1L)))
       case None => withExtra
-    }
+    }) ++ overwriteWatermarks
     val snap = Snapshot(id, parentId, runId, merged, wms)
     val body = {
       val bs = merged.map { b =>

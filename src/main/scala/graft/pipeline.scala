@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The distributed extraction core (SURVEY.md §3.4, §7.3 M1).
@@ -397,5 +397,98 @@ object ExtractJob {
       Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh)
     }
     table.commit(s"compact-of-${snap.id}", states)
+  }
+
+  /** Copy-on-write DELETE by key — the right-to-be-forgotten primitive a
+    * training-data table legally needs (a takedown/opt-out request names
+    * doc ids; the table must stop serving them). Every bucket that holds a
+    * doomed key is rewritten WITHOUT those rows using [[compact]]'s
+    * append-then-commit pattern: new files land beside the old ones, one
+    * snapshot commit swaps the lineage, the old files become GC-able
+    * orphans. Nothing is deleted in place, so a crash at any point leaves
+    * the committed table untouched and readers pinning the pre-delete
+    * snapshot finish their scans.
+    *
+    * Two passes, both bounded:
+    *  1. locate — a (bucket, key)-only scan (column-pruned to two columns)
+    *     semi-joined against the key set and partial-agged to per-bucket
+    *     hit counts; buckets with zero hits are never rewritten, so the
+    *     blast radius is the keys' buckets, not the table (callers with an
+    *     id-bucketed layout can shrink `only` further — see
+    *     [[graft.streaming.EventStream.deleteDocs]]);
+    *  2. rewrite — hit buckets re-read full-width, `left_anti` the keys,
+    *     re-written partitioned by bucket. A bucket whose rows ALL die
+    *     commits as rows=0 with no files (the legitimate zero-row state).
+    *
+    * Buckets are grouped by their parquet schema and each group is scanned
+    * separately, so heterogeneous bucket NAMESPACES (the indexed corpus
+    * stream: corpus rows + index rows keyed by the same id) delete in ONE
+    * call and ONE commit — corpus and index can never disagree about a
+    * forgotten id. Buckets whose schema lacks `keyCol` (metrics, heat
+    * sketches) are skipped — they hold no per-document rows. Per-bucket
+    * watermarks are carried UNCHANGED: the watermark is a monotone resume
+    * high-water mark, not a row-set digest, and regressing it could
+    * re-admit already-processed inputs.
+    *
+    * RETENTION CAVEAT (document this to whoever files the takedown): the
+    * delete removes rows from the CURRENT snapshot; pinned older snapshots
+    * and orphaned pre-delete files still hold the bytes until maintenance
+    * runs. The full forget recipe is
+    * `deleteByKey(...)` → `expireSnapshots(1)` → `removeOrphans(0)` —
+    * after which no data file under the table contains the keys
+    * (MaintenanceSpec proves it by scanning every surviving parquet). */
+  def deleteByKey(
+      spark: SparkSession,
+      tableDir: String,
+      keys: DataFrame,
+      keyCol: String,
+      only: Option[Set[Int]] = None): Manifest.Snapshot = {
+    import spark.implicits._
+    val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val snap = table.head().getOrElse(
+      throw new IllegalStateException(s"nothing to delete from at $tableDir"))
+    val sel = snap.buckets.filter(b => only.forall(_.contains(b.bucket)) &&
+      b.files.nonEmpty)
+    if (sel.isEmpty) return snap
+    // the key set is the size of a forget request — distinct once, reused
+    // by the locate scan and every rewrite group
+    val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
+
+    // one footer read per bucket; buckets without keyCol hold no
+    // per-document rows and are skipped, the rest group by schema so each
+    // group is one homogeneous scan (same guard rationale as compact)
+    val schemas = sel.map(b => b -> spark.read.parquet(b.files.head).schema)
+    val keyed = schemas.filter(_._2.fieldNames.contains(keyCol))
+    val groups = keyed.groupBy(_._2).values.map(_.map(_._1)).toSeq
+
+    val rewrittenStates = groups.flatMap { bs =>
+      val ids = bs.map(_.bucket).toSet
+      // pass 1: per-bucket hit counts — two columns wide, partial-agg
+      val hits = table.readData(spark, Some(ids))
+        .select(col("bucket"), col(keyCol))
+        .join(keySet, Seq(keyCol), "left_semi")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("doomed"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (hits.isEmpty) Nil
+      else {
+        val hit = bs.filter(b => hits.contains(b.bucket))
+        val hitIds = hit.map(_.bucket)
+        val before = hitIds.map(b => b -> table.listBucketFiles(b).toSet).toMap
+        // pass 2: rewrite survivors; repartition by bucket so each bucket
+        // lands in few files (a delete must not fragment the table)
+        table.readData(spark, Some(hitIds.toSet))
+          .join(keySet, Seq(keyCol), "left_anti")
+          .repartition($"bucket")
+          .write.mode("append").partitionBy("bucket")
+          .parquet(s"$tableDir/data")
+        hit.map { b =>
+          val fresh = table.listBucketFiles(b.bucket).filterNot(before(b.bucket))
+          Manifest.BucketState(b.bucket, b.rows - hits(b.bucket),
+            b.watermarkDocId, fresh)
+        }
+      }
+    }
+    if (rewrittenStates.isEmpty) snap
+    else table.commit(s"delete-of-${snap.id}", rewrittenStates)
   }
 }

@@ -670,6 +670,134 @@ object EventStream {
         else Map.empty))
   }
 
+  /** Right-to-be-forgotten for the indexed corpus table: copy-on-write
+    * delete of `ids` from BOTH the corpus rows and their dedup-index rows
+    * in ONE snapshot commit ([[graft.ExtractJob.deleteByKey]] does the
+    * rewrite; this wrapper adds the layout awareness). The blast radius is
+    * the ids' own corpus sub-buckets — computed with the SAME
+    * [[corpusBucketOf]] hash the writer used — plus the index bucket;
+    * every other bucket keeps its files untouched.
+    *
+    * FORGET SEMANTICS, deliberately: dropping the index rows means a
+    * future crawl of the same text is judged fresh and RE-ADMITTED. That
+    * is what deletion means — the pipeline has no memory of content it was
+    * ordered to forget (a "remember-but-suppress" tombstone would itself
+    * retain a fingerprint of the forgotten text). StreamingSpec pins the
+    * re-admission.
+    *
+    * Retention: like every manifest delete, the bytes survive in orphaned
+    * files and pinned snapshots until `expireSnapshots` + `removeOrphans`
+    * run — the wrapper deletes from HEAD; maintenance scrubs history. */
+  def deleteDocs(spark: SparkSession, tableDir: String, ids: DataFrame,
+      idCol: String = "doc_id", corpusBuckets: Int = 1): graft.Manifest.Snapshot = {
+    val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    requireLayout(table.head(), corpusBuckets, tableDir)
+    // candidate sub-buckets from the ids themselves (bounded by the
+    // layout's bucket count — a config-sized collect)
+    val cand = ids.select(corpusBucketOf(corpusBuckets)(col(idCol)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    graft.ExtractJob.deleteByKey(spark, tableDir, ids, idCol,
+      only = Some(cand + indexBucketFor(corpusBuckets)))
+  }
+
+  /** Reshard the indexed corpus table from its committed `from` layout to
+    * `to` corpus sub-buckets — the migration path [[requireLayout]]'s
+    * fail-fast otherwise forecloses (a table started at corpusBuckets=1
+    * would be stuck with O(corpus) candidate resolution forever; a table
+    * over-sharded early pays per-batch small files forever).
+    *
+    * Every namespace is physically rewritten into its new bucket id with
+    * compact()'s append-then-commit pattern — corpus rows re-hashed by
+    * [[corpusBucketOf]](to), index/metrics/heat rows moved verbatim to
+    * their shifted ids — and ONE commit swaps the whole layout: the
+    * snapshot's bucket ids always equal the directory partition values
+    * (the invariant compaction's fresh-file diff and the pruning
+    * contract both rely on), stream watermarks carry forward (the
+    * exactly-once guard survives, so the resumed stream skips re-delivered
+    * batches), and the layout stamp is OVERWRITTEN to `to` (verbatim, not
+    * max-merged — downsharding is legal). Old files become GC-able
+    * orphans; pinned pre-reshard snapshots keep reading their exact files.
+    *
+    * Corpus-bucket watermarks after the reshard are the max over the old
+    * corpus watermarks (rows moved between buckets; the per-bucket
+    * high-water mark stays monotone by taking the union bound). */
+  def reshardCorpus(spark: SparkSession, tableDir: String, to: Int,
+      from: Int = 1, idCol: String = "doc_id"): graft.Manifest.Snapshot = {
+    require(to >= 1, s"target corpusBuckets must be >= 1, got $to")
+    val table = new graft.Manifest(tableDir, spark.sessionState.newHadoopConf())
+    val prev = table.head().getOrElse(throw new IllegalStateException(
+      s"nothing to reshard at $tableDir"))
+    requireLayout(Some(prev), from, tableDir)
+    require(to != from, s"table already has corpusBuckets=$from")
+    val states = prev.buckets.map(b => b.bucket -> b).toMap
+    val corpusWm = (0 until from)
+      .flatMap(states.get).map(_.watermarkDocId).foldLeft("")((a, b) => Seq(a, b).max)
+
+    // corpus rows: re-hash into the new sub-buckets (one shuffle by the
+    // new bucket, exactly the admit path's write shape)
+    val oldCorpus = (0 until from).filter(b => states.get(b).exists(_.files.nonEmpty))
+    val corpusRows = (0 until from).flatMap(states.get).map(_.rows).sum
+    val newCorpusStates: Seq[graft.Manifest.BucketState] =
+      if (oldCorpus.isEmpty)
+        (0 until to).map(b => graft.Manifest.BucketState(b, 0L, corpusWm, Nil))
+      else {
+        val before = (0 until to).map(b => b -> table.listBucketFiles(b).toSet).toMap
+        val rows = table.readData(spark, Some(oldCorpus.toSet)).drop("bucket")
+          .withColumn("bucket", corpusBucketOf(to)(col(idCol)))
+          .repartition(col("bucket"))
+        rows.write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
+        // per-new-bucket rows from the FRESH files' own footers (one
+        // manifest-planned scan of just-written files; no second shuffle)
+        val fresh = (0 until to).map(b =>
+          b -> table.listBucketFiles(b).filterNot(before(b)))
+        val counts: Map[Int, Long] = {
+          val files = fresh.flatMap(_._2)
+          if (files.isEmpty) Map.empty
+          else spark.read.option("basePath", s"$tableDir/data").parquet(files: _*)
+            .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+        fresh.map { case (b, fl) =>
+          graft.Manifest.BucketState(b, counts.getOrElse(b, 0L), corpusWm, fl)
+        }
+      }
+    require(newCorpusStates.map(_.rows).sum == corpusRows,
+      s"reshard row conservation failed: $corpusRows in, " +
+        s"${newCorpusStates.map(_.rows).sum} out")
+
+    // index / metrics / heat: move each namespace verbatim to its shifted
+    // id — physically rewritten so the snapshot bucket id always equals
+    // the directory partition value (compaction's fresh-file diff and the
+    // pruning contract both rely on that invariant)
+    def move(oldId: Int, newId: Int): Option[graft.Manifest.BucketState] =
+      states.get(oldId).map { st =>
+        if (st.files.isEmpty)
+          graft.Manifest.BucketState(newId, st.rows, st.watermarkDocId, Nil)
+        else {
+          val before = table.listBucketFiles(newId).toSet
+          table.readData(spark, Some(Set(oldId))).drop("bucket")
+            .coalesce(math.max(1, st.files.length))
+            .write.mode("append").parquet(s"$tableDir/data/bucket=$newId")
+          graft.Manifest.BucketState(newId, st.rows, st.watermarkDocId,
+            table.listBucketFiles(newId).filterNot(before))
+        }
+      }
+    val moved = Seq(
+      move(indexBucketFor(from), indexBucketFor(to)),
+      move(metricsBucketFor(from), metricsBucketFor(to)),
+      move(heatBucketFor(from), heatBucketFor(to))).flatten
+
+    // old ids not reused by the new layout zero out (rows=0, no files) so
+    // a reader of the new snapshot can never resolve stale namespaces
+    val newIds = (0 until to).toSet ++ moved.map(_.bucket)
+    val stale = states.keySet.diff(newIds).toSeq.sorted.map(b =>
+      graft.Manifest.BucketState(b, 0L, states(b).watermarkDocId, Nil))
+
+    table.commit(s"reshard-$from-to-$to",
+      newCorpusStates ++ moved ++ stale,
+      overwriteWatermarks = Map(LayoutKey -> to.toLong))
+  }
+
   /** Watermarked tumbling-window counts per event_type over a timestamped
     * event stream (schema: ts timestamp, event_type string, value double). */
   def eventCounts(events: DataFrame): DataFrame =

@@ -222,4 +222,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(h.id == 2 && h.buckets.map(_.bucket) == Seq(0, 1, 2),
       "current snapshot must stay complete after expiry")
   }
+
+  test("copy-on-write delete removes keyed rows, leaves unhit buckets' files untouched; the forget recipe scrubs the bytes") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    val s0 = ExtractJob.run(spark, DocGen.generate(spark, 800, 8), dir, "del",
+      resume = false, numPartitions = 16)
+    val m = new Manifest(dir)
+    val golden = tableState(m)
+
+    // doom 5 real ids + 1 absent one; record which buckets hold them
+    val doomed = golden.keys.toSeq.sorted.take(5)
+    val bucketOf = m.readData(spark).select(col("bucket"), col("doc_id"))
+      .as[(Int, String)].collect().map(p => p._2 -> p._1).toMap
+    val hitBuckets = doomed.map(bucketOf).toSet
+    val keys = (doomed :+ "no-such-doc").toDF("doc_id")
+
+    val s1 = ExtractJob.deleteByKey(spark, dir, keys, "doc_id")
+    assert(s1.id == s0.id + 1)
+    // content: golden minus exactly the doomed rows
+    assert(tableState(m) == (golden -- doomed))
+    // bookkeeping: per-bucket rows dropped by the per-bucket hit counts
+    assert(s1.buckets.map(_.rows).sum == s0.buckets.map(_.rows).sum - doomed.length)
+    // blast radius: buckets without a doomed key keep their EXACT files
+    // (no gratuitous rewrite), hit buckets got fresh ones
+    val f0 = s0.buckets.map(b => b.bucket -> b.files).toMap
+    s1.buckets.foreach { b =>
+      if (hitBuckets(b.bucket)) assert(b.files != f0(b.bucket), s"bucket ${b.bucket}")
+      else assert(b.files == f0(b.bucket), s"bucket ${b.bucket} must be untouched")
+    }
+    // watermarks never regress on delete (monotone resume contract)
+    assert(s1.buckets.map(b => b.bucket -> b.watermarkDocId).toMap ==
+      s0.buckets.map(b => b.bucket -> b.watermarkDocId).toMap)
+
+    // deleting only absent keys is a no-op: NO new snapshot
+    val s2 = ExtractJob.deleteByKey(spark, dir,
+      Seq("still-absent").toDF("doc_id"), "doc_id")
+    assert(s2.id == s1.id, "a no-hit delete must not commit")
+
+    // pre-delete files are orphans (COW), pinned history still reads them;
+    // then the full forget recipe — expire + GC — scrubs the bytes: no
+    // surviving parquet file under the table contains a doomed id
+    assert(m.orphanFiles().nonEmpty)
+    assert(m.readData(spark, asOf = Some(s0.id)).count() == golden.size.toLong)
+    m.expireSnapshots(keepLast = 1)
+    assert(m.removeOrphans().nonEmpty)
+    val survivors = spark.read
+      .option("basePath", s"$dir/data").parquet(s"$dir/data")
+      .select(col("doc_id")).as[String].collect().toSet
+    assert(doomed.forall(!survivors.contains(_)), "forget recipe must scrub the bytes")
+    assert(survivors == (golden.keySet -- doomed))
+  }
 }

@@ -1148,4 +1148,136 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(eRead.getMessage.contains("no heat sketch"), eRead.getMessage)
   }
+
+  test("deleteDocs: corpus+index forget in one snapshot; a re-crawl of forgotten text is re-admitted, remembered text still drops") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val tbl = Files.createTempDirectory("graft_forget_tbl_").toString + "/t"
+    streaming.EventStream.admitIndexedBatch(base.where($"doc_id" < 40), 0L,
+      tbl, "forget-stream", "doc_id", "text", 0.7, 8, 4, corpusBuckets = 4)
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    def corpusIds() = streaming.EventStream.readCorpus(spark, tbl, 4)
+      .select($"doc_id").as[Long].collect().toSet
+    def indexIds() = streaming.EventStream.readIndex(spark, tbl, 4)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val c0 = corpusIds()
+    assert(c0.size >= 4 && indexIds() == c0)
+
+    // forget two ADMITTED docs (picked from the corpus, so the test holds
+    // even if organic near-dups dropped some of 0..39); remember a third
+    val sorted = c0.toSeq.sorted
+    val (fA, fB, kept) = (sorted.head, sorted(1), sorted.last)
+    val s0 = m.head().get
+    val snap = streaming.EventStream.deleteDocs(spark, tbl,
+      Seq(fA, fB).toDF("doc_id"), corpusBuckets = 4)
+    assert(snap.id == s0.id + 1, "one commit covers corpus AND index")
+    assert(corpusIds() == c0 - fA - fB)
+    assert(indexIds() == c0 - fA - fB, "index rows forget in the same snapshot")
+    // metrics namespace untouched
+    assert(streaming.EventStream.readAdmissionMetrics(spark, tbl, 4).count() == 1)
+
+    // re-crawl: the forgotten doc's exact text under a new id must be
+    // ADMITTED (the pipeline has no memory of it); the remembered doc's
+    // text still drops as an exact dup
+    val textOf = base.where($"doc_id".isin(fA, kept))
+      .as[(Long, String)].collect().toMap
+    val recrawl = Seq((7000L, textOf(fA)), (7001L, textOf(kept)))
+      .toDF("doc_id", "text")
+    streaming.EventStream.admitIndexedBatch(recrawl, 1L,
+      tbl, "forget-stream", "doc_id", "text", 0.7, 8, 4, corpusBuckets = 4)
+    val c2 = corpusIds()
+    assert(c2.contains(7000L), "forgotten text must be re-admitted")
+    assert(!c2.contains(7001L), "remembered text must still drop")
+
+    // the forget recipe scrubs the bytes from every surviving file of the
+    // id-carrying namespaces (corpus sub-buckets + index)
+    m.expireSnapshots(keepLast = 1)
+    m.removeOrphans()
+    val survivorFiles = (0 to 4).flatMap(m.listBucketFiles)
+    val survivorIds = survivorFiles.flatMap(f =>
+      spark.read.parquet(f).select($"doc_id").as[Long].collect()).toSet
+    assert(!survivorIds.contains(fA) && !survivorIds.contains(fB),
+      "after expire+GC no surviving file may contain a forgotten id")
+  }
+
+  test("reshardCorpus: 1→4 migration preserves content, engages pruning, keeps the resumed stream's exactly-once guard; 4→2 downshards") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val in = Files.createTempDirectory("graft_reshard_in_").toString
+    val tbl = Files.createTempDirectory("graft_reshard_tbl_").toString + "/t"
+    val ck = Files.createTempDirectory("graft_reshard_ck_").toString
+    val wave1 = base.where($"doc_id" < 40)
+    val wave2 = base.where($"doc_id" < 20)
+      .select(($"doc_id" + 3000).as("doc_id"), $"text")
+      .union(base.where($"doc_id" >= 40 && $"doc_id" < 50))
+    wave1.coalesce(1).write.mode("append").parquet(in)
+    wave2.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base)
+      .awaitTermination() // corpusBuckets = 1 (the default layout)
+    def corpusIds(n: Int) = streaming.EventStream.readCorpus(spark, tbl, n)
+      .select($"doc_id").as[Long].collect().toSet
+    def indexRows(n: Int) = streaming.EventStream.readIndex(spark, tbl, n)
+      .select($"doc_id", $"h", $"band", $"bandhash")
+      .as[(Long, String, Int, Option[String])].collect().toSet
+    def metricsRows(n: Int) =
+      streaming.EventStream.readAdmissionMetrics(spark, tbl, n)
+        .orderBy($"batch_id").collect().map(_.toSeq).toSeq
+    val (ids1, ix1, mx1) = (corpusIds(1), indexRows(1), metricsRows(1))
+    assert(mx1.length == 2)
+
+    val snap = streaming.EventStream.reshardCorpus(spark, tbl, to = 4)
+    assert(snap.streamWatermarks.get("__layout:corpus_buckets").contains(4L))
+    assert(corpusIds(4) == ids1, "reshard must move every corpus row")
+    assert(indexRows(4) == ix1, "index rows move verbatim")
+    assert(metricsRows(4) == mx1, "metrics rows move verbatim")
+    // the OLD layout no longer opens
+    intercept[IllegalArgumentException](corpusIds(1))
+    // writer/pruner contract under the new layout: every row in the
+    // bucket its id hashes to, and the admission plan partition-prunes
+    val m = new Manifest(tbl, spark.sessionState.newHadoopConf())
+    val placed = m.readData(spark, Some((0 until 4).toSet))
+    assert(placed.where($"bucket" =!=
+      streaming.EventStream.corpusBucketOf(4)($"doc_id")).count() == 0)
+    val next = base.where($"doc_id" < 5)
+      .select(($"doc_id" + 9000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val plan = streaming.EventStream.admissionOutcome(spark, next, m,
+        bootstrap = false, "doc_id", "text", 0.7, 8, 4, 4, materialize = false)
+      .admitted.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      "resharded corpus scan must carry a bucket partition filter")
+
+    // the resumed stream under the new layout: only the NEW file is
+    // processed (watermarks carried through the reshard commit), fresh
+    // docs admitted, re-crawls dropped
+    // fresh docs are synthesized with id-suffixed words so their shingle
+    // sets are disjoint from the corpus AND from each other (the fixture
+    // plants organic near-dup families — e.g. doc 50 ~ doc 0 — so drawing
+    // "fresh" docs from it would race the planted dups)
+    val wave3 = spark.range(10).select(($"id" + 6000).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(w =>
+          concat(lit(s"w$w"), $"id", lit(s"x$w"))): _*).as("text"))
+      .union(base.where($"doc_id" < 5)
+        .select(($"doc_id" + 5000).as("doc_id"), $"text"))
+    wave3.coalesce(1).write.mode("append").parquet(in)
+    streaming.EventStream.runIndexedCorpusStream(spark, in, tbl, ck, base,
+      corpusBuckets = 4).awaitTermination()
+    val ids3 = corpusIds(4)
+    assert(metricsRows(4).length == 3, "exactly one new batch after resume")
+    assert((6000L until 6010L).forall(ids3.contains), "fresh wave-3 docs admitted")
+    assert((5000L until 5005L).forall(id => !ids3.contains(id)),
+      "re-crawls drop against the resharded index")
+
+    // old-layout files are COW orphans; GC leaves the table intact
+    assert(m.removeOrphans().nonEmpty)
+    assert(corpusIds(4) == ids3)
+
+    // downshard is legal too (the stamp overwrites, never max-merges)
+    streaming.EventStream.reshardCorpus(spark, tbl, to = 2, from = 4)
+    assert(corpusIds(2) == ids3)
+    assert(indexRows(2).map(_._1) == ids3, "index follows the downshard")
+    assert(metricsRows(2).length == 3)
+    intercept[IllegalArgumentException](corpusIds(4))
+  }
 }
