@@ -989,6 +989,141 @@ object Queries {
     },
     qDedupIncremental.oracle)
 
+  /** Streaming admission + reshard end-to-end: batch 1 bootstraps an
+    * indexed corpus table at corpusBuckets=1 (within-batch exact + LSH
+    * dedup, keep-min-id roots), the table is RESHARDED 1→4 sub-buckets
+    * (EventStream.reshardCorpus — one commit swaps the physical layout),
+    * and batch 2 is admitted THROUGH the resharded index (exact + LSH vs
+    * the batch-1 survivors, within-batch clustering, corpus-match
+    * poisoning). The query reads the final corpus back through the
+    * manifest; the oracle replays both admission rounds in SQL (the
+    * incremental-dedup replay family, batch 1 against an empty corpus).
+    * Hash equality over (doc_id, md5 text) proves the reshard moved every
+    * row exactly once AND that post-reshard admission decisions are
+    * identical to the SQL replay — layout migration is invisible to
+    * admission semantics. */
+  private val qReshardCorpus = QueryDef(
+    "q_reshard_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val b1 = base.where($"doc_id" < 40)
+      val b2 = base.where($"doc_id" < 10)
+        .select(($"doc_id" + 1000).as("doc_id"), $"text")
+        .union(base.where($"doc_id" >= 40 && $"doc_id" < 50))
+        .union(base.where($"doc_id" < 5)
+          .select(($"doc_id" + 2000).as("doc_id"),
+            concat($"text", lit(" extra")).as("text")))
+      val tbl = s"$corpusDir/reshard_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(tbl))
+        streaming.EventStream.admitIndexedBatch(b1, 0L, tbl, "q-reshard",
+          "doc_id", "text", 0.7, 8, 4, corpusBuckets = 1)
+        streaming.EventStream.reshardCorpus(s, tbl, to = 4)
+        streaming.EventStream.admitIndexedBatch(b2, 1L, tbl, "q-reshard",
+          "doc_id", "text", 0.7, 8, 4, corpusBuckets = 4)
+      }
+      streaming.EventStream.readCorpus(s, tbl, 4)
+        .select($"doc_id", md5($"text").as("h"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      // the same 8-sig / 4-band minhash replay as the incremental oracle,
+      // parameterized by source CTE and prefix. `corpus` and `de` are
+      // MATERIALIZED: corpus is derived through a recursive CTE and
+      // referenced five times downstream — DuckDB's default per-reference
+      // inlining re-executes the whole recursion each time, compounding
+      // to minutes; materialized, the replay runs in under a second.
+      def sig(src: String, p: String) =
+        s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
+           |${p}sh AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS shingle
+           |       FROM (SELECT doc_id, ws, unnest(range(len(ws)-2)) AS i
+           |             FROM ${p}w WHERE len(ws) >= 3)),
+           |${p}sig AS (SELECT doc_id,
+           |  min(md5('0:' || shingle)) AS s0, min(md5('1:' || shingle)) AS s1,
+           |  min(md5('2:' || shingle)) AS s2, min(md5('3:' || shingle)) AS s3,
+           |  min(md5('4:' || shingle)) AS s4, min(md5('5:' || shingle)) AS s5,
+           |  min(md5('6:' || shingle)) AS s6, min(md5('7:' || shingle)) AS s7
+           |  FROM ${p}sh GROUP BY doc_id),
+           |${p}band AS (
+           |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1) AS bandhash FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM ${p}sig
+           |  UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM ${p}sig)"""
+          .stripMargin
+      s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+         |b1 AS (SELECT doc_id, text FROM base WHERE doc_id < 40),
+         |e1 AS (SELECT doc_id, text FROM b1
+         |       WHERE doc_id IN (SELECT min(doc_id) FROM b1 GROUP BY md5(text))),
+         |${sig("e1", "a")},
+         |a1words AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM e1),
+         |w1cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM aband x JOIN aband y
+         |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+         |w1pairs AS (SELECT id_a, id_b FROM
+         |  (SELECT id_a, id_b, len(list_intersect(a.wset, b.wset)) AS inter,
+         |          len(list_distinct(list_concat(a.wset, b.wset))) AS uni
+         |   FROM w1cand JOIN a1words a ON a.doc_id = id_a JOIN a1words b ON b.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+         |n1 AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM w1pairs UNION SELECT id_b FROM w1pairs)),
+         |e1dges AS (SELECT id_a AS u, id_b AS v FROM w1pairs
+         |           UNION SELECT id_b, id_a FROM w1pairs),
+         |reach1(id, r) AS (
+         |  SELECT id, id FROM n1
+         |  UNION
+         |  SELECT e.v, reach1.r FROM reach1 JOIN e1dges e ON e.u = reach1.id),
+         |comp1 AS (SELECT id, min(r) AS root FROM reach1 GROUP BY id),
+         |corpus AS MATERIALIZED (SELECT doc_id, text FROM e1
+         |  WHERE doc_id NOT IN (SELECT id FROM comp1 WHERE id <> root)),
+         |delta0 AS (
+         |  SELECT doc_id + 1000 AS doc_id, text FROM base WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id, text FROM base WHERE doc_id >= 40 AND doc_id < 50
+         |  UNION ALL SELECT doc_id + 2000, text || ' extra' FROM base WHERE doc_id < 5),
+         |dex AS (SELECT doc_id, text FROM delta0
+         |        WHERE doc_id IN (SELECT min(doc_id) FROM delta0 GROUP BY md5(text))),
+         |de AS MATERIALIZED (SELECT * FROM dex
+         |        WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+         |${sig("de", "d")},
+         |${sig("corpus", "c")},
+         |across AS (SELECT DISTINCT d.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM dband d JOIN cband c ON d.band = c.band AND d.bandhash = c.bandhash),
+         |dwords AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM de),
+         |cwords AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS wset FROM corpus),
+         |matched AS (SELECT DISTINCT id_a FROM
+         |  (SELECT id_a, len(list_intersect(a.wset, b.wset)) AS inter,
+         |          len(list_distinct(list_concat(a.wset, b.wset))) AS uni
+         |   FROM across JOIN dwords a ON a.doc_id = id_a JOIN cwords b ON b.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+         |wcand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM dband x JOIN dband y
+         |    ON x.band = y.band AND x.bandhash = y.bandhash AND x.doc_id < y.doc_id),
+         |wpairs AS (SELECT id_a, id_b FROM
+         |  (SELECT id_a, id_b, len(list_intersect(a.wset, b.wset)) AS inter,
+         |          len(list_distinct(list_concat(a.wset, b.wset))) AS uni
+         |   FROM wcand JOIN dwords a ON a.doc_id = id_a JOIN dwords b ON b.doc_id = id_b)
+         |  WHERE CAST(inter AS DOUBLE) / uni >= 0.7),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM wpairs UNION SELECT id_b FROM wpairs)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM wpairs
+         |          UNION SELECT id_b, id_a FROM wpairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |proots AS (SELECT DISTINCT comp.root FROM comp JOIN matched ON comp.id = matched.id_a),
+         |drops AS (SELECT id FROM comp WHERE id <> root
+         |  UNION SELECT id FROM comp WHERE root IN (SELECT root FROM proots)
+         |  UNION SELECT id_a FROM matched),
+         |final AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, text FROM de WHERE doc_id NOT IN (SELECT id FROM drops))
+         |SELECT doc_id, md5(text) AS h FROM final
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Exact substring dedup (ops.Dedup.exactSubstringDedup — the Lee et al.
     * 2021 operator): every word-15-gram occurring more than once in the
     * corpus is cut from all but its globally-first occurrence and each
@@ -4648,6 +4783,38 @@ object Queries {
             |SELECT doc_id, pos, kind, text, media_ref FROM outp
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Copy-on-write delete end-to-end (ExtractJob.deleteByKey — the
+    * right-to-be-forgotten primitive): base extraction committed, then
+    * every doc whose id ends in '7' is deleted by key and the query reads
+    * the post-delete table through the manifest. The oracle is the full
+    * SQL classifier replay minus exactly the doomed ids — hash equality
+    * proves the bucket-scoped rewrite removed the doomed rows and ONLY
+    * the doomed rows (no collateral loss, no duplication, ordering
+    * intact across the rewritten buckets). */
+  private val qDeleteCow = QueryDef(
+    "q_delete_cow",
+    (s, _) => {
+      import s.implicits._
+      val out = s"$corpusDir/delete_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        ExtractJob.run(s, docs, out, "pre-del", resume = false)
+        val doomed = stagedCorpus(s)
+          .where($"doc_id" < SmallDocMax && $"doc_id".endsWith("7"))
+          .select($"doc_id")
+        ExtractJob.deleteByKey(s, out, doomed, "doc_id")
+      }
+      new Manifest(out, s.sessionState.newHadoopConf()).readData(s)
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |WHERE doc_id NOT LIKE '%7'
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Full extraction through the NATIVE expression (plans.ExtractExpression)
     * over the staged corpus — same oracle family; confidence surfaces as a
     * per-doc integer quantization (floor(conf·10⁴)) summed per extractor so
@@ -4676,7 +4843,7 @@ object Queries {
     qExcept, qScalar, qApproxQuantile,
     qSalted, qSaltedJoin, qSkewDetect, qCmsHeavy, qReassembleGroupBy, qSessionize, qAuthGate,
     qDedupExact, qMinhash, qSimhash, qJaccard, qDedupResolve, qDedupCorpusQ, qDedupCapped,
-    qDedupBest, qDedupIncremental, qDedupIndexQ, qSubstrDedup, qUrlCanon, qTextNormalize,
+    qDedupBest, qDedupIncremental, qDedupIndexQ, qReshardCorpus, qSubstrDedup, qUrlCanon, qTextNormalize,
     qLmTrain, qLmScore, qLmBackoff, qLmBuckets,
     qNbTrain, qNbClassify, qDsir, qBm25, qRrfFuse,
     qCorpusPipeline,
@@ -4699,7 +4866,7 @@ object Queries {
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
-    qBackfillRules, qExtractNative)
+    qBackfillRules, qDeleteCow, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
