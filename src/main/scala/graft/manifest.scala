@@ -50,10 +50,83 @@ import scala.jdk.CollectionConverters._
   * SURVEY.md §2A O15) — this is a north-rule addition.
   */
 object Manifest {
+  /** Zone-map entry for one data file: min/max of the table's id column,
+    * lifted from the parquet FOOTER at commit time (Iceberg's
+    * lower_bounds/upper_bounds analog). The bounds are inclusive and
+    * compared as Strings — valid because every id this library writes is
+    * ASCII, where parquet's unsigned UTF-8 byte order and String order
+    * coincide (the standard Iceberg truncate-transform caveat applies the
+    * same way). A file with NO recorded stat is always planned — absence
+    * degrades pruning, never correctness. */
+  final case class FileStat(file: String, minId: String, maxId: String)
+
   /** Lineage record for one completed bucket: row count, doc_id watermark,
-    * and the parquet data files that materialize it. */
+    * the parquet data files that materialize it, and (optionally) per-file
+    * id zone maps enabling stats-based scan pruning ([[Manifest.readData]]
+    * with `idRange`). */
   final case class BucketState(
-      bucket: Int, rows: Long, watermarkDocId: String, files: Seq[String] = Nil)
+      bucket: Int, rows: Long, watermarkDocId: String, files: Seq[String] = Nil,
+      stats: Seq[FileStat] = Nil)
+  /** Hadoop Configuration is not Serializable; this minimal envelope ships
+    * it to the footer-reading tasks (the same trick Spark keeps private in
+    * its own SerializableConfiguration). */
+  private final class SerConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false); value.readFields(in)
+    }
+  }
+
+  /** Min/max of string column `idCol` for ONE parquet file, lifted from
+    * its footer's column-chunk statistics — no data pages are read. None
+    * when any row group lacks a usable stat (dropped/truncation-suspect
+    * stats, all-null chunks, non-binary physical type): an absent stat
+    * only disables pruning for that file, never mis-prunes. */
+  def footerIdRange(conf: Configuration, file: String, idCol: String): Option[(String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return None
+      val ranges = blocks.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == idCol).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: Binary, mx: Binary) =>
+              Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+            case _ => None
+          }
+        }
+      }
+      // one statless row group means the file may hold ids outside the
+      // visible range — record nothing rather than an understated bound
+      if (ranges.exists(_.isEmpty)) None
+      else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+    } finally r.close()
+  }
+
+  /** Per-file id zone maps for a commit, computed EXECUTOR-SIDE: one footer
+    * read per file, fanned out as a metadata-plane Spark job (at a 100 TB
+    * commit the file list is tens of thousands of entries — a driver-side
+    * loop would serialize on remote-footer latency). The collected result
+    * is one small tuple per file: manifest-sized by construction. */
+  def fileIdStats(spark: SparkSession, files: Seq[String], idCol: String): Seq[FileStat] = {
+    if (files.isEmpty) return Nil
+    val bc = spark.sparkContext.broadcast(
+      new SerConf(spark.sessionState.newHadoopConf()))
+    spark.sparkContext.parallelize(files, math.max(1, math.min(files.length, 64)))
+      .map(f => f -> footerIdRange(bc.value.value, f, idCol))
+      .collect().toSeq
+      .collect { case (f, Some((mn, mx))) => FileStat(f, mn, mx) }
+      .sortBy(_.file)
+  }
+
   /** One committed snapshot. `streamWatermarks` maps a stream identity
     * (derived from its checkpoint location) to the highest micro-batch id
     * that stream has committed; the map is carried forward VERBATIM by
@@ -120,8 +193,11 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     val buckets = node.get("buckets").elements().asScala.map { b =>
       val files = Option(b.get("files"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      val stats = Option(b.get("stats"))
+        .map(_.elements().asScala.map(s => FileStat(s.get("f").asText(),
+          s.get("min").asText(), s.get("max").asText())).toSeq).getOrElse(Nil)
       BucketState(b.get("bucket").asInt(), b.get("rows").asLong(),
-        b.get("watermark_doc_id").asText(), files)
+        b.get("watermark_doc_id").asText(), files, stats)
     }.toSeq
     val wms = Option(node.get("stream_wm")).map { w =>
       w.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
@@ -157,19 +233,22 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * snapshots, and what the orphan-GC grace period exists to protect:
     * run [[removeOrphans]] with `olderThanMs` ≥ the longest pinned read).
     * An expired snapshot id fails loudly (file gone), never silently
-    * falls back to HEAD. */
+    * falls back to HEAD.
+    *
+    * STATS PRUNING: `idRange = Some((lo, hi))` (inclusive) plans only the
+    * files whose recorded [[Manifest.FileStat]] zone map overlaps the
+    * range — Iceberg's min/max data skipping. Files without a recorded
+    * stat are always planned, so pruning is a pure superset optimization:
+    * the scan may still return rows outside the range (a planned file
+    * covers more than the range) and the CALLER applies its row-level
+    * predicate as usual; what pruning guarantees is that no row INSIDE
+    * the range is lost. */
   def readData(spark: SparkSession, buckets: Option[Set[Int]] = None,
-      asOf: Option[Int] = None, mergeSchema: Boolean = false): DataFrame = {
+      asOf: Option[Int] = None, mergeSchema: Boolean = false,
+      idRange: Option[(String, String)] = None): DataFrame = {
     val snap = asOf.map(snapshotById).orElse(head()).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $tableDir"))
-    val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
-    // a non-empty bucket without file lineage would silently under-read —
-    // fail loudly instead (only hand-edited / pre-lineage manifests can
-    // produce this state; zero-row buckets legitimately carry no files)
-    val missing = sel.filter(b => b.rows > 0 && b.files.isEmpty)
-    require(missing.isEmpty,
-      s"snapshot ${snap.id} lacks file lineage for buckets ${missing.map(_.bucket).mkString(",")}")
-    val files = sel.flatMap(_.files)
+    val files = planFiles(snap, buckets, idRange)
     // mergeSchema: for buckets whose row schema has legitimately WIDENED
     // across commits (e.g. a metrics row gaining audit columns), a plain
     // read would take one arbitrary file's schema — new columns silently
@@ -183,6 +262,32 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       val all = snap.buckets.flatMap(_.files)
       require(all.nonEmpty, s"snapshot ${snap.id} has no data files")
       reader.parquet(all.head).where(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
+  /** The manifest-planned file list for a scan of `snap` — the bucket
+    * selection and zone-map pruning [[readData]] uses, exposed so tests
+    * and operators can assert / observe HOW MANY files a read opens.
+    * Pruning rule per file: planned unless a recorded stat proves its id
+    * range is disjoint from `idRange` (no stat → planned). */
+  def planFiles(snap: Snapshot, buckets: Option[Set[Int]] = None,
+      idRange: Option[(String, String)] = None): Seq[String] = {
+    val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
+    // a non-empty bucket without file lineage would silently under-read —
+    // fail loudly instead (only hand-edited / pre-lineage manifests can
+    // produce this state; zero-row buckets legitimately carry no files)
+    val missing = sel.filter(b => b.rows > 0 && b.files.isEmpty)
+    require(missing.isEmpty,
+      s"snapshot ${snap.id} lacks file lineage for buckets ${missing.map(_.bucket).mkString(",")}")
+    idRange match {
+      case None => sel.flatMap(_.files)
+      case Some((lo, hi)) =>
+        require(lo <= hi, s"idRange lo > hi: ($lo, $hi)")
+        sel.flatMap { b =>
+          val byFile = b.stats.map(s => s.file -> s).toMap
+          b.files.filter(f => byFile.get(f)
+            .forall(s => s.maxId >= lo && s.minId <= hi))
+        }
     }
   }
 
@@ -294,7 +399,11 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     val body = {
       val bs = merged.map { b =>
         val fl = b.files.map(jstr).mkString("[", ",", "]")
-        s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":${jstr(b.watermarkDocId)},"files":$fl}"""
+        val st = if (b.stats.isEmpty) ""
+          else b.stats.map(s =>
+            s"""{"f":${jstr(s.file)},"min":${jstr(s.minId)},"max":${jstr(s.maxId)}}""")
+            .mkString(""","stats":[""", ",", "]")
+        s"""{"bucket":${b.bucket},"rows":${b.rows},"watermark_doc_id":${jstr(b.watermarkDocId)},"files":$fl$st}"""
       }.mkString("[", ",", "]")
       val wm = wms.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -119,9 +119,17 @@ object ExtractJob {
     // ONE scan of the data at rest → metrics side table + watermark.
     val stats = scanStats(spark, tableDir, newFiles)
 
+    // per-file id zone maps from the freshly-written footers (metadata
+    // plane: no data pages are read) — recorded in the snapshot so readers
+    // can stats-prune doc_id-ranged scans, Iceberg-style
+    val zoneMaps = Manifest.fileIdStats(spark, newFiles, "doc_id")
+      .groupBy(s => bucketFiles.collectFirst {
+        case (b, fs) if fs.contains(s.file) => b }.get)
+
     val states = pending.map { b =>
       val s = stats.getOrElse(b, BucketStat(0L, 0L, 0L, Nil, ""))
-      Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b))
+      Manifest.BucketState(b, s.docs, s.wm, bucketFiles(b),
+        zoneMaps.getOrElse(b, Nil))
     }
     val snap = table.commit(runId, states)
 
@@ -394,7 +402,11 @@ object ExtractJob {
     val states = fat.map { b =>
       val now = table.listBucketFiles(b.bucket)
       val fresh = now.filterNot(before(b.bucket))
-      Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh)
+      // re-derive zone maps for the rewritten files so compaction never
+      // DEGRADES a stats-pruned table (namespaces without a doc_id column
+      // simply record none — footerIdRange finds no such chunk)
+      Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh,
+        Manifest.fileIdStats(spark, fresh, "doc_id"))
     }
     table.commit(s"compact-of-${snap.id}", states)
   }
@@ -484,7 +496,8 @@ object ExtractJob {
         hit.map { b =>
           val fresh = table.listBucketFiles(b.bucket).filterNot(before(b.bucket))
           Manifest.BucketState(b.bucket, b.rows - hits(b.bucket),
-            b.watermarkDocId, fresh)
+            b.watermarkDocId, fresh,
+            Manifest.fileIdStats(spark, fresh, "doc_id"))
         }
       }
     }

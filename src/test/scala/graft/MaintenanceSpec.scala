@@ -273,4 +273,62 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(doomed.forall(!survivors.contains(_)), "forget recipe must scrub the bytes")
     assert(survivors == (golden.keySet -- doomed))
   }
+
+  test("zone maps: extract commit records per-file id stats; ranged reads prune files, lose nothing") {
+    val dir = freshDir()
+    // many input partitions → several files per bucket, each covering a
+    // CONTIGUOUS doc-index slice (spark.range splits by index) → tight
+    // per-file id ranges, the layout stats pruning exists for
+    val s0 = ExtractJob.run(spark, DocGen.generate(spark, 1200, 24), dir, "zm",
+      resume = false, numPartitions = 24)
+    val m = new Manifest(dir)
+
+    // every committed file carries a footer-derived stat, and the stats
+    // survive the JSON round trip (fresh Manifest → fresh HEAD parse)
+    val head = new Manifest(dir).head().get
+    head.buckets.filter(_.rows > 0).foreach { b =>
+      assert(b.stats.map(_.file).toSet == b.files.toSet, s"bucket ${b.bucket}")
+      b.stats.foreach(s => assert(s.minId <= s.maxId))
+    }
+    assert(head.buckets.flatMap(_.stats) == s0.buckets.flatMap(_.stats))
+
+    // a narrow range plans strictly fewer files than the full scan...
+    val all = m.planFiles(head)
+    val lo = "d0000000100"; val hi = "d0000000140"
+    val pruned = m.planFiles(head, idRange = Some((lo, hi)))
+    assert(pruned.nonEmpty && pruned.length < all.length,
+      s"pruning must bite: ${pruned.length} of ${all.length}")
+
+    // ...and the ranged read + row predicate returns EXACTLY the rows the
+    // full scan's predicate returns (pruning is invisible to content)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.where($"doc_id".between(lo, hi)).as[ExtractedDoc].collect()
+        .map(d => d.doc_id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset)).toSeq)
+        .toMap
+    val viaPruned = rows(m.readData(spark, idRange = Some((lo, hi))))
+    assert(viaPruned == rows(m.readData(spark)))
+    assert(viaPruned.nonEmpty)
+    assert(viaPruned.keySet.forall(id => id >= lo && id <= hi))
+
+    // a file with NO recorded stat is never pruned (absence degrades
+    // pruning, not correctness): strip one stat and its file must be
+    // planned even for a range the stat would have excluded
+    val b0 = head.buckets.find(b => b.stats.nonEmpty).get
+    val victim = b0.stats.maxBy(_.minId) // the latest-id file: disjoint from a tiny-id range
+    val stripped = head.copy(buckets = head.buckets.map(b =>
+      if (b.bucket == b0.bucket) b.copy(stats = b.stats.filterNot(_ == victim)) else b))
+    val tiny = m.planFiles(stripped, idRange = Some(("d0000000000", "d0000000001")))
+    assert(tiny.contains(victim.file), "statless file must always be planned")
+    assert(!m.planFiles(head, idRange = Some(("d0000000000", "d0000000001")))
+      .contains(victim.file), "with its stat present the same file is pruned")
+
+    // compaction re-derives zone maps for the rewritten files — a
+    // stats-pruned table never degrades under maintenance
+    val s1 = ExtractJob.compact(spark, dir)
+    assert(s1.id == s0.id + 1)
+    s1.buckets.filter(_.rows > 0).foreach { b =>
+      assert(b.stats.map(_.file).toSet == b.files.toSet, s"post-compact bucket ${b.bucket}")
+    }
+    assert(rows(m.readData(spark, idRange = Some((lo, hi)))) == viaPruned)
+  }
 }
