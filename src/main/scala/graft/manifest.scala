@@ -60,6 +60,12 @@ object Manifest {
     * degrades pruning, never correctness. */
   final case class FileStat(file: String, minId: String, maxId: String)
 
+  /** The one column this library records zone maps FOR (the table id the
+    * extract/compact/delete writers all key on). Consumers that prune by
+    * [[FileStat]] must check their predicate column IS this column —
+    * stats describing doc_id say nothing about any other key. */
+  val ZoneMapCol = "doc_id"
+
   /** Lineage record for one completed bucket: row count, doc_id watermark,
     * the parquet data files that materialize it, and (optionally) per-file
     * id zone maps enabling stats-based scan pruning ([[Manifest.readData]]
@@ -255,14 +261,27 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     // vanish or old rows fail a positional read. Callers that evolve a
     // bucket's schema must read it merged (old rows surface NULL in the
     // added columns; they coalesce defaults themselves).
-    val reader = spark.read.option("basePath", dataDir.toString)
-      .option("mergeSchema", mergeSchema.toString)
-    if (files.nonEmpty) reader.parquet(files: _*)
+    if (files.nonEmpty) readFiles(spark, files, mergeSchema)
     else {
       val all = snap.buckets.flatMap(_.files)
       require(all.nonEmpty, s"snapshot ${snap.id} has no data files")
-      reader.parquet(all.head).where(org.apache.spark.sql.functions.lit(false))
+      spark.read.option("basePath", dataDir.toString)
+        .option("mergeSchema", mergeSchema.toString)
+        .parquet(all.head).where(org.apache.spark.sql.functions.lit(false))
     }
+  }
+
+  /** Read an EXPLICIT file list of this table (a subset some caller
+    * planned — zone-map pruned, bucket-selected, or hit-located). The
+    * table's `basePath` is set so the `bucket` partition column
+    * materializes exactly as in [[readData]]. The caller owns the claim
+    * that the files belong to a live snapshot. */
+  def readFiles(spark: SparkSession, files: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    require(files.nonEmpty, "readFiles needs at least one file")
+    spark.read.option("basePath", dataDir.toString)
+      .option("mergeSchema", mergeSchema.toString)
+      .parquet(files: _*)
   }
 
   /** The manifest-planned file list for a scan of `snap` — the bucket

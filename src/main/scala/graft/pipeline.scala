@@ -122,7 +122,7 @@ object ExtractJob {
     // per-file id zone maps from the freshly-written footers (metadata
     // plane: no data pages are read) — recorded in the snapshot so readers
     // can stats-prune doc_id-ranged scans, Iceberg-style
-    val zoneMaps = Manifest.fileIdStats(spark, newFiles, "doc_id")
+    val zoneMaps = Manifest.fileIdStats(spark, newFiles, Manifest.ZoneMapCol)
       .groupBy(s => bucketFiles.collectFirst {
         case (b, fs) if fs.contains(s.file) => b }.get)
 
@@ -406,14 +406,14 @@ object ExtractJob {
       // DEGRADES a stats-pruned table (namespaces without a doc_id column
       // simply record none — footerIdRange finds no such chunk)
       Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh,
-        Manifest.fileIdStats(spark, fresh, "doc_id"))
+        Manifest.fileIdStats(spark, fresh, Manifest.ZoneMapCol))
     }
     table.commit(s"compact-of-${snap.id}", states)
   }
 
   /** Copy-on-write DELETE by key — the right-to-be-forgotten primitive a
     * training-data table legally needs (a takedown/opt-out request names
-    * doc ids; the table must stop serving them). Every bucket that holds a
+    * doc ids; the table must stop serving them). Every FILE that holds a
     * doomed key is rewritten WITHOUT those rows using [[compact]]'s
     * append-then-commit pattern: new files land beside the old ones, one
     * snapshot commit swaps the lineage, the old files become GC-able
@@ -421,16 +421,27 @@ object ExtractJob {
     * the committed table untouched and readers pinning the pre-delete
     * snapshot finish their scans.
     *
-    * Two passes, both bounded:
-    *  1. locate — a (bucket, key)-only scan (column-pruned to two columns)
-    *     semi-joined against the key set and partial-agged to per-bucket
-    *     hit counts; buckets with zero hits are never rewritten, so the
-    *     blast radius is the keys' buckets, not the table (callers with an
-    *     id-bucketed layout can shrink `only` further — see
-    *     [[graft.streaming.EventStream.deleteDocs]]);
-    *  2. rewrite — hit buckets re-read full-width, `left_anti` the keys,
-    *     re-written partitioned by bucket. A bucket whose rows ALL die
-    *     commits as rows=0 with no files (the legitimate zero-row state).
+    * FILE-GRANULAR blast radius (Iceberg's COW delete granularity), three
+    * bounded passes:
+    *  1. plan — when the delete keys on [[Manifest.ZoneMapCol]], a file
+    *     whose recorded zone map excludes every doomed key provably holds
+    *     no hits, so only OVERLAPPING files become candidates (the
+    *     overlap test is a distributed key-between-bounds join against
+    *     the manifest-sized stat relation — never a driver loop over
+    *     keys). A file with no stat, or a delete on any other column, is
+    *     always a candidate: pruning degrades, correctness doesn't.
+    *  2. locate — one (bucket, key, file)-wide scan of the CANDIDATE
+    *     files semi-joined against the key set, partial-agged to per-file
+    *     hit counts; a candidate whose id range merely straddles the keys
+    *     without containing one is never rewritten.
+    *  3. rewrite — only files with ACTUAL hits re-read full-width,
+    *     `left_anti` the keys, re-written partitioned by bucket
+    *     (survivors of a bucket's hit files coalesce into few files — a
+    *     delete must not fragment the table). Untouched files keep their
+    *     lineage AND their zone maps verbatim; a takedown of k documents
+    *     on a stats-covered table rewrites O(k) files, not O(k) buckets.
+    *     A bucket whose rows ALL die commits as rows=0 with no files (the
+    *     legitimate zero-row state).
     *
     * Buckets are grouped by their parquet schema and each group is scanned
     * separately, so heterogeneous bucket NAMESPACES (the indexed corpus
@@ -473,31 +484,71 @@ object ExtractJob {
     val keyed = schemas.filter(_._2.fieldNames.contains(keyCol))
     val groups = keyed.groupBy(_._2).values.map(_.map(_._1)).toSeq
 
+    // parquet URIs come back from input_file_name percent-encoded and
+    // scheme-normalized; compare every spelling through the URI path
+    def norm(f: String): String = new org.apache.hadoop.fs.Path(f).toUri.getPath
+
     val rewrittenStates = groups.flatMap { bs =>
-      val ids = bs.map(_.bucket).toSet
-      // pass 1: per-bucket hit counts — two columns wide, partial-agg
-      val hits = table.readData(spark, Some(ids))
-        .select(col("bucket"), col(keyCol))
-        .join(keySet, Seq(keyCol), "left_semi")
-        .groupBy(col("bucket")).agg(count(lit(1)).as("doomed"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (hits.isEmpty) Nil
+      // pass 1: plan — zone-map overlap prunes candidate files when the
+      // delete keys on the stats column (a stat for doc_id proves nothing
+      // about any other key; statless files are always candidates)
+      val candidates: Seq[String] =
+        if (keyCol != Manifest.ZoneMapCol) bs.flatMap(_.files)
+        else {
+          val stats = bs.flatMap(_.stats)
+          val statted = stats.map(_.file).toSet
+          val statless = bs.flatMap(_.files).filterNot(statted)
+          val overlapping =
+            if (stats.isEmpty) Nil
+            else {
+              // manifest-sized stat relation × request-sized key set: the
+              // between-join broadcasts the stats, so even a million-key
+              // purge never collects keys to the driver
+              val rel = stats.map(s => (s.file, s.minId, s.maxId))
+                .toDF("f", "min_id", "max_id")
+              keySet.join(broadcast(rel),
+                  col(keyCol) >= col("min_id") && col(keyCol) <= col("max_id"))
+                .select($"f").distinct().as[String].collect().toSeq
+            }
+          statless ++ overlapping
+        }
+      if (candidates.isEmpty) Nil
       else {
-        val hit = bs.filter(b => hits.contains(b.bucket))
-        val hitIds = hit.map(_.bucket)
-        val before = hitIds.map(b => b -> table.listBucketFiles(b).toSet).toMap
-        // pass 2: rewrite survivors; repartition by bucket so each bucket
-        // lands in few files (a delete must not fragment the table)
-        table.readData(spark, Some(hitIds.toSet))
-          .join(keySet, Seq(keyCol), "left_anti")
-          .repartition($"bucket")
-          .write.mode("append").partitionBy("bucket")
-          .parquet(s"$tableDir/data")
-        hit.map { b =>
-          val fresh = table.listBucketFiles(b.bucket).filterNot(before(b.bucket))
-          Manifest.BucketState(b.bucket, b.rows - hits(b.bucket),
-            b.watermarkDocId, fresh,
-            Manifest.fileIdStats(spark, fresh, "doc_id"))
+        // pass 2: locate — per-FILE hit counts over the candidates only;
+        // partial-agg, output manifest-sized
+        val hitRows = table.readFiles(spark, candidates)
+          .select(col("bucket"), col(keyCol), input_file_name().as("f"))
+          .join(keySet, Seq(keyCol), "left_semi")
+          .groupBy(col("bucket"), col("f")).agg(count(lit(1)).as("doomed"))
+          .collect()
+        val hitFilesByBucket = hitRows.groupBy(_.getInt(0))
+          .map { case (b, rs) => b -> rs.map(r => norm(r.getString(1))).toSet }
+        val hitsByBucket = hitRows.groupBy(_.getInt(0))
+          .map { case (b, rs) => b -> rs.map(_.getLong(2)).sum }
+        if (hitsByBucket.isEmpty) Nil
+        else {
+          val hit = bs.filter(b => hitsByBucket.contains(b.bucket))
+          val hitFiles = hit.flatMap(b =>
+            b.files.filter(f => hitFilesByBucket(b.bucket).contains(norm(f))))
+          val before = hit.map(b =>
+            b.bucket -> table.listBucketFiles(b.bucket).toSet).toMap
+          // pass 3: rewrite ONLY the files with actual hits
+          table.readFiles(spark, hitFiles)
+            .join(keySet, Seq(keyCol), "left_anti")
+            .repartition($"bucket")
+            .write.mode("append").partitionBy("bucket")
+            .parquet(s"$tableDir/data")
+          hit.map { b =>
+            val doomedHere = hitFilesByBucket(b.bucket)
+            val kept = b.files.filterNot(f => doomedHere.contains(norm(f)))
+            val fresh = table.listBucketFiles(b.bucket).filterNot(before(b.bucket))
+            // untouched files keep their zone maps verbatim; only the
+            // replacement files need fresh footer stats
+            Manifest.BucketState(b.bucket, b.rows - hitsByBucket(b.bucket),
+              b.watermarkDocId, kept ++ fresh,
+              b.stats.filterNot(s => doomedHere.contains(norm(s.file))) ++
+                Manifest.fileIdStats(spark, fresh, Manifest.ZoneMapCol))
+          }
         }
       }
     }

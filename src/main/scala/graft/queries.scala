@@ -4815,6 +4815,38 @@ object Queries {
             |WHERE doc_id NOT LIKE '%7'
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Zone-map ranged read end-to-end (Manifest.readData(idRange) — the
+    * Iceberg min/max data-skipping analog): base extraction committed
+    * across many small files (each a tight contiguous doc_id slice), then
+    * the query reads ONLY the manifest-planned files whose footer-derived
+    * id range overlaps [lo, hi] and applies the row predicate on top
+    * (pruning plans a superset; the predicate closes it). The oracle is
+    * the full SQL classifier replay filtered to the same range — hash
+    * equality proves the pruned scan loses no row inside the range and
+    * admits none outside it. */
+  private val qScanZonemap = QueryDef(
+    "q_scan_zonemap",
+    (s, _) => {
+      import s.implicits._
+      val out = s"$corpusDir/zonemap_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        ExtractJob.run(s, docs, out, "zm", resume = false, numPartitions = 24)
+      }
+      val (lo, hi) = ("d0000000050", "d0000000149")
+      new Manifest(out, s.sessionState.newHadoopConf())
+        .readData(s, idRange = Some((lo, hi)))
+        .where($"doc_id".between(lo, hi))
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |WHERE doc_id BETWEEN 'd0000000050' AND 'd0000000149'
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Full extraction through the NATIVE expression (plans.ExtractExpression)
     * over the staged corpus — same oracle family; confidence surfaces as a
     * per-doc integer quantization (floor(conf·10⁴)) summed per extractor so
@@ -4866,7 +4898,7 @@ object Queries {
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
-    qBackfillRules, qDeleteCow, qExtractNative)
+    qBackfillRules, qDeleteCow, qScanZonemap, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -274,6 +274,75 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(survivors == (golden.keySet -- doomed))
   }
 
+  test("file-granular delete: only the files that CONTAIN doomed ids are rewritten; stats pruning never changes the outcome") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    def norm(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath
+    def build(): (String, Manifest, Manifest.Snapshot) = {
+      val dir = freshDir()
+      // 24 partitions × 16 buckets → ~24 small files per bucket, each
+      // covering a tight contiguous doc-index slice (the layout where
+      // file-granular COW pays: a doomed id lives in exactly one file)
+      val s = ExtractJob.run(spark, DocGen.generate(spark, 1200, 24), dir,
+        "fg", resume = false, numPartitions = 24)
+      (dir, new Manifest(dir), s)
+    }
+    val (dir, m, s0) = build()
+    val golden = tableState(m)
+
+    // ground truth: which physical file holds each doc
+    val fileOf = m.readData(spark)
+      .select(col("doc_id"), input_file_name().as("f"))
+      .as[(String, String)].collect().map(p => p._1 -> norm(p._2)).toMap
+    val doomed = Seq("d0000000123", "d0000000456", "d0000000789")
+    assert(doomed.forall(fileOf.contains))
+    val expectedRewritten = doomed.map(fileOf).toSet
+
+    val s1 = ExtractJob.deleteByKey(spark, dir, doomed.toDF("doc_id"), "doc_id")
+    assert(tableState(m) == (golden -- doomed))
+
+    // blast radius: the removed lineage is EXACTLY the containing files —
+    // candidates whose zone map merely straddles a doomed id survive
+    val f0 = s0.buckets.map(b => b.bucket -> b.files.map(norm).toSet).toMap
+    val f1 = s1.buckets.map(b => b.bucket -> b.files.map(norm).toSet).toMap
+    val removed = f0.flatMap { case (b, fs) => fs -- f1.getOrElse(b, fs) }.toSet
+    assert(removed == expectedRewritten,
+      s"removed $removed, expected $expectedRewritten")
+    // one coalesced replacement file per hit bucket, nothing else fresh
+    val fresh = f1.flatMap { case (b, fs) => fs -- f0(b) }.toSet
+    val hitBuckets = expectedRewritten.map(f =>
+      fileOf.collectFirst { case (id, ff) if ff == f => id }.get)
+      .map(id => s0.buckets.find(_.files.map(norm).contains(fileOf(id))).get.bucket)
+    assert(fresh.size == hitBuckets.size)
+
+    // untouched files keep their zone maps VERBATIM; fresh files get stats
+    val st0 = s0.buckets.flatMap(_.stats).map(s => norm(s.file) -> s).toMap
+    s1.buckets.foreach { b =>
+      assert(b.stats.map(s => norm(s.file)).toSet == b.files.map(norm).toSet)
+      b.stats.filter(s => f0(b.bucket).contains(norm(s.file))).foreach { s =>
+        assert(st0(norm(s.file)).copy(file = s.file) == s) }
+    }
+
+    // stats-stripped parity: the SAME delete over a snapshot with no zone
+    // maps (every file a candidate) reaches the identical table state and
+    // rewrites the identical files — pruning is invisible to outcomes
+    val (dir2, m2, h2) = build()
+    m2.commit("strip-stats", h2.buckets.map(_.copy(stats = Nil)))
+    val h2s = m2.head().get
+    val s2 = ExtractJob.deleteByKey(spark, dir2, doomed.toDF("doc_id"), "doc_id")
+    assert(tableState(m2) == (golden -- doomed))
+    val r2 = h2s.buckets.map(b => b.files.map(norm).toSet).reduce(_ ++ _) --
+      s2.buckets.map(b => b.files.map(norm).toSet).reduce(_ ++ _)
+    // file NAMES differ between the two builds (task UUIDs); the stable
+    // identity of a file is its (bucket, id-range) slice — compare those
+    def rangesOf(files: Set[String], snap: Manifest.Snapshot) =
+      snap.buckets.flatMap(b => b.stats
+        .filter(s => files.contains(norm(s.file)))
+        .map(s => (b.bucket, s.minId, s.maxId))).toSet
+    assert(r2.size == removed.size)
+    assert(rangesOf(r2, h2) == rangesOf(removed, s0),
+      "stats-stripped delete must rewrite the same file SLICES")
+  }
+
   test("zone maps: extract commit records per-file id stats; ranged reads prune files, lose nothing") {
     val dir = freshDir()
     // many input partitions → several files per bucket, each covering a
