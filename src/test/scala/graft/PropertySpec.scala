@@ -261,4 +261,41 @@ class PropertySpec extends AnyFunSuite {
     assert((0L until 8L).forall(i => baseX.getOrElse(i + 4000, 0) >= 1))
     assert(xhits(corpus.repartition(13)) == baseX)
   }
+
+  test("planFiles pruning is lossless and monotone under random zone maps") {
+    // random snapshots: files with random inclusive id ranges, some with
+    // NO recorded stat; random query ranges. The safety property: every
+    // file whose TRUE range overlaps the query survives pruning (no stat
+    // → always planned), and pruning only ever REMOVES files.
+    val idGen = Gen.chooseNum(0, 999).map(i => f"d$i%04d")
+    val fileGen = for {
+      lo <- idGen; hi <- idGen; hasStat <- Gen.oneOf(true, false)
+    } yield {
+      val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
+      (s"f_${mn}_$mx", mn, mx, hasStat)
+    }
+    val snapGen = for {
+      n <- Gen.chooseNum(0, 12)
+      fs <- Gen.listOfN(n, fileGen)
+      qlo <- idGen; qhi <- idGen
+    } yield (fs.zipWithIndex.map { case ((f, mn, mx, st), i) => (s"$i$f", mn, mx, st) },
+             if (qlo <= qhi) (qlo, qhi) else (qhi, qlo))
+    val m = new Manifest(java.nio.file.Files.createTempDirectory("pf_prop_").toString)
+    checkAll(snapGen) { case (files, (qlo, qhi)) =>
+      val st = Manifest.BucketState(0, files.size.toLong,
+        files.map(_._3).maxOption.getOrElse(""),
+        files.map(_._1),
+        files.filter(_._4).map(f => Manifest.FileStat(f._1, f._2, f._3)))
+      val snap = Manifest.Snapshot(0, -1, "prop", Seq(st))
+      val planned = m.planFiles(snap, idRange = Some((qlo, qhi))).toSet
+      val all = m.planFiles(snap).toSet
+      planned.subsetOf(all) &&
+      files.forall { case (f, mn, mx, hasStat) =>
+        val overlaps = mx >= qlo && mn <= qhi
+        // statless: always planned (lossless). statted: planned IFF the
+        // recorded range overlaps (lossless AND exact — no overshoot).
+        if (!hasStat) planned.contains(f) else planned.contains(f) == overlaps
+      }
+    }
+  }
 }
