@@ -395,6 +395,32 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * escape hatch for metadata that legitimately moves DOWN (resharding
     * restamps the layout key to a smaller bucket count; a max-merge could
     * never record it). Stream batch watermarks must never use this. */
+  /** ROLL BACK the table to snapshot `toId` (Iceberg's
+    * rollback_to_snapshot): commits a NEW snapshot whose bucket states
+    * are the target's, verbatim — history only moves forward, so time
+    * travel to the reverted-away snapshot keeps working until expiry and
+    * a crash mid-rollback leaves HEAD untouched. Stream watermarks are
+    * NOT rolled back ([[commit]] ratchets them): rollback reverts DATA,
+    * not delivery — a resumed stream stays exactly-once and will not
+    * re-admit batches the bad snapshot had already consumed.
+    *
+    * Fails loudly when the target is expired, when any target data file
+    * was already orphan-GC'd (the rollback window is bounded by the GC
+    * grace period — run `removeOrphans(olderThanMs ≥ window)`), or when
+    * the bucket set changed since the target (a reshard happened in
+    * between; layouts aren't comparable — re-migrate instead). */
+  def rollback(toId: Int): Snapshot = {
+    val target = snapshotById(toId) // throws if expired — never silent
+    val cur = head().getOrElse(
+      throw new IllegalStateException(s"nothing to roll back at $tableDir"))
+    require(target.buckets.map(_.bucket).toSet == cur.buckets.map(_.bucket).toSet,
+      s"bucket layout changed since snapshot $toId (reshard?) — rollback refused")
+    val gone = target.buckets.flatMap(_.files).filterNot(f => fs.exists(new Path(f)))
+    require(gone.isEmpty,
+      s"rollback to $toId impossible: ${gone.size} data files already GC'd, e.g. ${gone.take(3).mkString(", ")}")
+    commit(s"rollback-to-$toId", target.buckets)
+  }
+
   def commit(runId: String, newBuckets: Seq[BucketState],
       streamWatermark: Option[(String, Long)] = None,
       extraWatermarks: Map[String, Long] = Map.empty,

@@ -4815,6 +4815,38 @@ object Queries {
             |WHERE doc_id NOT LIKE '%7'
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Snapshot rollback end-to-end (Manifest.rollback — the Iceberg
+    * rollback_to_snapshot analog): base extraction committed, a bad
+    * delete lands (every id ending in '3'), then rollback reverts the
+    * table to the pre-delete snapshot with a FORWARD commit and the
+    * query reads HEAD through the manifest. The oracle is the full
+    * unfiltered classifier replay — hash equality proves the rollback
+    * restored every deleted row byte-for-byte (spans, ordering, refs)
+    * and invented nothing. */
+  private val qRollback = QueryDef(
+    "q_rollback",
+    (s, _) => {
+      import s.implicits._
+      val out = s"$corpusDir/rollback_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        val s0 = ExtractJob.run(s, docs, out, "pre-rb", resume = false)
+        val doomed = stagedCorpus(s)
+          .where($"doc_id" < SmallDocMax && $"doc_id".endsWith("3"))
+          .select($"doc_id")
+        ExtractJob.deleteByKey(s, out, doomed, "doc_id")
+        new Manifest(out, s.sessionState.newHadoopConf()).rollback(s0.id)
+      }
+      new Manifest(out, s.sessionState.newHadoopConf()).readData(s)
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Zone-map ranged read end-to-end (Manifest.readData(idRange) — the
     * Iceberg min/max data-skipping analog): base extraction committed
     * across many small files (each a tight contiguous doc_id slice), then
@@ -4898,7 +4930,7 @@ object Queries {
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
-    qBackfillRules, qDeleteCow, qScanZonemap, qExtractNative)
+    qBackfillRules, qDeleteCow, qRollback, qScanZonemap, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -274,6 +274,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(survivors == (golden.keySet -- doomed))
   }
 
+  test("rollback reverts data forward-only; GC bounds the window; resharded layouts refuse") {
+    val dir = freshDir()
+    val s0 = ExtractJob.run(spark, DocGen.generate(spark, 400, 8), dir, "rb",
+      resume = false, numPartitions = 8)
+    val m = new Manifest(dir)
+    val golden = tableState(m)
+
+    // a bad delete lands; rollback restores the exact pre-delete content
+    val doomed = golden.keys.toSeq.sorted.take(20)
+    val s1 = ExtractJob.deleteByKey(spark, dir, doomed.toDF("doc_id"), "doc_id")
+    assert(tableState(m) == (golden -- doomed))
+    val s2 = m.rollback(s0.id)
+    assert(s2.id == s1.id + 1, "rollback is a forward commit, not history surgery")
+    assert(tableState(m) == golden)
+    // the reverted-away state stays time-travelable until expiry
+    assert(m.readData(spark, asOf = Some(s1.id)).count() ==
+      (golden.size - doomed.size).toLong)
+    // zone maps rode along verbatim — ranged planning still prunes
+    assert(m.planFiles(m.head().get, idRange = Some(("d0000000000", "d0000000010")))
+      .length < m.planFiles(m.head().get).length)
+
+    // a second delete, then expire history + GC: the delete's orphaned
+    // pre-state is gone, so rolling back PAST it must fail loudly
+    val s3 = ExtractJob.deleteByKey(spark, dir,
+      golden.keys.toSeq.sorted.slice(30, 40).toDF("doc_id"), "doc_id")
+    m.expireSnapshots(keepLast = 1)
+    assert(m.removeOrphans().nonEmpty)
+    intercept[Exception] { m.rollback(s2.id) } // snapshot file expired
+    assert(tableState(m).keySet ==
+      golden.keySet -- golden.keys.toSeq.sorted.slice(30, 40))
+
+    // bucket-layout change (reshard analog): hand-commit a state with an
+    // extra bucket — rollback across it is refused
+    val h = m.head().get
+    m.commit("layout-change", h.buckets :+
+      Manifest.BucketState(999, 0, ""))
+    val ex = intercept[IllegalArgumentException] { m.rollback(s3.id) }
+    assert(ex.getMessage.contains("layout changed"))
+  }
+
   test("file-granular delete: only the files that CONTAIN doomed ids are rewritten; stats pruning never changes the outcome") {
     import org.apache.spark.sql.functions.{col, input_file_name}
     def norm(f: String) = new org.apache.hadoop.fs.Path(f).toUri.getPath
