@@ -72,7 +72,40 @@ object ExtractJob {
       runId: String,
       resume: Boolean = true,
       native: Boolean = false,
-      numPartitions: Int = 0): Manifest.Snapshot = {
+      numPartitions: Int = 0): Manifest.Snapshot =
+    runGated(spark, docs, tableDir, runId, _ => true, resume, native,
+      numPartitions).get
+
+  /** WRITE-AUDIT-PUBLISH extraction (Iceberg's WAP pattern — the data
+    * quality gate a production table needs in front of every publish):
+    * identical to [[run]] up to the write, but the UNCOMMITTED output —
+    * planned from exactly the files this run wrote, never a directory
+    * listing — is handed to `audit` BEFORE the snapshot commit. `true` →
+    * commit + metrics exactly as [[run]] and the snapshot returns;
+    * `false` → NOTHING commits, no reader ever sees a row (the written
+    * files stay invisible and age out as ordinary GC-able orphans), and
+    * None returns so the caller can alert. An audit that THROWS
+    * propagates after the same no-commit guarantee — an auditor crash
+    * must never publish unaudited data.
+    *
+    * The audit frame is the real table schema (bucket materialized), so
+    * auditors compose the library's own operators: row floors, span
+    * histograms vs a reference profile, Cleaning gates, langIdBulk
+    * mixture drift. Resume semantics on a rejected run are [[run]]'s
+    * crash semantics: the manifest never learned anything, a rerun
+    * re-extracts the same pending buckets and dynamic overwrite replaces
+    * the rejected files. A run whose pending buckets receive ZERO rows
+    * commits without consulting `audit` (there is no data to gate; the
+    * zero-row convergence contract of [[run]] holds). */
+  def runGated(
+      spark: SparkSession,
+      docs: Dataset[RawDoc],
+      tableDir: String,
+      runId: String,
+      audit: DataFrame => Boolean,
+      resume: Boolean = true,
+      native: Boolean = false,
+      numPartitions: Int = 0): Option[Manifest.Snapshot] = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val table = new Manifest(tableDir, spark.sessionState.newHadoopConf())
@@ -80,7 +113,7 @@ object ExtractJob {
     val allBuckets = (0 until DocGen.NumBuckets).toSet
     val pending = (allBuckets -- completed).toSeq.sorted
 
-    if (pending.isEmpty) return table.head().get
+    if (pending.isEmpty) return Some(table.head().get)
 
     // partition-pruning filter: with a parquet source partitioned by bucket
     // this prunes directories; with a generated Dataset it's a cheap filter.
@@ -116,6 +149,12 @@ object ExtractJob {
       pending.map(b => b -> table.listBucketFiles(b).filterNot(preFiles(b))).toMap
     val newFiles = pending.flatMap(bucketFiles)
 
+    // AUDIT GATE: the uncommitted output, planned from this run's files
+    // only — on false, return before ANY manifest/metrics mutation (the
+    // files are orphans; on throw, the same guarantee holds by ordering)
+    if (newFiles.nonEmpty && !audit(table.readFiles(spark, newFiles)))
+      return None
+
     // ONE scan of the data at rest → metrics side table + watermark.
     val stats = scanStats(spark, tableDir, newFiles)
 
@@ -139,7 +178,7 @@ object ExtractJob {
     // appears at most once in the side table; the only crash artifact is a
     // MISSING metrics batch, which is re-derivable from data at rest.
     writeMetrics(spark, tableDir, runId, System.nanoTime() - t0, pending, stats)
-    snap
+    Some(snap)
   }
 
   /** Selective RULE-CHANGE backfill — the reprocessing economics operator.

@@ -4815,6 +4815,39 @@ object Queries {
             |WHERE doc_id NOT LIKE '%7'
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Write-audit-publish end-to-end (ExtractJob.runGated — Iceberg's WAP
+    * pattern): a gated run whose audit REJECTS (an unreachable row floor)
+    * publishes nothing, then a second gated run with a real quality audit
+    * (every doc must keep ≥ 1 span and carry a dense offset ramp) passes
+    * and publishes. The query reads HEAD; the oracle is the classifier
+    * replay — hash equality proves the rejected attempt leaked nothing
+    * and the published table equals an ungated run exactly. */
+  private val qExtractGated = QueryDef(
+    "q_extract_gated",
+    (s, _) => {
+      import s.implicits._
+      val out = s"$corpusDir/wap_demo"
+      Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(out))
+        val docs = stagedCorpus(s).where($"doc_id" < SmallDocMax).as[RawDoc]
+        val r1 = ExtractJob.runGated(s, docs, out, "wap-reject",
+          audit = df => df.count() >= 1000000000L, resume = false)
+        require(r1.isEmpty, "the impossible row floor must reject")
+        val r2 = ExtractJob.runGated(s, docs, out, "wap-pass",
+          audit = df => df.where(size($"spans") < 1).count() == 0L &&
+            df.select(explode($"spans.offset")).where($"col" < 0).count() == 0L,
+          resume = false)
+        require(r2.nonEmpty, "the quality audit must publish")
+      }
+      new Manifest(out, s.sessionState.newHadoopConf()).readData(s)
+        .select($"doc_id", posexplode($"spans").as(Seq("pos", "span")))
+        .select($"doc_id", $"pos", $"span.kind", $"span.text", $"span.media_ref")
+        .orderBy($"doc_id", $"pos")
+    },
+    Some(s"""WITH ${classifierCtes(s"WHERE $SmallDocFilter")}
+            |SELECT doc_id, pos, kind, text, media_ref FROM outp
+            |ORDER BY doc_id, pos""".stripMargin))
+
   /** Snapshot rollback end-to-end (Manifest.rollback — the Iceberg
     * rollback_to_snapshot analog): base extraction committed, a bad
     * delete lands (every id ending in '3'), then rollback reverts the
@@ -4930,7 +4963,8 @@ object Queries {
     qBlocklist,
     qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
-    qBackfillRules, qDeleteCow, qRollback, qScanZonemap, qExtractNative)
+    qBackfillRules, qDeleteCow, qRollback, qScanZonemap, qExtractGated,
+    qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

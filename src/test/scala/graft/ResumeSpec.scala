@@ -69,6 +69,52 @@ class ResumeSpec extends AnyFunSuite {
     assert(snap1.buckets.map(b => b.bucket -> b.watermarkDocId).toMap == goldenWm)
   }
 
+  test("write-audit-publish: a rejected audit commits nothing; the rerun republishes the identical table") {
+    val docs = DocGen.generate(spark, 400, 8)
+    val goldenDir = freshDir()
+    ExtractJob.run(spark, docs, goldenDir, "golden", resume = false)
+    val golden = tableDocs(goldenDir)
+
+    val dir = freshDir()
+    val m = new Manifest(dir)
+    var auditSawRows = -1L
+    // audit REJECTS: the table must never learn the run happened
+    val rejected = ExtractJob.runGated(spark, docs, dir, "gated-1",
+      audit = df => { auditSawRows = df.count(); false }, resume = false)
+    assert(rejected.isEmpty)
+    assert(auditSawRows == 400L, "audit must see exactly the uncommitted rows")
+    assert(m.head().isEmpty, "no snapshot may exist after a rejected audit")
+    assert(intercept[IllegalStateException] {
+      m.readData(spark)
+    }.getMessage.contains("no committed snapshot"))
+    // the rejected files are on disk but invisible — ordinary orphans
+    assert(m.orphanFiles().nonEmpty)
+
+    // an audit that THROWS also publishes nothing
+    intercept[RuntimeException] {
+      ExtractJob.runGated(spark, docs, dir, "gated-2",
+        audit = _ => throw new RuntimeException("auditor died"), resume = false)
+    }
+    assert(m.head().isEmpty)
+
+    // the passing rerun replaces the rejected files (dynamic overwrite)
+    // and publishes a table identical to the ungated golden run
+    var secondSaw = -1L
+    val snap = ExtractJob.runGated(spark, docs, dir, "gated-3",
+      audit = df => { secondSaw = df.count(); true }, resume = false)
+    assert(snap.nonEmpty && secondSaw == 400L)
+    assert(tableDocs(dir) == golden)
+    // committed lineage covers exactly the published rows — the earlier
+    // rejected files are NOT referenced (still orphans, GC-able)
+    assert(m.head().get.buckets.map(_.rows).sum == 400L)
+    val referenced = m.head().get.buckets.flatMap(_.files).toSet
+    assert(m.orphanFiles().forall(f => !referenced.contains(f)))
+    // metrics exist only for the published run
+    val runIds = spark.read.parquet(s"$dir/metrics").select($"run_id")
+      .distinct().as[String].collect().toSet
+    assert(runIds == Set("gated-3"))
+  }
+
   test("native (extract_spans) job produces a byte-identical table to the typed job") {
     val docs = DocGen.generate(spark, 500, 8)
     val typedDir = freshDir(); val nativeDir = freshDir()
