@@ -27,6 +27,48 @@ import org.apache.spark.sql.functions._
   *
   * Usage: graft.CorpusMain <outDir> [nDocs]
   */
+/** The text-funnel expressions shared VERBATIM by the batch pipeline
+  * ([[CorpusMain]] stages 2/3/3b) and the daily-increment path
+  * ([[IncrementalCorpus]]) — one definition, so the two paths cannot
+  * drift: a doc admitted by an increment is exactly a doc the batch
+  * pipeline would have kept at the same stages. */
+private[graft] object CorpusPrep {
+  import org.apache.spark.sql.Column
+
+  /** Reassembly of document text from kept non-media spans in offset
+    * order (the text-funnel head); zero-text docs drop. */
+  def textsOf(extracted: DataFrame): DataFrame =
+    extracted
+      .select(col("doc_id"), col("domain"),
+        array_join(expr(
+          "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
+            "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
+      .where(length(col("text")) > 0)
+
+  /** PII scrub + the FULL Gopher gate at the pipeline's constants
+    * (minWords 8; repetition caps 0.30 / 0.18 / 0.15 on the 2000-word
+    * prefix). */
+  def cleanGate(texts: DataFrame): DataFrame = {
+    val wCap: Column = slice(ops.Cleaning.wordsOf(col("text")), 1, 2000)
+    texts
+      .withColumn("text", ops.Cleaning.redactPii(col("text")))
+      .withColumn("w", wCap)
+      .where(ops.Cleaning.gopherQualityGate(col("text"), col("w"), minWords = 8) &&
+        ops.Cleaning.topWordFracQ4(col("w")) <= 3000 &&
+        ops.Cleaning.topNgramCharFracQ4(col("w"), 3) <= 1800 &&
+        ops.Cleaning.dupNgramCharFracQ4(col("w"), 5) <= 1500)
+      .drop("w")
+  }
+
+  /** Bulk language gate: keep docs langIdBulk calls 'en' (docs with no
+    * profile evidence default to 'en' — kept). */
+  def langGateEn(df: DataFrame): DataFrame =
+    df.join(
+      ops.TextStats.langIdBulk(df, "doc_id", "text")
+        .where(col("pred") === "en").select(col("doc_id")),
+      "doc_id")
+}
+
 object CorpusMain {
 
   /** Resumable stage store over the snapshot manifest: one single-bucket
@@ -118,14 +160,7 @@ object CorpusMain {
 
     // 2. reassembly of document text from kept non-media spans in offset
     //    order — the text-funnel head
-    val texts = stage("texts") {
-      extracted
-        .select($"doc_id", $"domain",
-          array_join(expr(
-            "transform(array_sort(filter(spans, s -> s.kind <> 'media'), " +
-              "(a, b) -> a.offset - b.offset), s -> s.text)"), " ").as("text"))
-        .where(length($"text") > 0)
-    }
+    val texts = stage("texts") { CorpusPrep.textsOf(extracted) }
 
     // 2b. MULTIMODAL side output: CLIP/LAION caption pairs mined from the
     //     same committed extraction pass — media spans never enter the
@@ -172,27 +207,12 @@ object CorpusMain {
     //    are O(distinct·L) per row, and a crawl can contain pathological
     //    100k-word pages — the cap bounds per-row cost exactly as
     //    Gopher's own length gate does)
-    val cleaned0 = stage("cleaned") {
-      val wCap = slice(ops.Cleaning.wordsOf($"text"), 1, 2000)
-      texts
-        .withColumn("text", ops.Cleaning.redactPii($"text"))
-        .withColumn("w", wCap)
-        .where(ops.Cleaning.gopherQualityGate($"text", $"w", minWords = 8) &&
-          ops.Cleaning.topWordFracQ4($"w") <= 3000 &&
-          ops.Cleaning.topNgramCharFracQ4($"w", 3) <= 1800 &&
-          ops.Cleaning.dupNgramCharFracQ4($"w", 5) <= 1500)
-        .drop("w")
-    }
+    val cleaned0 = stage("cleaned") { CorpusPrep.cleanGate(texts) }
 
     // 3b. language gate — the BULK realization (explode trigrams →
     //     broadcast profile join → partial-agg argmax); docs with no
     //     profile evidence default to 'en' (kept)
-    val cleaned = stage("lang_en") {
-      cleaned0.join(
-        ops.TextStats.langIdBulk(cleaned0, "doc_id", "text")
-          .where($"pred" === "en").select($"doc_id"),
-        "doc_id")
-    }
+    val cleaned = stage("lang_en") { CorpusPrep.langGateEn(cleaned0) }
 
     // 4. dedup: NORMALIZED keep-first (keyed on Cleaning.dedupKey — the
     //    fuzzy-exact form real crawls need; on THIS corpus the generator

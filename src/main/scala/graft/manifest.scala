@@ -395,6 +395,48 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     * escape hatch for metadata that legitimately moves DOWN (resharding
     * restamps the layout key to a smaller bucket count; a max-merge could
     * never record it). Stream batch watermarks must never use this. */
+  /** INCREMENTAL READ (Iceberg's incremental append scan): the rows
+    * ADDED after snapshot `fromId` (exclusive), up to `toId` (inclusive;
+    * default HEAD) — planned as the FILE-SET difference of the two
+    * snapshots, so a downstream consumer processes each appended file
+    * exactly once and never rescans the table. `fromId = -1` bootstraps
+    * (reads everything in `toId`).
+    *
+    * EXACT only across append-only commits (extraction runs, stream
+    * micro-batches): a REWRITE commit in the window (compact, delete,
+    * reshard, rollback, clustering) re-materializes surviving rows into
+    * new files, so the file diff would re-deliver them. Rewrites are
+    * detectable from lineage — appends never REMOVE a file, so any
+    * `from` file absent from `to` marks one — and this method fails
+    * loudly in that case; `allowRewrites = true` opts an auditing
+    * consumer into the raw added-file rows anyway. Downstream contract:
+    * checkpoint the snapshot id you've consumed through, call
+    * `readAppended(lastConsumed)` on a schedule, advance the checkpoint
+    * to HEAD's id after processing — and schedule table maintenance
+    * (which rewrites) only at consumer sync points. */
+  def readAppended(spark: SparkSession, fromId: Int, toId: Option[Int] = None,
+      allowRewrites: Boolean = false, buckets: Option[Set[Int]] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val to = toId.map(snapshotById).orElse(head()).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $tableDir"))
+    val fromFiles: Set[String] =
+      if (fromId < 0) Set.empty
+      else snapshotById(fromId).buckets
+        .filter(b => buckets.forall(_.contains(b.bucket)))
+        .flatMap(_.files).toSet
+    val toSel = to.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
+    val removed = fromFiles -- toSel.flatMap(_.files).toSet
+    require(removed.isEmpty || allowRewrites,
+      s"snapshots $fromId..${to.id} include a rewrite commit (${removed.size} " +
+        s"files replaced, e.g. ${removed.take(2).mkString(", ")}): the append diff " +
+        "would re-deliver surviving rows — re-sync from a full read, or pass " +
+        "allowRewrites=true to audit the raw added files")
+    val added = toSel.flatMap(_.files).filterNot(fromFiles)
+    if (added.nonEmpty) readFiles(spark, added, mergeSchema)
+    else readData(spark, buckets, Some(to.id), mergeSchema)
+      .where(org.apache.spark.sql.functions.lit(false))
+  }
+
   /** ROLL BACK the table to snapshot `toId` (Iceberg's
     * rollback_to_snapshot): commits a NEW snapshot whose bucket states
     * are the target's, verbatim — history only moves forward, so time

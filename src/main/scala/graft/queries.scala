@@ -4815,6 +4815,59 @@ object Queries {
             |WHERE doc_id NOT LIKE '%7'
             |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Incremental read end-to-end (Manifest.readAppended — Iceberg's
+    * incremental append scan): two indexed-corpus admission batches land
+    * as manifest commits, and a downstream consumer that checkpointed
+    * the first snapshot id reads the window between the two — the
+    * file-set difference must deliver EXACTLY batch 2's admissions, no
+    * re-delivery of batch 1, no leakage of the dropped re-crawls or the
+    * index bucket's rows. Texts are per-doc unique word sequences
+    * (pairwise Jaccard 0), so the admission decision replays in SQL as
+    * plain exact-text set difference — the minhash replay itself is
+    * q_dedup_incremental / q_reshard_corpus territory. */
+  private val qReadAppended = QueryDef(
+    "q_read_appended",
+    (s, dir) => {
+      import s.implicits._
+      def utext(idc: org.apache.spark.sql.Column) = concat_ws(" ",
+        (0 until 12).map(j => concat(lit("u"), idc, lit(s"w$j"))): _*)
+      val base = t(s, dir, "documents").select($"doc_id")
+      val w1 = base.where($"doc_id" < 40)
+        .select($"doc_id", utext($"doc_id").as("text"))
+      val w2 = base.where($"doc_id" < 20)
+        .select(($"doc_id" + 3000).as("doc_id"), utext($"doc_id").as("text"))
+        .union(base.where($"doc_id" >= 40 && $"doc_id" < 50)
+          .select($"doc_id", utext($"doc_id").as("text")))
+      val tbl = s"$corpusDir/appended_demo"
+      val (aId, hId) = Queries.synchronized {
+        deleteRecursively(java.nio.file.Paths.get(tbl))
+        streaming.EventStream.admitIndexedBatch(w1, 0L, tbl, "q-app",
+          "doc_id", "text", 0.7, 8, 4, corpusBuckets = 1)
+        val m = new Manifest(tbl, s.sessionState.newHadoopConf())
+        val a = m.head().get.id
+        streaming.EventStream.admitIndexedBatch(w2, 1L, tbl, "q-app",
+          "doc_id", "text", 0.7, 8, 4, corpusBuckets = 1)
+        (a, m.head().get.id)
+      }
+      new Manifest(tbl, s.sessionState.newHadoopConf())
+        .readAppended(s, aId, Some(hId),
+          buckets = Some(Set(streaming.EventStream.CorpusBucket)))
+        .select($"doc_id", $"text").orderBy($"doc_id")
+    },
+    Some {
+      val ut = (0 until 12).map(j => s"'u' || CAST(doc_id AS VARCHAR) || 'w$j'")
+        .mkString(" || ' ' || ")
+      s"""WITH w1 AS (SELECT doc_id, $ut AS text FROM documents WHERE doc_id < 40),
+         |w2 AS (SELECT doc_id + 3000 AS doc_id, text FROM
+         |         (SELECT doc_id, $ut AS text FROM documents WHERE doc_id < 20)
+         |       UNION ALL
+         |       SELECT doc_id, $ut AS text FROM documents
+         |       WHERE doc_id >= 40 AND doc_id < 50)
+         |SELECT doc_id, text FROM w2
+         |WHERE md5(text) NOT IN (SELECT md5(text) FROM w1)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   /** Write-audit-publish end-to-end (ExtractJob.runGated — Iceberg's WAP
     * pattern): a gated run whose audit REJECTS (an unreachable row floor)
     * publishes nothing, then a second gated run with a real quality audit
@@ -4964,7 +5017,7 @@ object Queries {
     qMediaMeta, qMediaFeatures, qMediaNearDup,
     qSourceJsonl, qSourceQuarantine, qExtract, qExtractSpans, qExtractMetrics,
     qBackfillRules, qDeleteCow, qRollback, qScanZonemap, qExtractGated,
-    qExtractNative)
+    qReadAppended, qExtractNative)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -274,6 +274,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(survivors == (golden.keySet -- doomed))
   }
 
+  test("incremental read delivers appended files exactly once; rewrites refuse loudly; bootstrap reads all") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    val s0 = ExtractJob.run(spark, DocGen.generate(spark, 300, 8), dir, "base",
+      resume = false, numPartitions = 8)
+    val m = new Manifest(dir)
+
+    // append commit, the stream way: extract 100 MORE docs, write them
+    // beside the existing files, commit the per-bucket lineage delta
+    val before = s0.buckets.map(b => b.bucket -> b.files.toSet).toMap
+    val extra = ExtractJob.transform(
+      DocGen.generate(spark, 400, 8).where($"doc_id" >= "d0000000300").as[RawDoc]).toDF()
+    extra.write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    val extraRows = extra.groupBy(col("bucket")).count()
+      .as[(Int, Long)].collect().toMap
+    val s1 = m.commit("append", s0.buckets.map { b =>
+      val fresh = m.listBucketFiles(b.bucket).filterNot(before(b.bucket))
+      b.copy(rows = b.rows + extraRows.getOrElse(b.bucket, 0L),
+        files = b.files ++ fresh)
+    })
+
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).as[String].collect().toSet
+    // exactly the appended rows — never the base table
+    val inc = m.readAppended(spark, fromId = s0.id)
+    assert(ids(inc) == ids(m.readData(spark)) -- ids(m.readData(spark, asOf = Some(s0.id))))
+    assert(inc.count() == 100L)
+    // bootstrap (-1) == full read; same-snapshot window is empty
+    assert(ids(m.readAppended(spark, -1)) == ids(m.readData(spark)))
+    assert(m.readAppended(spark, s0.id, Some(s0.id)).count() == 0L)
+
+    // a rewrite commit (compaction) breaks the append diff — refuse
+    ExtractJob.compact(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      m.readAppended(spark, s1.id)
+    }
+    assert(ex.getMessage.contains("rewrite commit"))
+    // the auditing override reads the raw added (rewritten) files
+    assert(m.readAppended(spark, s1.id, allowRewrites = true).count() == 400L)
+  }
+
   test("rollback reverts data forward-only; GC bounds the window; resharded layouts refuse") {
     val dir = freshDir()
     val s0 = ExtractJob.run(spark, DocGen.generate(spark, 400, 8), dir, "rb",
