@@ -53,11 +53,12 @@ object DeleteBench {
         val hitBucketFiles = hitB.map(b => f0(b.bucket).size).sum
         (sec, rewritten, hitBucketFiles, pre.buckets.map(_.files.size).sum)
       }
-      val med = walls.map(_._1).sorted.apply(1)
-      val w = walls.head
+      // the blast-radius counts come from the MEDIAN round — the same
+      // delete whose wall is reported (rounds can hit different files)
+      val w = walls.sortBy(_._1).apply(1)
       println(f"""{"metric":"delete_cow","corpus":$n,"keys":8,""" +
         f""""files_total":${w._4},"files_hit_buckets":${w._3},""" +
-        f""""files_rewritten":${w._2},"sec_median":$med%.2f}""")
+        f""""files_rewritten":${w._2},"sec_median":${w._1}%.2f}""")
     }
     run(nSmall)
     run(nLarge)

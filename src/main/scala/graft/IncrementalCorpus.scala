@@ -50,6 +50,13 @@ object IncrementalCorpus {
     * standing corpus every later increment dedups against. */
   def bootstrap(spark: SparkSession, outDir: String,
       corpusBuckets: Int = 4): Unit = {
+    // bootstrap must be the FIRST admission: if an increment ever ran
+    // first, the stream watermark is past batch 0 and this admission
+    // would be silently discarded as a re-delivery — the base corpus
+    // would never seed and every increment would dedup against nothing
+    require(new Manifest(corpusTableDir(outDir), conf(spark)).head().isEmpty,
+      s"corpus at ${corpusTableDir(outDir)} already has commits — " +
+        "bootstrap must run before any admitIncrement")
     val gated = CorpusMain.readStage(spark, outDir, "lm_kept")
     val split = CorpusMain.readStage(spark, outDir, "split")
     val train = gated
@@ -66,10 +73,16 @@ object IncrementalCorpus {
   def admitIncrement(spark: SparkSession, raw: Dataset[RawDoc],
       outDir: String, batchId: Long): Unit = {
     require(batchId > 0, "batch 0 is the bootstrap; increments start at 1")
+    require(new Manifest(corpusTableDir(outDir), conf(spark)).head().nonEmpty,
+      s"no corpus at ${corpusTableDir(outDir)} — bootstrap first " +
+        "(an increment admitted before bootstrap would mute the seed batch)")
     val extracted = plans.GraftFunctions.extractColumnar(raw.toDF())
       .select(col("doc_id"), col("domain"), col("spans"))
+    // materialize the gated batch ONCE: admitIndexedBatch drives several
+    // actions over it (input count, admission joins, outcome counts) and
+    // would otherwise re-run extraction + gates per action
     val cleaned = CorpusPrep.langGateEn(
-      CorpusPrep.cleanGate(CorpusPrep.textsOf(extracted)))
+      CorpusPrep.cleanGate(CorpusPrep.textsOf(extracted))).localCheckpoint()
     streaming.EventStream.admitIndexedBatch(cleaned, batchId,
       corpusTableDir(outDir), StreamId, "doc_id", "text", 0.8, 8, 4,
       layoutOf(spark, outDir))
@@ -113,6 +126,9 @@ object IncrementalCorpus {
           ops.Bpe.bpeTokenCount($"text", merges).cast("bigint"), budget)
         .withColumn("pack_window", lit(cHead.id))
         .localCheckpoint()
+      // checkpoint before write: each frame feeds a write AND a count —
+      // without this the tokenization DAG (the expensive stage) would
+      // replay once per action
       val seqs = ops.Sampling.shuffleOrder(
         ops.Bpe.attachIds(
           ops.Sampling.packSequencesWithBounds(
@@ -120,9 +136,9 @@ object IncrementalCorpus {
             "doc_id", Seq("pack_window", "domain", "shard"), $"toks", seqLen),
           "toks", vocab),
         Seq($"pack_window", $"domain", $"shard", $"seq"),
-        salt = s"w${cHead.id}", nParts = nParts)
+        salt = s"w${cHead.id}", nParts = nParts).localCheckpoint()
       val oov = ops.Bpe.oovStats(fresh, "domain", "text", merges, vocab)
-        .withColumn("pack_window", lit(cHead.id))
+        .withColumn("pack_window", lit(cHead.id)).localCheckpoint()
 
       packed.write.mode("append")
         .parquet(s"${trainTableDir(outDir)}/data/bucket=$ShardsBucket")

@@ -89,7 +89,15 @@ object Manifest {
   /** Min/max of string column `idCol` for ONE parquet file, lifted from
     * its footer's column-chunk statistics — no data pages are read. None
     * when any row group lacks a usable stat (dropped/truncation-suspect
-    * stats, all-null chunks, non-binary physical type): an absent stat
+    * stats, all-null chunks, non-binary physical type), or when a bound
+    * is not pure ASCII: parquet orders statistics by unsigned UTF-8
+    * BYTES while this class compares by Java String (UTF-16 units), and
+    * the two orders diverge for strings mixing supplementary and
+    * U+E000..U+FFFF characters. With ASCII bounds every later comparison
+    * is order-consistent regardless of the other side (the deciding
+    * character pair always has an ASCII member), so restricting RECORDED
+    * stats to ASCII makes pruning safe for arbitrary ingested ids — a
+    * non-ASCII-keyed file simply stays always-planned. An absent stat
     * only disables pruning for that file, never mis-prunes. */
   def footerIdRange(conf: Configuration, file: String, idCol: String): Option[(String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -105,7 +113,9 @@ object Manifest {
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else (st.genericGetMin, st.genericGetMax) match {
             case (mn: Binary, mx: Binary) =>
-              Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+              val (lo, hi) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+              if (lo.forall(_ < 0x80) && hi.forall(_ < 0x80)) Some((lo, hi))
+              else None // non-ASCII bound: String vs UTF-8 order may diverge
             case _ => None
           }
         }
@@ -263,11 +273,18 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
     // added columns; they coalesce defaults themselves).
     if (files.nonEmpty) readFiles(spark, files, mergeSchema)
     else {
-      val all = snap.buckets.flatMap(_.files)
-      require(all.nonEmpty, s"snapshot ${snap.id} has no data files")
+      // empty plan (zero-file selection, or idRange pruned everything):
+      // produce an empty frame with the right schema. The schema file
+      // must come from the SELECTED buckets when they have any — on a
+      // mixed-namespace table (corpus + index buckets) falling straight
+      // to an arbitrary file would leak another namespace's schema.
+      val sel = snap.buckets.filter(b => buckets.forall(_.contains(b.bucket)))
+        .flatMap(_.files)
+      val cand = if (sel.nonEmpty) sel else snap.buckets.flatMap(_.files)
+      require(cand.nonEmpty, s"snapshot ${snap.id} has no data files")
       spark.read.option("basePath", dataDir.toString)
         .option("mergeSchema", mergeSchema.toString)
-        .parquet(all.head).where(org.apache.spark.sql.functions.lit(false))
+        .parquet(cand.head).where(org.apache.spark.sql.functions.lit(false))
     }
   }
 

@@ -438,14 +438,21 @@ object ExtractJob {
       .write.mode("append")
       .partitionBy("bucket")
       .parquet(s"$tableDir/data")
+    // re-derive zone maps for the rewritten files so compaction never
+    // DEGRADES a stats-pruned table (namespaces without a doc_id column
+    // simply record none — footerIdRange finds no such chunk). ONE
+    // metadata job over every rewritten file, then grouped per bucket —
+    // a per-bucket job inside the map would serialize hundreds of tiny
+    // driver-launched jobs at scale
+    val freshByBucket: Map[Int, Seq[String]] = fat.map(b =>
+      b.bucket -> table.listBucketFiles(b.bucket).filterNot(before(b.bucket))).toMap
+    val statsByBucket = Manifest
+      .fileIdStats(spark, freshByBucket.values.flatten.toSeq, Manifest.ZoneMapCol)
+      .groupBy(s => freshByBucket.collectFirst {
+        case (b, fs) if fs.contains(s.file) => b }.get)
     val states = fat.map { b =>
-      val now = table.listBucketFiles(b.bucket)
-      val fresh = now.filterNot(before(b.bucket))
-      // re-derive zone maps for the rewritten files so compaction never
-      // DEGRADES a stats-pruned table (namespaces without a doc_id column
-      // simply record none — footerIdRange finds no such chunk)
-      Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId, fresh,
-        Manifest.fileIdStats(spark, fresh, Manifest.ZoneMapCol))
+      Manifest.BucketState(b.bucket, b.rows, b.watermarkDocId,
+        freshByBucket(b.bucket), statsByBucket.getOrElse(b.bucket, Nil))
     }
     table.commit(s"compact-of-${snap.id}", states)
   }
@@ -577,16 +584,24 @@ object ExtractJob {
             .repartition($"bucket")
             .write.mode("append").partitionBy("bucket")
             .parquet(s"$tableDir/data")
+          // untouched files keep their zone maps verbatim; only the
+          // replacement files need fresh footer stats — ONE metadata job
+          // over all of them, grouped per bucket (not a job per bucket)
+          val freshByBucket: Map[Int, Seq[String]] = hit.map(b =>
+            b.bucket -> table.listBucketFiles(b.bucket)
+              .filterNot(before(b.bucket))).toMap
+          val statsByBucket = Manifest
+            .fileIdStats(spark, freshByBucket.values.flatten.toSeq,
+              Manifest.ZoneMapCol)
+            .groupBy(s => freshByBucket.collectFirst {
+              case (b, fs) if fs.contains(s.file) => b }.get)
           hit.map { b =>
             val doomedHere = hitFilesByBucket(b.bucket)
             val kept = b.files.filterNot(f => doomedHere.contains(norm(f)))
-            val fresh = table.listBucketFiles(b.bucket).filterNot(before(b.bucket))
-            // untouched files keep their zone maps verbatim; only the
-            // replacement files need fresh footer stats
             Manifest.BucketState(b.bucket, b.rows - hitsByBucket(b.bucket),
-              b.watermarkDocId, kept ++ fresh,
+              b.watermarkDocId, kept ++ freshByBucket(b.bucket),
               b.stats.filterNot(s => doomedHere.contains(norm(s.file))) ++
-                Manifest.fileIdStats(spark, fresh, Manifest.ZoneMapCol))
+                statsByBucket.getOrElse(b.bucket, Nil))
           }
         }
       }

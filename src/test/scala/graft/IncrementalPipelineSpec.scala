@@ -16,6 +16,19 @@ class IncrementalPipelineSpec extends AnyFunSuite {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.select(col("doc_id").cast("string")).as[String].collect().toSet
 
+  test("ordering guard: an increment before bootstrap refuses loudly") {
+    val out = Files.createTempDirectory("graft_incguard_").toString
+    val delta = DocGen.generate(spark, 10, 2).as[RawDoc]
+    // admitting first would mute the future seed batch (stream watermark
+    // passes batch 0) — must refuse, not silently create the table
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalCorpus.admitIncrement(spark, delta, out, 1L)
+    }
+    assert(ex.getMessage.contains("bootstrap first"))
+    assert(new Manifest(IncrementalCorpus.corpusTableDir(out),
+      spark.sessionState.newHadoopConf()).head().isEmpty)
+  }
+
   test("increments: batch-identical gates, indexed admission, frozen-tokenizer pack, exactly-once consumption") {
     val out = Files.createTempDirectory("graft_incpipe_").toString
     CorpusMain.run(spark, 2000, out, 4)

@@ -274,6 +274,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(survivors == (golden.keySet -- doomed))
   }
 
+  test("zone maps refuse non-ASCII bounds; ASCII bounds round-trip exactly") {
+    val dir = freshDir()
+    val conf = spark.sessionState.newHadoopConf()
+    def firstParquet(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .head.toString
+    // supplementary (U+1F600) vs U+FB00: Java String order and parquet's
+    // UTF-8 byte order DISAGREE on these — the stat must be refused so
+    // the file stays always-planned
+    Seq("😀a", "ﬀb").toDF("doc_id")
+      .coalesce(1).write.parquet(s"$dir/nonascii")
+    assert(Manifest.footerIdRange(conf, firstParquet(s"$dir/nonascii"),
+      "doc_id").isEmpty)
+    // plain ASCII ids: exact bounds recorded
+    Seq("d003", "d001", "d002").toDF("doc_id")
+      .coalesce(1).write.parquet(s"$dir/ascii")
+    assert(Manifest.footerIdRange(conf, firstParquet(s"$dir/ascii"),
+      "doc_id") == Some(("d001", "d003")))
+  }
+
   test("incremental read delivers appended files exactly once; rewrites refuse loudly; bootstrap reads all") {
     import org.apache.spark.sql.functions.col
     val dir = freshDir()
