@@ -340,6 +340,18 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
   /** Snapshot by id (must exist on disk). */
   def snapshotById(id: Int): Snapshot = readSnap(new Path(meta, s"snap-$id.json"))
 
+  /** Snapshot history (Iceberg's `snapshots` metadata table analog):
+    * every RETAINED snapshot, oldest first. Exactly the set time travel
+    * and [[rollback]] can still reach — expired snapshots are absent.
+    * Manifest-sized: one small JSON parse per retained snapshot. */
+  def history(): Seq[Snapshot] = {
+    if (!fs.exists(meta)) return Nil
+    fs.listStatus(meta).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("snap-\\d+\\.json"))
+      .map(readSnap)
+      .sortBy(_.id)
+  }
+
   /** CDC-lite: bucket states in HEAD whose LOGICAL content differs from
     * snapshot `sinceId` (new bucket, or different rows/watermark).
     * Deliberately ignores the files list: compaction rewrites files without

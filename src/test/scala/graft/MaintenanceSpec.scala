@@ -274,6 +274,20 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(survivors == (golden.keySet -- doomed))
   }
 
+  test("history lists exactly the retained snapshots, oldest first") {
+    val dir = freshDir()
+    val m = new Manifest(dir)
+    assert(m.history().isEmpty)
+    (0 until 4).foreach(i => m.commit(s"r$i", Seq(Manifest.BucketState(0, i + 1L, s"d$i"))))
+    assert(m.history().map(s => (s.id, s.parent, s.runId)) ==
+      Seq((0, -1, "r0"), (1, 0, "r1"), (2, 1, "r2"), (3, 2, "r3")))
+    m.expireSnapshots(keepLast = 2)
+    // history == what time travel / rollback can still reach
+    assert(m.history().map(_.id) == Seq(2, 3))
+    assert(m.rollback(2).id == 4)
+    assert(m.history().map(_.id) == Seq(2, 3, 4))
+  }
+
   test("zone maps refuse non-ASCII bounds; ASCII bounds round-trip exactly") {
     val dir = freshDir()
     val conf = spark.sessionState.newHadoopConf()
