@@ -66,10 +66,25 @@ object IncrementalCorpus {
       StreamId, "doc_id", "text", 0.8, 8, 4, corpusBuckets)
   }
 
-  /** One crawl increment: extract → gate → indexed admission. Batch ids
-    * must be monotone per caller (a re-delivered id no-ops — the stream
-    * guard). Admission metrics land in the corpus table's metrics bucket
-    * ([[streaming.EventStream.readAdmissionMetrics]]). */
+  /** Word-k-gram size of the holdout-leakage gate (GPT-3-style
+    * decontamination granularity). */
+  val HoldoutDeconK = 8
+
+  /** One crawl increment: extract → gate → HOLDOUT-LEAKAGE gate →
+    * indexed admission. Batch ids must be monotone per caller (a
+    * re-delivered id no-ops — the stream guard). Admission metrics land
+    * in the corpus table's metrics bucket
+    * ([[streaming.EventStream.readAdmissionMetrics]]).
+    *
+    * The holdout gate closes a leak the admission index CANNOT: the base
+    * run's eval holdout is deliberately excluded from the bootstrap
+    * corpus (it must never train), so an increment doc that is an exact
+    * or near copy of a holdout doc looks FRESH to the dedup index and
+    * would sail into training — contaminating every benchmark run
+    * against the holdout. Any increment doc sharing a word-k-gram with
+    * the holdout is dropped pre-admission ([[ops.Cleaning.decontaminate]]
+    * — holdout side broadcast; swap in decontaminateBloom if a holdout
+    * ever outgrows broadcast). */
   def admitIncrement(spark: SparkSession, raw: Dataset[RawDoc],
       outDir: String, batchId: Long): Unit = {
     require(batchId > 0, "batch 0 is the bootstrap; increments start at 1")
@@ -83,7 +98,13 @@ object IncrementalCorpus {
     // would otherwise re-run extraction + gates per action
     val cleaned = CorpusPrep.langGateEn(
       CorpusPrep.cleanGate(CorpusPrep.textsOf(extracted))).localCheckpoint()
-    streaming.EventStream.admitIndexedBatch(cleaned, batchId,
+    val holdout = CorpusMain.readStage(spark, outDir, "eval_holdout")
+    val admissible = cleaned.join(
+      ops.Cleaning.decontaminate(cleaned, holdout, "doc_id", "text",
+          k = HoldoutDeconK)
+        .where(col("keep") === 1).select(col("doc_id")),
+      "doc_id")
+    streaming.EventStream.admitIndexedBatch(admissible, batchId,
       corpusTableDir(outDir), StreamId, "doc_id", "text", 0.8, 8, 4,
       layoutOf(spark, outDir))
   }

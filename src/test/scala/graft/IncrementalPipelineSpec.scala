@@ -54,12 +54,17 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     // the increment's admissions are EXACTLY what the batch operators
     // say: CorpusPrep gates (shared definition) then incremental dedup
     // against the pre-increment corpus
+    val holdout = CorpusMain.readStage(spark, out, "eval_holdout")
     val cleanedDelta = CorpusPrep.langGateEn(CorpusPrep.cleanGate(
         CorpusPrep.textsOf(plans.GraftFunctions.extractColumnar(delta.toDF())
           .select($"doc_id", $"domain", $"spans"))))
       .select($"doc_id", $"text")
+    val deconDelta = cleanedDelta.join(
+      ops.Cleaning.decontaminate(cleanedDelta, holdout, "doc_id", "text",
+          IncrementalCorpus.HoldoutDeconK)
+        .where($"keep" === 1).select($"doc_id"), "doc_id")
     val expAdm = ids(ops.Dedup.incrementalDedup(
-      cleanedDelta, before, "doc_id", "text"))
+      deconDelta, before, "doc_id", "text"))
     assert(ids(corpus()) -- ids(before) == expAdm)
     assert(expAdm.nonEmpty, "some fresh docs must survive the gates")
     // re-crawls of content PRESENT in the corpus drop; re-crawls of base
@@ -107,13 +112,33 @@ class IncrementalPipelineSpec extends AnyFunSuite {
     assert(IncrementalCorpus.packIncrements(spark, out) == 0L)
 
     // crash window between corpus commit and pack: increment 2 admitted,
-    // "crash", restart packs exactly that window
+    // "crash", restart packs exactly that window. The increment also
+    // carries PLANTED HOLDOUT LEAKS — re-crawls of eval-holdout docs
+    // under new ids. The holdout is deliberately absent from the corpus,
+    // so the dedup index sees them as FRESH; only the decontamination
+    // gate stands between them and the training set
+    val holdoutIds = holdout.select($"doc_id".cast("string"))
+      .as[String].collect().toSet
+    assert(holdoutIds.nonEmpty)
+    val leaks = DocGen.generate(spark, 2000, 4).as[RawDoc]
+      .filter(d => holdoutIds.contains(d.doc_id))
+      .map(d => d.copy(doc_id = "h" + d.doc_id))
     val delta2 = DocGen.generate(spark, 2200, 4)
-      .where($"doc_id" >= "d0000002100").as[RawDoc]
+      .where($"doc_id" >= "d0000002100").as[RawDoc].union(leaks)
     val before2 = ids(corpus())
     IncrementalCorpus.admitIncrement(spark, delta2, out, 2L)
     val adm2 = ids(corpus()) -- before2
     assert(adm2.nonEmpty)
+    assert(!adm2.exists(_.startsWith("h")),
+      "a re-crawled holdout doc must never reach the training corpus")
+    // non-vacuity: the leaks PASS the ordinary quality gates (they are
+    // re-crawls of docs the base funnel kept) — only the decon gate
+    // stopped them
+    val cleaned2 = CorpusPrep.langGateEn(CorpusPrep.cleanGate(
+      CorpusPrep.textsOf(plans.GraftFunctions.extractColumnar(delta2.toDF())
+        .select($"doc_id", $"domain", $"spans"))))
+    assert(ids(cleaned2).exists(_.startsWith("h")),
+      "planted leaks must survive the quality gates to test the decon gate")
     val n2 = IncrementalCorpus.packIncrements(spark, out)
     assert(n2 == adm2.size.toLong)
     val shards2 = IncrementalCorpus.readTrain(spark, out,
