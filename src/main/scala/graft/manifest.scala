@@ -127,6 +127,18 @@ object Manifest {
     } finally r.close()
   }
 
+  /** Exact row count of one parquet file from its footer — no data pages
+    * are read. The metadata-plane replacement for a count() job over
+    * freshly WRITTEN files: the writer's own footers already carry the
+    * row counts. */
+  def footerRowCount(conf: Configuration, file: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }
+
   /** Per-file id zone maps for a commit, computed EXECUTOR-SIDE: one footer
     * read per file, fanned out as a metadata-plane Spark job (at a 100 TB
     * commit the file list is tens of thousands of entries — a driver-side
@@ -134,13 +146,27 @@ object Manifest {
     * is one small tuple per file: manifest-sized by construction. */
   def fileIdStats(spark: SparkSession, files: Seq[String], idCol: String): Seq[FileStat] = {
     if (files.isEmpty) return Nil
-    val bc = spark.sparkContext.broadcast(
-      new SerConf(spark.sessionState.newHadoopConf()))
-    spark.sparkContext.parallelize(files, math.max(1, math.min(files.length, 64)))
-      .map(f => f -> footerIdRange(bc.value.value, f, idCol))
-      .collect().toSeq
-      .collect { case (f, Some((mn, mx))) => FileStat(f, mn, mx) }
-      .sortBy(_.file)
+    // SMALL commits (the common steady-state micro-batch / compaction of a
+    // few buckets) read their footers straight from the driver over a
+    // small thread pool — a Spark job would cost a scheduling round trip
+    // per commit for a handful of metadata reads. Large commits (tens of
+    // thousands of files at a 100 TB backfill) still fan out as a
+    // metadata-plane job so remote-footer latency is paid in parallel
+    // across executors, not serialized on the driver.
+    if (files.length <= 32) {
+      val conf = spark.sessionState.newHadoopConf()
+      Par.par(files.map(f => () => f -> footerIdRange(conf, f, idCol)))
+        .collect { case (f, Some((mn, mx))) => FileStat(f, mn, mx) }
+        .sortBy(_.file)
+    } else {
+      val bc = spark.sparkContext.broadcast(
+        new SerConf(spark.sessionState.newHadoopConf()))
+      spark.sparkContext.parallelize(files, math.max(1, math.min(files.length, 64)))
+        .map(f => f -> footerIdRange(bc.value.value, f, idCol))
+        .collect().toSeq
+        .collect { case (f, Some((mn, mx))) => FileStat(f, mn, mx) }
+        .sortBy(_.file)
+    }
   }
 
   /** One committed snapshot. `streamWatermarks` maps a stream identity
@@ -486,6 +512,15 @@ final class Manifest(tableDir: String, conf: Configuration = new Configuration()
       throw new IllegalStateException(s"nothing to roll back at $tableDir"))
     require(target.buckets.map(_.bucket).toSet == cur.buckets.map(_.bucket).toSet,
       s"bucket layout changed since snapshot $toId (reshard?) — rollback refused")
+    // the bucket-id SET alone cannot see a DOWNshard (reshard zeroes stale
+    // ids instead of removing them, so the set is unchanged): the reserved
+    // layout-class watermarks (__layout:*, __cms:*) must also agree, or
+    // the restored data would be read under the wrong bucket namespaces
+    def layoutKeys(s: Snapshot) = s.streamWatermarks.filter(_._1.startsWith("__"))
+    require(layoutKeys(target) == layoutKeys(cur),
+      s"reserved layout watermarks changed since snapshot $toId " +
+        s"(${layoutKeys(target)} vs ${layoutKeys(cur)}) — a reshard happened " +
+        "in between; layouts aren't comparable — rollback refused, re-migrate instead")
     val gone = target.buckets.flatMap(_.files).filterNot(f => fs.exists(new Path(f)))
     require(gone.isEmpty,
       s"rollback to $toId impossible: ${gone.size} data files already GC'd, e.g. ${gone.take(3).mkString(", ")}")

@@ -285,7 +285,12 @@ object Dedup {
       textCol: String, k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       maxBucket: Int = 4096, maxIters: Int = 50,
       materialize: Boolean = true): DataFrame = {
-    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    // LAZY checkpoints: plan truncation + compute-once caching as before,
+    // but materialization folds into the first consuming job instead of
+    // paying one eager job per checkpoint (the frames feed 2+ consumers
+    // each; later consumers hit the cache exactly as with eager)
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     // delegate to the index path with a just-built (materialized — both
     // the hash and banding consumers read it) index: ONE signature pass
     // over the corpus, and the semantics are the index path's by
@@ -345,7 +350,9 @@ object Dedup {
       maxBucket: Int = 4096, maxIters: Int = 50,
       materialize: Boolean = true,
       pruneBucket: Option[(String, Column => Column)] = None): IncrementalOutcome = {
-    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    // lazy checkpoints — see incrementalDedup's mat note
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false) else df
     // 1. exact, within delta then vs corpus hash rows (band <= 0 selects
     // exactly one index row per doc; left-anti ignores multiplicity
     // anyway, the predicate just avoids scanning bands× rows)
@@ -358,15 +365,29 @@ object Dedup {
       minhashSignatures(deltaE, textCol, k).select(col(idCol), col("sig")), idCol, bands))
     val cBand = index.where(col("band") >= 0)
       .select(col(idCol).as("__id"), col("band"), col("bandhash"))
+    // the guard is DELTA-DRIVEN: only buckets the delta actually touches
+    // can produce candidates (an untouched corpus bucket joins nothing in
+    // `across` and nothing within-delta), so the union count is a LEFT
+    // join from the delta's bucket counts — the filter table stays
+    // batch-bounded and broadcastable, and the decision for every bucket
+    // that matters is identical to the full-outer union count
     val (gd, gc) =
       if (maxBucket <= 0) (dBand, cBand)
       else {
-        val ok = unionBucketCounts(dBand, cBand)
-          .where(col("members") <= maxBucket)
-          .select(col("band"), col("bandhash"))
+        val nd = dBand.groupBy(col("band"), col("bandhash"))
+          .agg(count(lit(1)).as("__nd"))
+        val nc = cBand.groupBy(col("band"), col("bandhash"))
+          .agg(count(lit(1)).as("__nc"))
+        val ok = broadcast(nd.join(nc, Seq("band", "bandhash"), "left_outer")
+          .where(coalesce(col("__nd"), lit(0L)) + coalesce(col("__nc"), lit(0L))
+            <= maxBucket)
+          .select(col("band"), col("bandhash")))
         (dBand.join(ok, Seq("band", "bandhash")), cBand.join(ok, Seq("band", "bandhash")))
       }
-    val across = mat(gd.as("d").join(gc.as("c"),
+    // the delta side of the cross-candidate join is batch-bounded: hint it
+    // as the broadcast build side so the corpus index STREAMS through a
+    // BroadcastHashJoin instead of shuffling both sides into a sort-merge
+    val across = mat(gc.as("c").join(broadcast(gd.as("d")),
         col("d.band") === col("c.band") && col("d.bandhash") === col("c.bandhash"))
       .select(col("d.__id").as("id_a"), col("c.__id").as("id_b")).distinct())
     // verify each side against its OWN text table — a delta id that
@@ -389,27 +410,34 @@ object Dedup {
     val corpusCands = corpusBase.join(broadcast(candIds),
       corpusBase(idCol) === col("__cid"), "left_semi")
     val matched = mat(
-      jaccardVerifyAcross(deltaE, corpusCands, idCol, textCol, across, threshold)
+      jaccardVerifyAcross(deltaE, corpusCands, idCol, textCol,
+          broadcast(across), threshold)
         .select(col("id_a").as("__mid")).distinct())
     // 3. within-delta near-dup clusters (same guarded banding reused); a
-    //    corpus match poisons its whole cluster
-    val withinCands = gd.as("x").join(gd.as("y"),
+    //    corpus match poisons its whole cluster. Both sides batch-bounded
+    //    — broadcast one so the self-join needs no shuffle.
+    val withinCands = gd.as("x").join(broadcast(gd.as("y")),
         col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash") &&
         col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b")).distinct()
-    val deltaPairs = jaccardVerify(deltaE, idCol, textCol, withinCands, threshold)
+    val deltaPairs = jaccardVerify(deltaE, idCol, textCol,
+        broadcast(withinCands), threshold)
       .select(col("id_a"), col("id_b"))
     val clusters = mat(resolveClusters(deltaPairs, maxIters = maxIters))
     val poisoned = clusters
       .join(matched, col("id") === col("__mid"))
       .select(col("cluster_id").as("__pc")).distinct()
-    val directDrops = clusters.where(!col("keep")).select(col("id").as("__drop"))
+    // directDropsRaw feeds clusterDrops UNdistincted — the outer distinct
+    // below canonicalizes once; the distinct directDrops surface is only
+    // built for the outcome (its one extra exchange runs only when the
+    // caller actually counts it)
+    val directDropsRaw = clusters.where(!col("keep")).select(col("id").as("__drop"))
       .union(matched.select(col("__mid").as("__drop")))
-      .distinct()
+    val directDrops = directDropsRaw.distinct()
     val clusterDrops = clusters
       .join(poisoned, col("cluster_id") === col("__pc"), "left_semi")
       .select(col("id").as("__drop"))
-      .union(directDrops)
+      .union(directDropsRaw)
       .distinct()
     IncrementalOutcome(
       deltaE.join(clusterDrops, deltaE(idCol) === col("__drop"), "left_anti"),
@@ -503,11 +531,14 @@ object Dedup {
     val mins = und.groupBy(col("u"))
       .agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
+    // no trailing distinct: the v > u filter already bounds the output at
+    // |E| rows (one per undirected edge, seen from its smaller endpoint),
+    // and smallStar's terminal distinct canonicalizes the round's edge SET
+    // — dropping the dedup here removes one exchange per round
     und.join(mins, "u")
       .where(col("v") > col("u"))
       .select(least(col("v"), col("m")).as("src"), greatest(col("v"), col("m")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star round: every node u hooks its SMALLER neighbors (and
@@ -531,9 +562,19 @@ object Dedup {
     * matter.
     *
     * Alternates large-star/small-star until the edge set reaches its
-    * fixpoint (a star per component), checked by (count, hash-sum)
-    * checksum — one tiny action per round, O(log²) rounds on worst-case
-    * path graphs. Each round's result is localCheckpoint'ed to truncate
+    * fixpoint (a star per component), detected DIRECTLY: with the src<dst
+    * orientation both stars maintain, the edge set is a fixpoint exactly
+    * when it is a star forest — no dst appears twice and no node is both
+    * src and dst (each component then is a star, and its root is the
+    * component minimum because any smaller node would have to appear as a
+    * dst somewhere, which the orientation forbids). The direct test
+    * converges one round earlier than a change-detection checksum (which
+    * must run an extra no-op round to observe "nothing changed") and
+    * skips the fixpoint loop ENTIRELY for pair graphs that are already
+    * star forests — the common LSH output of isolated near-dup pairs and
+    * small first-linked clusters. O(log²) rounds on worst-case path
+    * graphs. Each round's result is lazily localCheckpoint'ed (the
+    * convergence-test job materializes it — one job, not two) to truncate
     * the iterative lineage (swap for reliable checkpoint() on a real
     * cluster). Throws IllegalStateException after `maxIters` rounds —
     * convergence is a correctness precondition for the star→cluster read. */
@@ -544,31 +585,29 @@ object Dedup {
       .select(least(col(idA), col(idB)).as("src"), greatest(col(idA), col(idB)).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
-    // (count, xor-of-hashes): order-independent, overflow-free (edge rows
-    // are distinct, so xor cancellation needs a hash collision to lie)
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // star-forest fixpoint test: one partial-agg pass over 2|E| narrow
+    // rows; empty edge sets are trivially converged
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("dst").as("n"), lit(0L).as("s"), lit(1L).as("d"))
+        .union(e.select(col("src").as("n"), lit(1L).as("s"), lit(0L).as("d")))
+        .groupBy(col("n")).agg(sum(col("s")).as("sc"), sum(col("d")).as("dc"))
+        .where(col("dc") > 1 || (col("sc") > 0 && col("dc") > 0))
+        .isEmpty
 
-    var prev = checksum(edges)
-    var converged = prev._1 == 0L
+    var converged = isStarForest(edges)
     var it = 0
     while (!converged && it < maxIters) {
       val prev0 = edges
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      converged = isStarForest(edges)
       prev0.unpersist() // superseded checkpoint: ~log(diameter) rounds, one pinned edge copy each
-      val cur = checksum(edges)
-      converged = cur == prev
-      prev = cur
       it += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"resolveClusters did not converge in $maxIters rounds (edges=${prev._1})")
+        s"resolveClusters did not converge in $maxIters rounds")
 
     // at the fixpoint every component is a star rooted at its minimum:
     // src = root, dst = member. The min-agg is defensive belt-and-braces.

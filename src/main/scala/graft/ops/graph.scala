@@ -67,8 +67,18 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0,1), got $damping")
+    // LAZY checkpoints: every round still truncates lineage to a
+    // node-sized segment, but materialization is deferred to ONE cascade
+    // at the end — the per-round eager-checkpoint job and its driver
+    // round trip disappear; the cascade runs the same stages back to
+    // back. Superseded rounds stay pinned only until the cascade, then
+    // every intermediate is unpersisted exactly as before.
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
+      if (materialize) df.localCheckpoint(eager = false) else df
+    // force a lazily-checkpointed frame's partitions without a row-level
+    // action (no encoder round trip, no extra exchange)
+    def force(df: DataFrame): Unit =
+      if (materialize) df.queryExecution.toRdd.foreachPartition(_ => ())
     val e = mat(edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -84,10 +94,12 @@ object Graph {
     val n = nodes.count().toDouble
     if (n == 0) {
       val out = mat(nodes.withColumn("rank", lit(0.0d)))
+      force(out) // self-contained before its inputs are unpersisted
       release()
       return out
     }
     var ranks = mat(nodes.withColumn("rank", lit(1.0 / n)))
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (0 until iters).foreach { _ =>
       val share = ranks.join(deg, ranks("node") === deg("src"))
         .select(col("src"), (col("rank") / col("__od")).as("__sh"))
@@ -101,8 +113,10 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / n)).as("rank")))
-      if (materialize) prev.unpersist()
+      if (materialize) superseded += prev
     }
+    force(ranks) // one cascade materializes every pending round in order
+    superseded.foreach(_.unpersist())
     release()
     ranks
   }

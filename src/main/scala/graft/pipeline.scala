@@ -155,13 +155,18 @@ object ExtractJob {
     if (newFiles.nonEmpty && !audit(table.readFiles(spark, newFiles)))
       return None
 
-    // ONE scan of the data at rest → metrics side table + watermark.
-    val stats = scanStats(spark, tableDir, newFiles)
+    // ONE scan of the data at rest → metrics side table + watermark — run
+    // CONCURRENTLY with the zone-map footer pass (guide §2.6): the two
+    // post-write jobs read disjoint byte ranges of the same fresh files
+    // (data pages vs footers) and neither depends on the other
+    val (stats, zoneMapStats) = Par.par2(
+      () => scanStats(spark, tableDir, newFiles),
+      () => Manifest.fileIdStats(spark, newFiles, Manifest.ZoneMapCol))
 
     // per-file id zone maps from the freshly-written footers (metadata
     // plane: no data pages are read) — recorded in the snapshot so readers
     // can stats-prune doc_id-ranged scans, Iceberg-style
-    val zoneMaps = Manifest.fileIdStats(spark, newFiles, Manifest.ZoneMapCol)
+    val zoneMaps = zoneMapStats
       .groupBy(s => bucketFiles.collectFirst {
         case (b, fs) if fs.contains(s.file) => b }.get)
 
@@ -520,8 +525,9 @@ object ExtractJob {
       b.files.nonEmpty)
     if (sel.isEmpty) return snap
     // the key set is the size of a forget request — distinct once, reused
-    // by the locate scan and every rewrite group
-    val keySet = keys.select(col(keyCol)).distinct().localCheckpoint()
+    // by the locate scan and every rewrite group (lazy: the first consumer
+    // materializes it, later ones hit the cache)
+    val keySet = keys.select(col(keyCol)).distinct().localCheckpoint(eager = false)
 
     // one footer read per bucket; buckets without keyCol hold no
     // per-document rows and are skipped, the rest group by schema so each
@@ -561,8 +567,14 @@ object ExtractJob {
       if (candidates.isEmpty) Nil
       else {
         // pass 2: locate — per-FILE hit counts over the candidates only;
-        // partial-agg, output manifest-sized
-        val hitRows = table.readFiles(spark, candidates)
+        // partial-agg, output manifest-sized. mergeSchema on both passes:
+        // a bucket whose row schema legitimately WIDENED across commits
+        // holds files of different widths, and an unmerged read would take
+        // one arbitrary file's schema — the rewritten survivors would
+        // silently lose the added columns (collateral loss during a
+        // takedown). Merged, old rows surface NULL in added columns and
+        // every recorded column survives the rewrite.
+        val hitRows = table.readFiles(spark, candidates, mergeSchema = true)
           .select(col("bucket"), col(keyCol), input_file_name().as("f"))
           .join(keySet, Seq(keyCol), "left_semi")
           .groupBy(col("bucket"), col("f")).agg(count(lit(1)).as("doomed"))
@@ -578,8 +590,9 @@ object ExtractJob {
             b.files.filter(f => hitFilesByBucket(b.bucket).contains(norm(f))))
           val before = hit.map(b =>
             b.bucket -> table.listBucketFiles(b.bucket).toSet).toMap
-          // pass 3: rewrite ONLY the files with actual hits
-          table.readFiles(spark, hitFiles)
+          // pass 3: rewrite ONLY the files with actual hits (merged read —
+          // see the pass-2 note on widened bucket schemas)
+          table.readFiles(spark, hitFiles, mergeSchema = true)
             .join(keySet, Seq(keyCol), "left_anti")
             .repartition($"bucket")
             .write.mode("append").partitionBy("bucket")

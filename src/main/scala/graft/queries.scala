@@ -1558,20 +1558,21 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val ref = t(s, dir, "documents").where($"doc_id" < 100)
-        Queries.synchronized {
-          ops.Lm.trainBigramLm(ref.select($"text"), "text")
-            .coalesce(1).write.mode("overwrite").parquet(tPath)
-          ops.Lm.trainBigramLm(
-              ref.select(array_join(reverse(split($"text", " ")), " ").as("text")),
-              "text")
-            .coalesce(1).write.mode("overwrite").parquet(rPath)
-        }
         val held = t(s, dir, "documents")
           .where($"doc_id" >= 200 && $"doc_id" < 400)
           .select($"doc_id", $"text")
+        // the three staged models are independent — write them
+        // concurrently (guide §2.6; disjoint directories)
         Queries.synchronized {
-          held.select($"doc_id", ops.Sampling.gumbelQ($"doc_id").as("gumbel_q"))
-            .coalesce(1).write.mode("overwrite").parquet(nPath)
+          Par.par(Seq(
+            () => ops.Lm.trainBigramLm(ref.select($"text"), "text")
+              .coalesce(1).write.mode("overwrite").parquet(tPath),
+            () => ops.Lm.trainBigramLm(
+                ref.select(array_join(reverse(split($"text", " ")), " ").as("text")),
+                "text")
+              .coalesce(1).write.mode("overwrite").parquet(rPath),
+            () => held.select($"doc_id", ops.Sampling.gumbelQ($"doc_id").as("gumbel_q"))
+              .coalesce(1).write.mode("overwrite").parquet(nPath)))
         }
         val weighted = ops.Sampling.importanceWeights(held, "doc_id", "text",
           s.read.parquet(tPath), s.read.parquet(rPath))
@@ -1755,14 +1756,19 @@ object Queries {
       // consumers (signatures → guard count AND self-join sides; pairs →
       // resolution AND verify), and without a checkpoint Spark re-derives
       // the whole upstream DAG per consumer branch
-      val exact = ops.Dedup.exactDedup(kept, "doc_id", "text").localCheckpoint()
+      // LAZY checkpoints: same stage-boundary materialization points and
+      // the same compute-once caching (each stage feeds 2+ consumers), but
+      // the first consuming job materializes each — no eager job per stage
+      val exact = ops.Dedup.exactDedup(kept, "doc_id", "text")
+        .localCheckpoint(eager = false)
       val sigs = ops.Dedup.minhashSignatures(exact, "text", 8)
-        .select($"doc_id", $"sig").localCheckpoint()
+        .select($"doc_id", $"sig").localCheckpoint(eager = false)
       val cands = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val pairs = ops.Dedup.jaccardVerify(exact, "doc_id", "text", cands, 0.5)
-        .select($"id_a", $"id_b").localCheckpoint()
-      val resolved = ops.Dedup.dedupCorpus(exact, "doc_id", pairs).localCheckpoint()
+        .select($"id_a", $"id_b").localCheckpoint(eager = false)
+      val resolved = ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
+        .localCheckpoint(eager = false)
       val bench = Seq(ops.Cleaning.BenchProbe).toDF("text")
       val cleanIds = ops.Cleaning.decontaminate(resolved, bench, "doc_id", "text", 5)
         .where($"keep" === 1).select("doc_id")
@@ -4886,9 +4892,17 @@ object Queries {
         val r1 = ExtractJob.runGated(s, docs, out, "wap-reject",
           audit = df => df.count() >= 1000000000L, resume = false)
         require(r1.isEmpty, "the impossible row floor must reject")
+        // same two predicates as before, folded into ONE aggregation pass
+        // (a span-less doc count and a negative-offset count) — the audit
+        // decision is identical, at one job instead of two
         val r2 = ExtractJob.runGated(s, docs, out, "wap-pass",
-          audit = df => df.where(size($"spans") < 1).count() == 0L &&
-            df.select(explode($"spans.offset")).where($"col" < 0).count() == 0L,
+          audit = df => {
+            val r = df.agg(
+              coalesce(sum(when(size($"spans") < 1, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(size(filter($"spans", sp => sp.getField("offset") < 0))
+                .cast("long")), lit(0L))).head()
+            r.getLong(0) == 0L && r.getLong(1) == 0L
+          },
           resume = false)
         require(r2.nonEmpty, "the quality audit must publish")
       }

@@ -590,22 +590,88 @@ object EventStream {
     val outcome = admissionOutcome(spark, batch, table, bootstrap,
       idCol, textCol, threshold, k, bands, corpusBuckets)
     // admitted feeds three consumers (corpus write, index build, stats) —
-    // materialize once, batch-sized
-    val admitted = outcome.admitted.localCheckpoint()
+    // lazily checkpointed: compute-once caching, materialized by the
+    // first consuming job below instead of an eager job of its own
+    val admitted = outcome.admitted.localCheckpoint(eager = false)
     val idxDelta = graft.ops.Dedup.buildIndex(admitted, idCol, textCol, k, bands)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val ixBucket = indexBucketFor(corpusBuckets)
     val mBucket = metricsBucketFor(corpusBuckets)
     val cBuckets = 0 until corpusBuckets
 
-    // admission metrics — all counts over batch-sized checkpointed frames
+    val hBucket = heatBucketFor(corpusBuckets)
+    val pre: Map[Int, Set[String]] =
+      ((cBuckets :+ ixBucket :+ mBucket) ++ heatCol.map(_ => hBucket))
+        .map(b => b -> table.listBucketFiles(b).toSet).toMap
+
+    // INDEPENDENT actions overlap (optimization guide §2.6): the corpus /
+    // index / heat writes target disjoint directories of the table, and
+    // the admission counts run over checkpointed batch-sized frames — the
+    // driver submits them concurrently so one job's task tail back-fills
+    // with the next job's work instead of serializing ~8 round trips.
+    // Concurrent first-touch of a lazily-checkpointed frame is safe: the
+    // block manager's per-partition load locks make one thread compute
+    // while the rest wait on the cached block.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Par.ec
+    // shuffle by sub-bucket before the partitioned write (one file per
+    // touched sub-bucket per batch instead of O(tasks × corpusBuckets) —
+    // a daily-ingest stream runs thousands of batches between compactions)
+    val fCorpusW = Future {
+      admitted.withColumn("bucket", corpusBucketOf(corpusBuckets)(col(idCol)))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
+    }
+    val fIdxW = Future {
+      idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$ixBucket")
+    }
+    // heat sketch over the INPUT batch (duplicates included — arrival
+    // heat is operational signal even when dedup drops the rows);
+    // append-only: the running sketch is the cell-wise sum at read time
+    val fHeatW = heatCol.map { hc =>
+      Future {
+        graft.ops.Cms.build(batch.select(col(hc).as("key")), "key",
+          heatDepth, heatWidth)
+          .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$hBucket")
+      }
+    }
+    // admission metrics — counts over batch-sized checkpointed frames
     // (poisoned falls out of the outcome identity; see IncrementalOutcome)
-    val nInput = batch.count()
-    val nExactSurv = outcome.exactSurvivors.count()
-    val nDirect = outcome.directDrops.count()
-    val st = admitted.agg(count(lit(1)), max(col(idCol).cast("string"))).head()
-    val (nAdm, wm) = (st.getLong(0), Option(st.getString(1)).getOrElse(""))
+    val fInput = Future(batch.count())
+    val fExact = Future(outcome.exactSurvivors.count())
+    val fDirect = Future(outcome.directDrops.count())
+    val fWm = Future {
+      Option(admitted.agg(max(col(idCol).cast("string"))).head().getString(0))
+        .getOrElse("")
+    }
+
+    val nInput = Await.result(fInput, Duration.Inf)
+    val nExactSurv = Await.result(fExact, Duration.Inf)
+    val nDirect = Await.result(fDirect, Duration.Inf)
+    val wm = Await.result(fWm, Duration.Inf)
+    // every write must land before the post-write listing diff below
+    Await.result(fCorpusW, Duration.Inf)
+    Await.result(fIdxW, Duration.Inf)
+    fHeatW.foreach(Await.result(_, Duration.Inf))
+
+    def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
+
+    // row counts of everything just written come from the fresh files' own
+    // FOOTERS (metadata plane, exact by construction) — no count() jobs
+    val conf = spark.sessionState.newHadoopConf()
+    def rowsOf(files: Seq[String]): Long =
+      files.map(f => graft.Manifest.footerRowCount(conf, f)).sum
+    val newCorpusFiles: Map[Int, Seq[String]] =
+      cBuckets.map(b => b -> newFiles(b)).toMap
+    val admPerBucket: Map[Int, Long] =
+      newCorpusFiles.map { case (b, fl) => b -> rowsOf(fl) }
+    val nAdm = admPerBucket.values.sum
+    val ixFiles = newFiles(ixBucket)
+    val nIdx = rowsOf(ixFiles)
+    val nHeat = heatCol.map(_ => rowsOf(newFiles(hBucket)))
+
     val metricsRow = {
       import spark.implicits._
       Seq((batchId, nInput, nAdm, nInput - nExactSurv, nDirect,
@@ -613,36 +679,8 @@ object EventStream {
         .toDF("batch_id", "input_rows", "admitted", "exact_dropped",
           "near_dropped", "poisoned")
     }
-
-    val hBucket = heatBucketFor(corpusBuckets)
-    val pre: Map[Int, Set[String]] =
-      ((cBuckets :+ ixBucket :+ mBucket) ++ heatCol.map(_ => hBucket))
-        .map(b => b -> table.listBucketFiles(b).toSet).toMap
-    // shuffle by sub-bucket before the partitioned write (one file per
-    // touched sub-bucket per batch instead of O(tasks × corpusBuckets) —
-    // a daily-ingest stream runs thousands of batches between compactions)
-    admitted.withColumn("bucket", corpusBucketOf(corpusBuckets)(col(idCol)))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
-    idxDelta.write.mode("append").parquet(s"$tableDir/data/bucket=$ixBucket")
     metricsRow.coalesce(1).write.mode("append")
       .parquet(s"$tableDir/data/bucket=$mBucket")
-    // heat sketch over the INPUT batch (duplicates included — arrival
-    // heat is operational signal even when dedup drops the rows);
-    // append-only: the running sketch is the cell-wise sum at read time
-    val nHeat = heatCol.map { hc =>
-      val sk = graft.ops.Cms.build(batch.select(col(hc).as("key")), "key",
-        heatDepth, heatWidth).localCheckpoint()
-      sk.coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$hBucket")
-      sk.count()
-    }
-    def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
-
-    val admPerBucket: Map[Int, Long] = admitted
-      .groupBy(corpusBucketOf(corpusBuckets)(col(idCol)).as("__b"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nIdx = idxDelta.count()
     val prevStates: Map[Int, graft.Manifest.BucketState] =
       prev.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
     def grown(bucket: Int, rows: Long, files: Seq[String]) = {
@@ -659,8 +697,8 @@ object EventStream {
     // Untouched corpus sub-buckets are still committed (rows += 0, no new
     // files) so bucket states never go stale relative to the watermark.
     table.commit(f"corpus-batch-$batchId%06d",
-      cBuckets.map(b => grown(b, admPerBucket.getOrElse(b, 0L), newFiles(b))) ++
-        Seq(grown(ixBucket, nIdx, newFiles(ixBucket)),
+      cBuckets.map(b => grown(b, admPerBucket.getOrElse(b, 0L), newCorpusFiles(b))) ++
+        Seq(grown(ixBucket, nIdx, ixFiles),
           grown(mBucket, 1L, newFiles(mBucket))) ++
         nHeat.map(n => grown(hBucket, n, newFiles(hBucket))).toSeq,
       streamWatermark = Some(streamId -> batchId),
@@ -742,23 +780,31 @@ object EventStream {
         (0 until to).map(b => graft.Manifest.BucketState(b, 0L, corpusWm, Nil))
       else {
         val before = (0 until to).map(b => b -> table.listBucketFiles(b).toSet).toMap
-        val rows = table.readData(spark, Some(oldCorpus.toSet)).drop("bucket")
+        // merged read: a corpus whose row schema WIDENED across commits
+        // must not be resharded through one arbitrary file's schema —
+        // added columns would silently vanish from the whole table
+        val rows = table.readData(spark, Some(oldCorpus.toSet), mergeSchema = true)
+          .drop("bucket")
           .withColumn("bucket", corpusBucketOf(to)(col(idCol)))
           .repartition(col("bucket"))
         rows.write.mode("append").partitionBy("bucket").parquet(s"$tableDir/data")
-        // per-new-bucket rows from the FRESH files' own footers (one
-        // manifest-planned scan of just-written files; no second shuffle)
+        // per-new-bucket rows from the FRESH files' own footers (pure
+        // metadata reads — the writer's footers already carry the counts,
+        // so no scan job runs at all)
+        val conf = spark.sessionState.newHadoopConf()
         val fresh = (0 until to).map(b =>
           b -> table.listBucketFiles(b).filterNot(before(b)))
-        val counts: Map[Int, Long] = {
-          val files = fresh.flatMap(_._2)
-          if (files.isEmpty) Map.empty
-          else spark.read.option("basePath", s"$tableDir/data").parquet(files: _*)
-            .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        }
+        // re-derive id zone maps for the rewritten corpus files so a
+        // reshard never DEGRADES a stats-pruned table (the compact /
+        // deleteByKey contract); namespaces without the stat column
+        // simply record none
+        val statsByFile = graft.Manifest
+          .fileIdStats(spark, fresh.flatMap(_._2), graft.Manifest.ZoneMapCol)
+          .map(s => s.file -> s).toMap
         fresh.map { case (b, fl) =>
-          graft.Manifest.BucketState(b, counts.getOrElse(b, 0L), corpusWm, fl)
+          graft.Manifest.BucketState(b,
+            fl.map(f => graft.Manifest.footerRowCount(conf, f)).sum, corpusWm, fl,
+            fl.flatMap(statsByFile.get))
         }
       }
     require(newCorpusStates.map(_.rows).sum == corpusRows,
@@ -775,17 +821,21 @@ object EventStream {
           graft.Manifest.BucketState(newId, st.rows, st.watermarkDocId, Nil)
         else {
           val before = table.listBucketFiles(newId).toSet
-          table.readData(spark, Some(Set(oldId))).drop("bucket")
+          // merged read — same widened-schema rationale as the corpus move
+          table.readData(spark, Some(Set(oldId)), mergeSchema = true).drop("bucket")
             .coalesce(math.max(1, st.files.length))
             .write.mode("append").parquet(s"$tableDir/data/bucket=$newId")
-          graft.Manifest.BucketState(newId, st.rows, st.watermarkDocId,
-            table.listBucketFiles(newId).filterNot(before))
+          val moved = table.listBucketFiles(newId).filterNot(before)
+          graft.Manifest.BucketState(newId, st.rows, st.watermarkDocId, moved,
+            graft.Manifest.fileIdStats(spark, moved, graft.Manifest.ZoneMapCol))
         }
       }
-    val moved = Seq(
-      move(indexBucketFor(from), indexBucketFor(to)),
-      move(metricsBucketFor(from), metricsBucketFor(to)),
-      move(heatBucketFor(from), heatBucketFor(to))).flatten
+    // the three namespace moves are independent rewrites of disjoint
+    // bucket directories — overlap them (guide §2.6)
+    val moved = graft.Par.par(Seq(
+      () => move(indexBucketFor(from), indexBucketFor(to)),
+      () => move(metricsBucketFor(from), metricsBucketFor(to)),
+      () => move(heatBucketFor(from), heatBucketFor(to)))).flatten
 
     // old ids not reused by the new layout zero out (rows=0, no files) so
     // a reader of the new snapshot can never resolve stale namespaces

@@ -211,9 +211,11 @@ object VectorIndexStream {
     // rows with null id or vector cannot be assigned (and a null id would
     // break probe ranking) — dropped, but COUNTED in the metrics row
     val rows = batch
-      .where(col(idCol).isNotNull && col(vecCol).isNotNull).localCheckpoint()
-    val nInput = batch.count()
-    val nRows = rows.count()
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .localCheckpoint(eager = false)
+    // independent counts overlap (guide §2.6); the nRows count also
+    // materializes the lazily-checkpointed `rows`
+    val (nInput, nRows) = graft.Par.par2(() => batch.count(), () => rows.count())
     initialCodebook.foreach { cb =>
       require(cb.nonEmpty && cb.length <= nCells,
         s"initialCodebook must have 1..$nCells centroids, got ${cb.length}")
@@ -235,7 +237,7 @@ object VectorIndexStream {
           maxRank = 1)
         .withColumn("bucket", col("__cell").cast("int"))
         .drop("__cell", "__rk")
-        .repartition(col("bucket")).localCheckpoint())
+        .repartition(col("bucket")).localCheckpoint(eager = false))
 
     // semantic near-dup ADMISSION gate (opt-in, the SemDeDup-at-ingest
     // composition): a batch row is dropped — and counted in the metrics —
@@ -264,7 +266,7 @@ object VectorIndexStream {
       (assigned, nearDupCosine) match {
         case (Some(a0), Some(t)) =>
           val a = a0.withColumn("__n1", Similarity.norm(vecCol))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           // batch-side cell sizes: one config-sized collect (≤ nCells)
           val batchCellN: Map[Int, Long] = a.groupBy(col("bucket"))
             .agg(count(lit(1)).as("__c")).collect()
@@ -294,39 +296,50 @@ object VectorIndexStream {
               .where(nearPred(cosine(vecCol, "__cv3", "__n1", "__n3"), t))
               .select(col(idCol))
               .unionByName(intraDrops)
-          }).distinct().localCheckpoint()
+          }).distinct().localCheckpoint(eager = false)
           // re-cluster by cell after the anti-join shuffled by id — the
           // partitioned write below must stay one-file-per-touched-cell
           val kept = a0.join(drops, Seq(idCol), "left_anti")
-            .repartition(col("bucket")).localCheckpoint()
+            .repartition(col("bucket")).localCheckpoint(eager = false)
           val nKept = kept.count()
           (if (nKept == 0L) None else Some(kept), nRows - nKept, skipped)
         case _ => (assigned, 0L, 0L)
       }
 
     // ONE pass over the admitted batch: per-cell counts + per-cell id
-    // watermarks (the commit's bookkeeping) — not one driver action each
-    val perCellRows: Seq[(Int, Long, String)] = admitted.map(
-      _.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("__n"), max(col(idCol).cast("string")).as("__w"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
-      .getOrElse(Seq.empty)
-    val perCell: Map[Int, Long] = perCellRows.map(r => r._1 -> r._2).toMap
-    val cellWm: Map[Int, String] = perCellRows.map(r => r._1 -> r._3).toMap
+    // watermarks (the commit's bookkeeping) — not one driver action each.
+    // The drift aggregate below is independent of it, so the two actions
+    // overlap (guide §2.6); concurrent first-touch of the lazily-
+    // checkpointed frame is block-manager-safe.
+    val fPerCell = scala.concurrent.Future {
+      admitted.map(
+        _.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__n"), max(col(idCol).cast("string")).as("__w"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
+        .getOrElse(Seq.empty)
+    }(graft.Par.ec)
     // drift signal: mean squared distance of this batch's rows to their
     // assigned centroids, floored to integer micro-units (−1 = no rows).
     // The codebook is frozen, so a rising assign_msd_q across batches is
     // the operator's rebuild trigger — without it "never re-fit" is an
     // unobservable liability. One narrow broadcast join on the cell id.
-    val msdQ: Long = assigned.map { a =>
-      val cb = cents.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("bucket", "__centv2")
-      val sqd = expr(s"""aggregate(zip_with(__centv2, $vecCol,
-        |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
-        |  0D, (acc, v) -> acc + v)""".stripMargin)
-      math.floor(a.join(broadcast(cb), "bucket")
-        .agg(avg(sqd)).head().getDouble(0) * 1e6).toLong
-    }.getOrElse(-1L)
+    val fMsdQ = scala.concurrent.Future {
+      assigned.map { a =>
+        val cb = cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("bucket", "__centv2")
+        val sqd = expr(s"""aggregate(zip_with(__centv2, $vecCol,
+          |  (a, b) -> (a - cast(b as double)) * (a - cast(b as double))),
+          |  0D, (acc, v) -> acc + v)""".stripMargin)
+        math.floor(a.join(broadcast(cb), "bucket")
+          .agg(avg(sqd)).head().getDouble(0) * 1e6).toLong
+      }.getOrElse(-1L)
+    }(graft.Par.ec)
+    val perCellRows: Seq[(Int, Long, String)] =
+      scala.concurrent.Await.result(fPerCell, scala.concurrent.duration.Duration.Inf)
+    val msdQ: Long =
+      scala.concurrent.Await.result(fMsdQ, scala.concurrent.duration.Duration.Inf)
+    val perCell: Map[Int, Long] = perCellRows.map(r => r._1 -> r._2).toMap
+    val cellWm: Map[Int, String] = perCellRows.map(r => r._1 -> r._3).toMap
 
     // only TOUCHED buckets are listed and committed — Manifest.commit
     // carries every untouched bucket's state forward, so at nCells=1024 a
@@ -339,19 +352,21 @@ object VectorIndexStream {
       (if (trained) Seq(cbBucket) else Nil) :+ mBucket
     val pre: Map[Int, Set[String]] =
       touched.map(b => b -> table.listBucketFiles(b).toSet).toMap
-    admitted.foreach(_.select(batch.columns.map(col) :+ col("bucket"): _*)
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$tableDir/data"))
-    if (trained)
-      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
-        .coalesce(1).write.mode("append")
-        .parquet(s"$tableDir/data/bucket=$cbBucket")
-    Seq((batchId, nInput, nRows - nNearDropped, nInput - nRows,
-        perCell.size.toLong, trained, msdQ, nNearDropped, nGateSkipped))
-      .toDF("batch_id", "input_rows", "indexed", "dropped_null",
-        "cells_touched", "trained", "assign_msd_q", "near_dropped",
-        "gate_skipped_cells")
-      .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")
+    // the three writes target disjoint directories — overlap them
+    graft.Par.par(Seq(
+      () => admitted.foreach(_.select(batch.columns.map(col) :+ col("bucket"): _*)
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$tableDir/data")),
+      () => if (trained)
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "cv")
+          .coalesce(1).write.mode("append")
+          .parquet(s"$tableDir/data/bucket=$cbBucket"),
+      () => Seq((batchId, nInput, nRows - nNearDropped, nInput - nRows,
+          perCell.size.toLong, trained, msdQ, nNearDropped, nGateSkipped))
+        .toDF("batch_id", "input_rows", "indexed", "dropped_null",
+          "cells_touched", "trained", "assign_msd_q", "near_dropped",
+          "gate_skipped_cells")
+        .coalesce(1).write.mode("append").parquet(s"$tableDir/data/bucket=$mBucket")))
 
     def newFiles(b: Int) = table.listBucketFiles(b).filterNot(pre(b))
     val prevStates: Map[Int, graft.Manifest.BucketState] =
