@@ -161,7 +161,13 @@ object Similarity {
   def semanticNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCentroids: Int, lloydIters: Int = 0,
       maxCell: Int = 4096): DataFrame = {
+    // the assignment feeds three consumers (the cell-size guard and both
+    // sides of the pairing self-join) — checkpoint it lazily so the
+    // centroid ranking runs ONCE per corpus, not once per consumer (the
+    // same corpus-sized compute-once discipline as the incremental-dedup
+    // delta frames; MEMORY_AND_DISK, spills at scale)
     val assigned0 = assignCells(corpus, idCol, vecCol, nCentroids, lloydIters)
+      .localCheckpoint(eager = false)
     val assigned =
       if (maxCell <= 0) assigned0
       else {

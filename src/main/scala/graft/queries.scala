@@ -1676,7 +1676,10 @@ object Queries {
         import s.implicits._
         val docs = t(s, dir, "documents").where($"doc_id" < 400)
           .select($"doc_id", $"text")
+        // postings feed the dictionary build AND the scoring join — one
+        // lazy checkpoint computes the explode+agg once
         val post = ops.Bm25.postings(docs, "doc_id", "text")
+          .localCheckpoint(eager = false)
         Queries.synchronized {
           ops.Bm25.dictionary(post, "doc_id")
             .coalesce(1).write.mode("overwrite").parquet(dictPath)

@@ -177,6 +177,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveClusters short-circuits on an already-star pair graph (no fixpoint rounds)") {
+    // 100 isolated near-dup pairs — the common LSH output shape. Already a
+    // star forest, so the direct fixpoint test must skip the loop: the
+    // call runs only the init distinct + one convergence check, never a
+    // large-star/small-star round (each round adds several jobs).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val pairs = (0L until 100L).map(i => (2 * i, 2 * i + 1)).toDF("id_a", "id_b")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val resolved = ops.Dedup.resolveClusters(pairs)
+      Thread.sleep(500) // let the listener bus drain
+      val loopJobs = jobs.get
+      val out = resolved.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(out.size == 200)
+      (0L until 100L).foreach { i =>
+        assert(out(2 * i) == (2 * i, true))
+        assert(out(2 * i + 1) == (2 * i, false))
+      }
+      // init materialization + star test: a handful of jobs; one fixpoint
+      // round would add at least four more
+      assert(loopJobs <= 6, s"expected the star-forest short-circuit, ran $loopJobs jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("resolveClusters handles duplicate and reversed pairs, self-loops, empty input") {
     val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("id_a", "id_b")
     val out = ops.Dedup.resolveClusters(pairs).collect()

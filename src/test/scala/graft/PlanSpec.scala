@@ -250,6 +250,29 @@ class PlanSpec extends AnyFunSuite {
     // signature operators is meaningless under lineage replication)
   }
 
+  test("indexed incremental dedup: the cross-candidate band join broadcasts the batch-bounded delta side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val corpus = base.where($"doc_id" < 40)
+    // near-dup re-crawls so the across join survives the exact pass
+    val delta = base.where($"doc_id" < 5)
+      .select(($"doc_id" + 9000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val index = ops.Dedup.buildIndex(corpus, "doc_id", "text").localCheckpoint()
+    val p = ops.Dedup.incrementalDedupIndexed(delta, corpus, index,
+        "doc_id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
+    // the band-bucket candidate join must be a BroadcastHashJoin keyed on
+    // (band, bandhash) — the corpus index STREAMS while the delta side is
+    // the build — never a sort-merge that shuffles the corpus-sized index
+    assert("BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined,
+      "expected a broadcast band join:\n" +
+        p.linesIterator.filter(l => l.contains("Join") && l.contains("band"))
+          .mkString("\n"))
+    assert(!"SortMergeJoin \\[band".r.findFirstIn(p).isDefined,
+      "the band candidate join must not sort-merge the corpus index")
+  }
+
   test("pruneBucket: candidate resolution partition-prunes an id-bucketed corpus; decisions unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
