@@ -415,10 +415,16 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
       .select(regexp_replace(col("w"), lit("([\\s\\S])"), lit(" $1")).as("sym"), col("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val merges = ArrayBuffer.empty[(String, String)]
     var done = false
+    // LAZY round checkpoints: each round's candidate collect materializes
+    // the current vocab, so the SUPERSEDED copy is released only after
+    // that collect has run (never before — a lazy checkpoint's lineage is
+    // truncated, so unpersisting its input before materialization would
+    // lose the data). One pinned copy at a time, exactly as before.
+    var superseded: Option[DataFrame] = None
     while (merges.length < nMerges && !done) {
       // over-collect 4× the batch: disjointness filtering skips candidates,
       // and the skipped ones resurface next round (no recall loss)
@@ -436,6 +442,8 @@ object Bpe {
         .where(col("cnt") >= 2)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(want * 4).collect()
+      superseded.foreach(_.unpersist())
+      superseded = None
       val used = scala.collection.mutable.Set.empty[String]
       val sel = ArrayBuffer.empty[(String, String)]
       cands.iterator.takeWhile(_ => sel.length < want).foreach { row =>
@@ -452,10 +460,12 @@ object Bpe {
         vocab = vocab
           .withColumn("sym", sel.foldLeft(col("sym")) { case (acc, (l, r)) =>
             replace(acc, lit(s" $l $r"), lit(s" $l$r")) })
-          .localCheckpoint()
-        // release the superseded checkpoint: BPE tables run to 10k+ merges,
-        // and one pinned vocab copy per round is a linear storage leak
-        prev.unpersist()
+          .localCheckpoint(eager = false)
+        // release of the superseded checkpoint is DEFERRED to after the
+        // next round's collect (see the note above): BPE tables run to
+        // 10k+ merges, and one pinned vocab copy per round would be a
+        // linear storage leak
+        superseded = Some(prev)
       }
     }
     merges.toSeq

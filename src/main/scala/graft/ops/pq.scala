@@ -110,9 +110,14 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (m, k, subdim) = (cb0.length, cb0.head.length, subdimOf(cb0))
+    // LAZY round checkpoints (the pageRank cascade pattern): the codebook
+    // relation is m×k rows per round, so pinning every round until the
+    // final collect is config-sized; the collect materializes the whole
+    // cascade in one job sequence, then the intermediates are released
     var cbDf = cb0.zipWithIndex.flatMap { case (cents, s) =>
       cents.zipWithIndex.map { case (c, code) => (s, code, c) }
-    }.toDF("__sub", "__code", "__cent").localCheckpoint()
+    }.toDF("__sub", "__code", "__cent").localCheckpoint(eager = false)
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     (0 until iters).foreach { _ =>
       // rebuild the per-subspace broadcast codebook FROM the relation
       val cbBySub = cbDf.groupBy(col("__sub"))
@@ -134,11 +139,12 @@ object Pq {
         .groupBy(col("__sub"), col("__code"))
         .agg(expr("transform(array_sort(collect_list(struct(__d, __v))), s -> s.__v)")
           .as("__cent"))
-        .localCheckpoint()
-      prev.unpersist()
+        .localCheckpoint(eager = false)
+      superseded += prev
     }
     val rows = cbDf.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq).toMap
+    superseded.foreach(_.unpersist())
     (0 until m).map(s => (0 until k).map(code => rows((s, code))))
   }
 

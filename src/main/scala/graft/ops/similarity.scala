@@ -515,7 +515,9 @@ object Similarity {
       .withColumn("__pn", norm("__pv"))
       .withColumn("cell", col("__cell").cast("int"))
       .drop("__cell", "__rk")
-      .localCheckpoint() // ranked once; reused for the prune AND the join
+      // ranked once; reused for the prune AND the join (lazy — the prune
+      // collect right below materializes it)
+      .localCheckpoint(eager = false)
     val probedCells = p.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // config-sized: ≤ nCentroids
     (p, probedCells)

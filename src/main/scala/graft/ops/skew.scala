@@ -88,7 +88,7 @@ object Skew {
     // recompute the scan+shuffle
     val hot = detectHotKeys(big, key, targetRows, sampleBp, sampleCol)
       .select(col(key), col("salt").as("__k"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bigS = big.join(broadcast(hot), Seq(key), "left")
       .withColumn("__k", coalesce(col("__k"), lit(1)))
       .withColumn("__salt", pmod(hash(struct(big.columns.map(col): _*)), col("__k")))

@@ -119,8 +119,16 @@ object ExtractJob {
     // this prunes directories; with a generated Dataset it's a cheap filter.
     // at real scale a bucket spans MANY partitions (numPartitions ≫ buckets
     // → multiple files per bucket dir; compact() merges them later)
-    val parts = if (numPartitions > 0) numPartitions else pending.length
     val pendingDocs = docs.where($"bucket".isin(pending: _*)).as[RawDoc]
+    // SCALE-ADAPTIVE default: cap the extraction parallelism at the
+    // input's own split count (which the scan already derived from input
+    // size via maxPartitionBytes) — a large input still gets one range
+    // partition per pending bucket exactly as before, while a small
+    // backfill/test slice stops paying 16 fixed-overhead tasks per stage
+    // to process a handful of splits. Callers needing more override via
+    // numPartitions.
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(pending.length, pendingDocs.rdd.getNumPartitions))
     val extracted =
       if (native) plans.GraftFunctions.extractColumnar(pendingDocs.toDF())
       else transform(pendingDocs, numPartitions = parts).toDF()
@@ -271,8 +279,10 @@ object ExtractJob {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (pending.isEmpty) return snap
 
-    val parts = if (numPartitions > 0) numPartitions else pending.length
     val pendingDocs = docs.where($"bucket".isin(pending: _*)).as[RawDoc]
+    // same scale-adaptive default as runGated: capped by the input's split count
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(pending.length, pendingDocs.rdd.getNumPartitions))
     val extracted = transform(pendingDocs, numPartitions = parts, rules = newRules)
 
     val before: Map[Int, Set[String]] =

@@ -1766,8 +1766,8 @@ object Queries {
         .localCheckpoint(eager = false)
       val sigs = ops.Dedup.minhashSignatures(exact, "text", 8)
         .select($"doc_id", $"sig").localCheckpoint(eager = false)
+      // cands has exactly ONE consumer (the verify) — no checkpoint needed
       val cands = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
-        .localCheckpoint(eager = false)
       val pairs = ops.Dedup.jaccardVerify(exact, "doc_id", "text", cands, 0.5)
         .select($"id_a", $"id_b").localCheckpoint(eager = false)
       val resolved = ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
