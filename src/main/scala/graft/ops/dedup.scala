@@ -107,7 +107,16 @@ object Dedup {
     * `maxBucket = 0` disables the guard. */
   def lshCandidatePairs(sigDf: DataFrame, idCol: String, bands: Int,
       maxBucket: Int = 4096): DataFrame = {
-    val banded = bandedSignatures(sigDf, idCol, bands)
+    // compute-once: the banded relation below feeds the guard count AND
+    // both self-join sides, so without materialization the signature
+    // subtree upstream of sigDf — the most expensive compute in the LSH
+    // chain (k salted md5 over EVERY shingle) — is re-derived per consumer
+    // (the q_ngram_jaccard formatted plan carried six copies of it, each
+    // doubled again by the pushed `size(sig) >= bands` filter). A lazy
+    // checkpoint of the narrow (id, sig) input caches k×32 hex chars per
+    // doc; banding over the cached rows is bands×md5 per doc — noise.
+    val sigs = sigDf.localCheckpoint(eager = false)
+    val banded = bandedSignatures(sigs, idCol, bands)
     // The guard itself must not buffer the hot bucket: a windowed count
     // would pull every banded row of the hot bucket into one task, so the
     // counter is a partial-aggregating groupBy joined back (the count table
@@ -163,11 +172,23 @@ object Dedup {
     * can never be matched against the wrong side's text. */
   def jaccardVerifyAcross(docsA: DataFrame, docsB: DataFrame, idCol: String,
       textCol: String, pairs: DataFrame, threshold: Double): DataFrame = {
-    def words(d: DataFrame) = d.select(col(idCol).as("__id"),
-      array_distinct(split(col(textCol), " ")).as("__wset"))
+    // word sets are computed ONLY for ids that appear in a candidate pair:
+    // each side is semi-joined to its pair-id column BEFORE the
+    // split+distinct projection, so the per-doc word-set compute and the
+    // bytes entering the verify joins' exchanges cost O(candidates), never
+    // O(corpus) (the guide's project-early / semi-join pre-filter moves).
+    // Results identical — the inner joins below keep exactly the pair ids
+    // anyway. Callers whose `pairs` subtree is non-trivial should pass it
+    // materialized (it is consumed three times here).
+    def words(d: DataFrame, ids: DataFrame) = d
+      .join(ids, d(idCol) === ids("__pid"), "left_semi")
+      .select(col(idCol).as("__id"),
+        array_distinct(split(col(textCol), " ")).as("__wset"))
     pairs
-      .join(words(docsA).as("wa"), col("id_a") === col("wa.__id"))
-      .join(words(docsB).as("wb"), col("id_b") === col("wb.__id"))
+      .join(words(docsA, pairs.select(col("id_a").as("__pid"))).as("wa"),
+        col("id_a") === col("wa.__id"))
+      .join(words(docsB, pairs.select(col("id_b").as("__pid"))).as("wb"),
+        col("id_b") === col("wb.__id"))
       .withColumn("inter", size(array_intersect(col("wa.__wset"), col("wb.__wset"))))
       .withColumn("uni", size(array_union(col("wa.__wset"), col("wb.__wset"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -181,7 +202,10 @@ object Dedup {
       k: Int = 8, bands: Int = 4, threshold: Double = 0.7,
       maxBucket: Int = 4096): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, k).select(col(idCol), col("sig"))
+    // the verify consumes the candidate pairs three times (pair join + two
+    // semi pre-filters) — materialize them once, lazily
     val cands = lshCandidatePairs(sigs, idCol, bands, maxBucket)
+      .localCheckpoint(eager = false)
     jaccardVerify(docs, idCol, textCol, cands, threshold)
   }
 
@@ -416,10 +440,10 @@ object Dedup {
     // 3. within-delta near-dup clusters (same guarded banding reused); a
     //    corpus match poisons its whole cluster. Both sides batch-bounded
     //    — broadcast one so the self-join needs no shuffle.
-    val withinCands = gd.as("x").join(broadcast(gd.as("y")),
+    val withinCands = mat(gd.as("x").join(broadcast(gd.as("y")),
         col("x.band") === col("y.band") && col("x.bandhash") === col("y.bandhash") &&
         col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b")).distinct()
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b")).distinct())
     val deltaPairs = jaccardVerify(deltaE, idCol, textCol,
         broadcast(withinCands), threshold)
       .select(col("id_a"), col("id_b"))
@@ -493,8 +517,13 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("__sh"), start).bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }
+    // both self-join sides re-derive the input subtree — and the caller's
+    // simhash is typically an explode+aggregate over every word of the
+    // corpus. Cache the narrow (id, simhash) relation once, lazily; the
+    // band explode over cached rows is bit algebra.
     val banded = df
       .select(col(idCol).as("__id"), col(simhashCol).as("__sh"))
+      .localCheckpoint(eager = false)
       .select(col("__id"), col("__sh"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__id"), col("__sh"),
         col("__b.band").as("band"), col("__b.bv").as("bv"))

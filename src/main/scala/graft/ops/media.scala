@@ -283,12 +283,20 @@ object Media {
     * pair-driven equi-joins against the payload table, never all-pairs. */
   def binaryJaccardVerify(df: DataFrame, idCol: String, binCol: String,
       pairs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sets = df.withColumn("__hx", hex(col(binCol)))
+    // shingle sets only for ids that appear in a candidate pair (the text
+    // verify's semi pre-filter, Dedup.jaccardVerifyAcross has the
+    // rationale): the hex+shingle projection and the verify joins' bytes
+    // cost O(candidates), never O(corpus). Results identical.
+    def sets(ids: DataFrame) = df
+      .join(ids, df(idCol) === ids("__pid"), "left_semi")
+      .withColumn("__hx", hex(col(binCol)))
       .select(col(idCol).as("__id"),
         array_distinct(byteShingles(binCol, n)).as("__sset"))
     pairs
-      .join(sets.as("sa"), col("id_a") === col("sa.__id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.__id"))
+      .join(sets(pairs.select(col("id_a").as("__pid"))).as("sa"),
+        col("id_a") === col("sa.__id"))
+      .join(sets(pairs.select(col("id_b").as("__pid"))).as("sb"),
+        col("id_b") === col("sb.__id"))
       .withColumn("inter", size(array_intersect(col("sa.__sset"), col("sb.__sset"))))
       .withColumn("uni", size(array_union(col("sa.__sset"), col("sb.__sset"))))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -306,7 +314,10 @@ object Media {
       maxBucket: Int = 4096): DataFrame = {
     val sigs = binarySignatures(df.select(col(idCol), col(binCol)), binCol, n, k)
       .select(col(idCol), col("sig"))
+    // the verify consumes the candidates three times (pair join + two semi
+    // pre-filters) — materialize them once, lazily
     val cands = Dedup.lshCandidatePairs(sigs, idCol, bands, maxBucket)
+      .localCheckpoint(eager = false)
     binaryJaccardVerify(df, idCol, binCol, cands, n, threshold)
   }
 

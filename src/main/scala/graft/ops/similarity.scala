@@ -114,9 +114,14 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dims: Int,
       multiprobe: Boolean = false, maxBucket: Int = 4096): DataFrame = {
+    // the bucketed relation feeds the guard count AND both self-join sides
+    // — cache it lazily so the SRP hash (nPlanes dot products per vector)
+    // runs once per corpus, not once per consumer (same compute-once
+    // discipline as lshCandidatePairs / semanticNearDupPairs)
     val b0 = srpBucket(corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")),
         "__v", nPlanes, dims)
       .withColumn("__n", norm("__v"))
+      .localCheckpoint(eager = false)
     // hot-bucket guard, same rationale as Dedup.lshCandidatePairs: a
     // cluster of identical embeddings shares one SRP bucket and would
     // self-join quadratically — dedup exact-duplicate vectors first

@@ -1764,10 +1764,14 @@ object Queries {
       // the first consuming job materializes each — no eager job per stage
       val exact = ops.Dedup.exactDedup(kept, "doc_id", "text")
         .localCheckpoint(eager = false)
+      // signatures are materialized INSIDE lshCandidatePairs (compute-once
+      // for the guard + both self-join sides) — no second checkpoint here
       val sigs = ops.Dedup.minhashSignatures(exact, "text", 8)
-        .select($"doc_id", $"sig").localCheckpoint(eager = false)
-      // cands has exactly ONE consumer (the verify) — no checkpoint needed
+        .select($"doc_id", $"sig")
+      // the verify consumes cands three times (pair join + two semi
+      // pre-filters) — materialize once, lazily
       val cands = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+        .localCheckpoint(eager = false)
       val pairs = ops.Dedup.jaccardVerify(exact, "doc_id", "text", cands, 0.5)
         .select($"id_a", $"id_b").localCheckpoint(eager = false)
       val resolved = ops.Dedup.dedupCorpus(exact, "doc_id", pairs)
@@ -2060,6 +2064,8 @@ object Queries {
       val bk = corpus.select($"vec_id", expr(srpQuantBucket).as("bucket"),
           expr("transform(embedding, x -> cast(floor(cast(x as double)*1000) as bigint))").as("qv"))
         .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x*x)"))
+        // both self-join sides — hash/quantize each vector once, not twice
+        .localCheckpoint(eager = false)
       bk.as("x").join(bk.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
         .withColumn("dot",

@@ -169,6 +169,37 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("lshCandidatePairs materializes the signature relation once (no per-consumer re-derivation)") {
+    // the banded relation feeds the guard count AND both self-join sides;
+    // without the internal checkpoint the per-shingle k×md5 signature
+    // subtree is re-derived per consumer (r6 before-plans carried SIX
+    // copies of it). With it, every consumer reads the cached (id, sig)
+    // leaf — the plan must contain NO parquet scan at all.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" < 40).select($"doc_id", $"text")
+    val sigs = ops.Dedup.minhashSignatures(docs, "text", 8)
+      .select($"doc_id", $"sig")
+    val p = ops.Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      "signature subtree re-derived per consumer — expected one checkpointed leaf:\n" +
+        p.take(1200))
+  }
+
+  test("jaccardVerify semi-filters each side to the candidate ids before the word-set projection") {
+    // word sets must cost O(candidates), never O(corpus): each doc side is
+    // LeftSemi-joined to its pair-id column BEFORE split+distinct runs
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .where($"doc_id" < 40).select($"doc_id", $"text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val p = ops.Dedup.jaccardVerify(docs, "doc_id", "text", pairs, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      "expected LeftSemi pre-filters on the verify's doc sides:\n" + p.take(1200))
+  }
+
   test("O12 ranged-fetch analog: maxPartitionBytes splits one file into byte-range scan tasks") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
