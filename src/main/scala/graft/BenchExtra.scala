@@ -69,7 +69,13 @@ object BenchExtra {
       return
     }
 
-    println(f"${"query"}%-24s ${"wall_s"}%8s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%7s ${"task_s"}%8s")
+    // GRAFT_NOOP=1: time via the no-op sink (guide §1.4) — eagerly computes
+    // EVERY column of every row and discards it, so the number excludes any
+    // count-side column pruning. Default stays .count() to match what the
+    // frozen driver bench measures.
+    val useNoop = sys.env.get("GRAFT_NOOP").contains("1")
+    println(f"${"query"}%-24s ${"wall_s"}%8s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%7s ${"task_s"}%8s" +
+      (if (useNoop) "  (noop sink)" else "  (count)"))
     sel.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"$name: unknown query")
@@ -77,7 +83,11 @@ object BenchExtra {
           jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
           spark.sparkContext.setJobDescription(name)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
+          try {
+            val df = fn(spark, sfDir)
+            if (useNoop) df.write.format("noop").mode("overwrite").save()
+            else df.count()
+          }
           catch { case e: Throwable => println(s"$name FAILED: $e") }
           val wall = (System.nanoTime() - t0) / 1e9
           Thread.sleep(150) // let the listener bus drain (counts are advisory)
